@@ -1,0 +1,305 @@
+"""DeviceVectorIndex: HBM-resident dense index engine.
+
+The TPU-native replacement for the reference's external ANN services
+(RediSearch HNSW `redis_store.py:689-755`, pgvector `pgvector_store.py:725-748`,
+Chroma). The corpus lives on device as:
+
+  vecs   (cap, D)  fp32  L2-normalized embeddings (rescore + exact path)
+  codes  (cap, W)  uint32 packed sign bits        (binary Hamming stage 1)
+  i8     (cap, D)  int8  calibrated affine codes  (int8 stage 1)
+  valid  (cap,)    bool  live-row mask (deletes = mask, compaction later)
+  level  (cap,)    int8  doc_level code (leaf/parent/other -> row filters)
+  lang   (cap,)    int32 language code
+  doc_len(cap,)    f32   BM25 token counts (shared row space with BM25Index)
+
+Rows are append-only with capacity doubling; updates to existing content-hash
+ids land in new rows and invalidate the old row (content-hash ids make true
+in-place updates meaningless — same content => same id => same vector).
+
+All queries run as single fused jit programs (ops/similarity.py). Filters
+(valid/doc_level/language — reference encodes these as RediSearch TagFields,
+`redis_store.py:260-276`) are evaluated as device masks inside the scan.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiant_rag_tpu.ops import quantize as qz
+from radiant_rag_tpu.ops import similarity as sim
+
+logger = logging.getLogger(__name__)
+
+LEVEL_CODES: Dict[str, int] = {"leaf": 0, "parent": 1, "other": 2}
+
+
+def _next_pow2(n: int, floor: int = 1) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_slab(arr: jax.Array, updates: jax.Array, start: jax.Array) -> jax.Array:
+    """In-place (donated) row-slab write at dynamic offset."""
+    return jax.lax.dynamic_update_slice_in_dim(arr, updates, start, axis=0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_rows_false(valid: jax.Array, rows: jax.Array) -> jax.Array:
+    return valid.at[rows].set(False, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("k", "kc", "mode"))
+def _search_program(
+    vecs: jax.Array,
+    codes: jax.Array,
+    i8: jax.Array,
+    i8_scale: jax.Array,
+    i8_offset: jax.Array,
+    valid: jax.Array,
+    level: jax.Array,
+    lang: jax.Array,
+    queries: jax.Array,  # (B, D) f32 normalized
+    qvalid: jax.Array,  # (B,) bool (padding mask for query bucket)
+    level_code: jax.Array,  # () int32, -1 = no filter
+    lang_code: jax.Array,  # () int32, -1 = no filter
+    k: int,
+    kc: int,
+    mode: str,  # exact | binary | int8
+) -> Tuple[jax.Array, jax.Array]:
+    mask = valid
+    mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
+    mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
+
+    if mode == "exact":
+        top_s, top_i = sim.exact_topk(vecs, queries, mask, k)
+    elif mode == "binary":
+        qbin = qz.pack_binary(queries)
+        top_s, top_i = sim.two_stage_topk(
+            vecs, queries, mask, k, kc, "hamming",
+            binary_codes=codes, qbinary=qbin,
+        )
+    elif mode == "int8":
+        top_s, top_i = sim.two_stage_topk(
+            vecs, queries, mask, k, kc, "int8",
+            int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
+        )
+    else:
+        raise ValueError(f"unknown search mode: {mode}")
+
+    # Rows that came from masked-out (-inf) scores, or padded queries, are -1.
+    top_i = jnp.where(top_s > sim.NEG_INF / 2, top_i, -1)
+    top_i = jnp.where(qvalid[:, None], top_i, -1)
+    return top_s, top_i
+
+
+class DeviceVectorIndex:
+    """Append-only device-resident dense index over one row space."""
+
+    QUERY_BUCKETS = (1, 4, 16, 64, 256)
+
+    def __init__(
+        self,
+        dim: int,
+        initial_capacity: int = 4096,
+        calibration_sample: int = 4096,
+        device=None,
+    ) -> None:
+        self.dim = dim
+        self.words = qz.packed_words(dim)
+        self.count = 0
+        self.capacity = _next_pow2(max(initial_capacity, 256))
+        self.device = device
+        self._calibrated = False
+        self.calibration_sample = calibration_sample
+        self._alloc(self.capacity)
+        # identity dequant until calibration
+        self.i8_lo = jnp.full((dim,), -1.0, jnp.float32)
+        self.i8_hi = jnp.full((dim,), 1.0, jnp.float32)
+
+    # -- allocation --------------------------------------------------------
+    def _alloc(self, cap: int) -> None:
+        self.vecs = jnp.zeros((cap, self.dim), jnp.float32)
+        self.codes = jnp.zeros((cap, self.words), jnp.uint32)
+        self.i8 = jnp.zeros((cap, self.dim), jnp.int8)
+        self.valid = jnp.zeros((cap,), bool)
+        self.level = jnp.zeros((cap,), jnp.int8)
+        self.lang = jnp.zeros((cap,), jnp.int32)
+        self.doc_len = jnp.zeros((cap,), jnp.float32)
+
+    def _grow(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        logger.info("growing device index %d -> %d rows", self.capacity, new_cap)
+        pad = new_cap - self.capacity
+
+        def grow(arr):
+            return jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+
+        self.vecs = grow(self.vecs)
+        self.codes = grow(self.codes)
+        self.i8 = grow(self.i8)
+        self.valid = grow(self.valid)
+        self.level = grow(self.level)
+        self.lang = grow(self.lang)
+        self.doc_len = grow(self.doc_len)
+        self.capacity = new_cap
+
+    # -- writes ------------------------------------------------------------
+    def append(
+        self,
+        vecs: np.ndarray,  # (P, D) f32, should be L2-normalized
+        levels: np.ndarray,  # (P,) int8 codes
+        langs: np.ndarray,  # (P,) int32 codes
+        doc_lens: np.ndarray,  # (P,) f32 token counts
+    ) -> np.ndarray:
+        """Append a batch; returns assigned row indices (host int64)."""
+        p = int(vecs.shape[0])
+        if p == 0:
+            return np.zeros((0,), np.int64)
+        pad_p = _next_pow2(p, floor=64)
+        if self.count + pad_p > self.capacity:
+            self._grow(self.count + pad_p)
+
+        def padded(a: np.ndarray, dtype) -> np.ndarray:
+            out = np.zeros((pad_p,) + a.shape[1:], dtype)
+            out[:p] = a
+            return out
+
+        vpad = padded(np.asarray(vecs, np.float32), np.float32)
+        start = jnp.asarray(self.count, jnp.int32)
+        vdev = jnp.asarray(vpad)
+        self.vecs = _write_slab(self.vecs, vdev, start)
+        self.codes = _write_slab(self.codes, qz.pack_binary(vdev), start)
+        self.i8 = _write_slab(self.i8, qz.quantize_int8(vdev, self.i8_lo, self.i8_hi), start)
+        vmask = np.zeros((pad_p,), bool)
+        vmask[:p] = True
+        self.valid = _write_slab(self.valid, jnp.asarray(vmask), start)
+        self.level = _write_slab(self.level, jnp.asarray(padded(levels, np.int8)), start)
+        self.lang = _write_slab(self.lang, jnp.asarray(padded(langs, np.int32)), start)
+        self.doc_len = _write_slab(self.doc_len, jnp.asarray(padded(doc_lens, np.float32)), start)
+
+        rows = np.arange(self.count, self.count + p, dtype=np.int64)
+        self.count += p
+        if not self._calibrated and self.count >= 64:
+            self.recalibrate()
+        return rows
+
+    def invalidate(self, rows: np.ndarray) -> None:
+        if len(rows) == 0:
+            return
+        self.valid = _set_rows_false(self.valid, jnp.asarray(np.asarray(rows, np.int32)))
+
+    def recalibrate(self) -> None:
+        """Compute int8 ranges from stored vectors and requantize everything.
+
+        Reference analog: `tools/calibrate_int8_ranges.py` produces a .npy
+        artifact loaded at store init; here calibration is one device program
+        over the resident corpus and requantization is free (fp32 vectors are
+        already in HBM)."""
+        if self.count == 0:
+            return
+        n = min(self.count, self.calibration_sample)
+        self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(self.vecs[:n])
+        self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
+        self._calibrated = True
+
+    def set_int8_ranges(self, lo: np.ndarray, hi: np.ndarray) -> None:
+        """Load external calibration (reference `redis_store.py:176-181`)."""
+        self.i8_lo = jnp.asarray(lo, jnp.float32)
+        self.i8_hi = jnp.asarray(hi, jnp.float32)
+        self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
+        self._calibrated = True
+
+    # -- queries -----------------------------------------------------------
+    def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
+        b = queries.shape[0]
+        bucket = self.QUERY_BUCKETS[-1]
+        for cand in self.QUERY_BUCKETS:
+            if b <= cand:
+                bucket = cand
+                break
+        qpad = np.zeros((bucket, self.dim), np.float32)
+        qpad[:b] = queries
+        qvalid = np.zeros((bucket,), bool)
+        qvalid[:b] = True
+        return jnp.asarray(qpad), jnp.asarray(qvalid), b
+
+    def search(
+        self,
+        queries: np.ndarray,  # (B, D) f32 normalized
+        k: int,
+        mode: str = "binary",  # exact | binary | int8
+        rescore_multiplier: float = 4.0,
+        ef_runtime: Optional[int] = None,
+        level_code: int = -1,
+        lang_code: int = -1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores (B,k) f32, rows (B,k) int64; -1 = no result)."""
+        if self.count == 0:
+            b = queries.shape[0]
+            return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
+        k_eff = min(k, self.capacity)
+        kc = int(max(k_eff, round(k_eff * rescore_multiplier)))
+        if ef_runtime:
+            kc = max(kc, int(ef_runtime))
+        kc = min(max(kc, 1), self.capacity)
+        qdev, qvalid, b = self._bucket_queries(np.asarray(queries, np.float32))
+        top_s, top_i = _search_program(
+            self.vecs, self.codes, self.i8,
+            *qz.int8_scale_offset(self.i8_lo, self.i8_hi),
+            self.valid, self.level, self.lang,
+            qdev, qvalid,
+            jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
+            k_eff, kc, mode,
+        )
+        scores = np.asarray(top_s)[:b]
+        rows = np.asarray(top_i)[:b].astype(np.int64)
+        if k_eff < k:
+            scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-1e30)
+            rows = np.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, rows
+
+    # -- stats / persistence ----------------------------------------------
+    def memory_bytes(self) -> Dict[str, int]:
+        return {
+            "fp32": self.capacity * self.dim * 4,
+            "binary": self.capacity * self.words * 4,
+            "int8": self.capacity * self.dim,
+        }
+
+    def to_host(self) -> Dict[str, np.ndarray]:
+        n = self.count
+        return {
+            "vecs": np.asarray(self.vecs[:n]),
+            "valid": np.asarray(self.valid[:n]),
+            "level": np.asarray(self.level[:n]),
+            "lang": np.asarray(self.lang[:n]),
+            "doc_len": np.asarray(self.doc_len[:n]),
+            "i8_lo": np.asarray(self.i8_lo),
+            "i8_hi": np.asarray(self.i8_hi),
+        }
+
+    @classmethod
+    def from_host(cls, state: Dict[str, np.ndarray], initial_capacity: int = 4096) -> "DeviceVectorIndex":
+        vecs = state["vecs"]
+        n, dim = vecs.shape
+        idx = cls(dim, initial_capacity=max(initial_capacity, n))
+        if n:
+            idx.append(vecs, state["level"].astype(np.int8), state["lang"].astype(np.int32),
+                       state["doc_len"].astype(np.float32))
+            if "i8_lo" in state:
+                idx.set_int8_ranges(state["i8_lo"], state["i8_hi"])
+            dead = np.nonzero(~state["valid"])[0]
+            if len(dead):
+                idx.invalidate(dead)
+        return idx

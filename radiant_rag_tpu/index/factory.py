@@ -1,0 +1,58 @@
+"""Vector-store factory (reference `storage/factory.py:21-138`).
+
+The TPU engine is the primary backend; a pure-host numpy parity backend exists
+for dev/debug (reference keeps three service backends for ops flexibility —
+here pluggability is preserved with the same dispatch shape)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from radiant_rag_tpu.config import AppConfig
+from radiant_rag_tpu.index.base import BaseVectorStore
+
+
+def create_vector_store(config: AppConfig) -> BaseVectorStore:
+    """Dispatch on `config.index.backend` (reference `factory.py:40-61`)."""
+    backend = config.index.backend
+    if backend == "tpu":
+        from radiant_rag_tpu.index.store import TpuVectorStore
+
+        return TpuVectorStore(
+            dim=config.index.dim,
+            index_config=config.index,
+            quantization=config.quantization,
+        )
+    if backend == "numpy":
+        from radiant_rag_tpu.index.numpy_store import NumpyVectorStore
+
+        return NumpyVectorStore(dim=config.index.dim, quantization=config.quantization)
+    raise ValueError(f"unknown index backend: {backend!r} (expected tpu|numpy)")
+
+
+def get_available_backends() -> List[str]:
+    """Import-probe available backends (reference `factory.py:64-95`)."""
+    available = ["numpy"]
+    try:
+        import jax  # noqa: F401
+
+        available.insert(0, "tpu")
+    except Exception:  # pragma: no cover
+        pass
+    return available
+
+
+def validate_backend_config(config: AppConfig) -> Dict[str, Any]:
+    """Sanity-check backend config (reference `factory.py:98-138`)."""
+    issues: List[str] = []
+    if config.index.backend not in ("tpu", "numpy"):
+        issues.append(f"unknown backend {config.index.backend}")
+    if config.index.dim <= 0:
+        issues.append("dim must be positive")
+    if config.index.dim % 32 != 0:
+        issues.append("dim should be a multiple of 32 for binary packing")
+    try:
+        config.quantization.validate()
+    except ValueError as exc:
+        issues.append(str(exc))
+    return {"valid": not issues, "issues": issues}

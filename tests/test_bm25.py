@@ -1,0 +1,146 @@
+"""BM25 index tests (reference analog: `tests/test_all.py:349-700` — tokenize,
+index, persistence round-trip) plus device-scoring-vs-oracle checks."""
+
+import math
+
+import numpy as np
+import pytest
+
+from radiant_rag_tpu.config import IndexConfig
+from radiant_rag_tpu.index.bm25 import BM25Index, PersistentBM25Index, tokenize
+from radiant_rag_tpu.index.store import TpuVectorStore
+
+
+def test_tokenize_reference_semantics():
+    # lowercase, alnum runs only, len>1 (reference bm25_index.py:50-58)
+    assert tokenize("Hello, World! A b2b X") == ["hello", "world", "b2b"]
+    assert tokenize("") == []
+    assert tokenize("C++ is fun-fun 42") == ["is", "fun", "fun", "42"]
+
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a lazy dog sleeps all day long",
+    "quick quick brown foxes are quick",
+    "completely unrelated text about turnips",
+    "dogs and foxes are animals",
+]
+
+
+def _python_bm25(docs_tokens, query_terms, k1=1.5, b=0.75):
+    n = len(docs_tokens)
+    avgdl = sum(len(t) for t in docs_tokens) / n
+    scores = np.zeros(n)
+    for term in set(query_terms):
+        df = sum(1 for t in docs_tokens if term in t)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        for d, toks in enumerate(docs_tokens):
+            tf = toks.count(term)
+            if tf:
+                scores[d] += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+    return scores
+
+
+def test_bm25_index_matches_python_oracle():
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    toks = [tokenize(d) for d in DOCS]
+    for query in ["quick dog", "lazy", "brown foxes", "turnips animals quick"]:
+        oracle = _python_bm25(toks, tokenize(query))
+        scores, rows = idx.search_rows(query, top_k=5)
+        hits = {int(r): float(s) for r, s in zip(rows, scores) if r >= 0 and s > 0}
+        expect = {d: oracle[d] for d in range(len(DOCS)) if oracle[d] > 0}
+        assert set(hits) == set(expect), query
+        for d in expect:
+            np.testing.assert_allclose(hits[d], expect[d], rtol=1e-4)
+
+
+def test_bm25_incremental_add_updates_stats():
+    idx = BM25Index()
+    idx.add_document(0, DOCS[0])
+    s1, _ = idx.search_rows("quick", top_k=3)
+    idx.add_document(1, DOCS[2])
+    # adding another 'quick' doc changes df -> idf changes
+    s2, r2 = idx.search_rows("quick", top_k=3)
+    assert idx.num_docs == 2
+    assert (r2 >= 0).sum() == 2
+
+
+def test_bm25_remove_and_rebuild():
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    assert idx.remove_document(1)
+    assert not idx.remove_document(99)
+    _, rows = idx.search_rows("lazy dog", top_k=5)
+    assert 1 not in set(int(r) for r in rows if r >= 0)
+    assert idx.num_docs == len(DOCS) - 1
+
+
+def test_bm25_serialization_roundtrip():
+    idx = BM25Index(k1=1.2, b=0.6)
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    data = idx.to_dict()
+    idx2 = BM25Index.from_dict(data)
+    assert idx2.k1 == 1.2 and idx2.b == 0.6
+    assert idx2.num_docs == idx.num_docs
+    s1, r1 = idx.search_rows("quick dog", top_k=5)
+    s2, r2 = idx2.search_rows("quick dog", top_k=5)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def _store_with_docs(rng, texts):
+    store = TpuVectorStore(dim=32, index_config=IndexConfig(dim=32, initial_capacity=256))
+    docs = [(t, {"source": f"s{i}"}, rng.standard_normal(32)) for i, t in enumerate(texts)]
+    store.upsert_batch(docs)
+    return store
+
+
+def test_persistent_bm25_lifecycle(rng, tmp_path):
+    store = _store_with_docs(rng, DOCS)
+    path = str(tmp_path / "bm25.json.gz")
+    pidx = PersistentBM25Index(store, path=path)
+    n = pidx.build_from_store()
+    assert n == len(DOCS)
+
+    hits = pidx.search("quick dog", top_k=3)
+    assert hits and all(s > 0 for _, s in hits)
+    assert "quick" in hits[0][0].content or "dog" in hits[0][0].content
+
+    # persistence: reload against the same store
+    pidx2 = PersistentBM25Index(store, path=path)
+    hits2 = pidx2.search("quick dog", top_k=3)
+    assert [d.doc_id for d, _ in hits] == [d.doc_id for d, _ in hits2]
+
+
+def test_persistent_bm25_sync(rng, tmp_path):
+    store = _store_with_docs(rng, DOCS[:3])
+    pidx = PersistentBM25Index(store, path=str(tmp_path / "b.json.gz"))
+    pidx.build_from_store()
+    # new docs appear after sync
+    store.upsert_batch([(DOCS[3], {}, rng.standard_normal(32)),
+                        (DOCS[4], {}, rng.standard_normal(32))])
+    added, removed = pidx.sync_with_store()
+    assert added == 2 and removed == 0
+    hits = pidx.search("turnips", top_k=2)
+    assert hits
+    # deleted docs disappear after sync
+    doc_id = hits[0][0].doc_id
+    store.delete_doc(doc_id)
+    added, removed = pidx.sync_with_store()
+    assert removed == 1
+    assert pidx.search("turnips", top_k=2) == []
+
+
+def test_bm25_respects_store_valid_mask(rng, tmp_path):
+    store = _store_with_docs(rng, DOCS)
+    pidx = PersistentBM25Index(store, path=str(tmp_path / "b.json.gz"))
+    pidx.build_from_store()
+    target = pidx.search("turnips", top_k=1)[0][0]
+    store.delete_doc(target.doc_id)  # no sync — mask alone must hide it
+    assert pidx.search("turnips", top_k=2) == []

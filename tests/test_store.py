@@ -1,0 +1,187 @@
+"""TpuVectorStore integration tests: upsert/retrieve/filter/delete/persist.
+
+The reference never tests vector retrieval itself (SURVEY.md §4); here every
+retrieval mode is checked against the numpy oracle backend.
+"""
+
+import numpy as np
+import pytest
+
+from radiant_rag_tpu.config import IndexConfig, QuantizationConfig
+from radiant_rag_tpu.index.store import TpuVectorStore
+from radiant_rag_tpu.index.numpy_store import NumpyVectorStore
+
+
+def _mk_store(dim=64, **q):
+    return TpuVectorStore(
+        dim=dim,
+        index_config=IndexConfig(dim=dim, initial_capacity=256),
+        quantization=QuantizationConfig(**q),
+    )
+
+
+def _corpus(rng, n, dim):
+    docs = []
+    for i in range(n):
+        v = rng.standard_normal(dim).astype(np.float32)
+        docs.append((f"document number {i} about topic {i % 7}", {"source": f"s{i}"}, v))
+    return docs
+
+
+def test_upsert_and_get(rng):
+    store = _mk_store()
+    doc_id = store.upsert("hello world", {"source": "a"}, rng.standard_normal(64))
+    doc = store.get_doc(doc_id)
+    assert doc is not None and doc.content == "hello world"
+    assert store.has_embedding(doc_id)
+    assert store.count_documents() == 1
+    assert store.ping()
+
+
+def test_doc_id_deterministic():
+    store = _mk_store()
+    id1 = store.make_doc_id("same content", {"source": "x"})
+    id2 = store.make_doc_id("same content", {"source": "x"})
+    id3 = store.make_doc_id("same content", {"source": "y"})
+    assert id1 == id2 != id3
+
+
+def test_upsert_idempotent(rng):
+    store = _mk_store()
+    v = rng.standard_normal(64)
+    id1 = store.upsert("same doc", {"source": "a"}, v)
+    id2 = store.upsert("same doc", {"source": "a"}, v)
+    assert id1 == id2
+    assert store.count_documents() == 1
+    assert store.engine.count == 1  # no duplicate row
+
+
+def test_doc_only_upsert():
+    store = _mk_store()
+    doc_id = store.upsert_doc_only("parent doc", {"doc_level": "parent"})
+    assert store.get_doc(doc_id) is not None
+    assert not store.has_embedding(doc_id)
+    assert doc_id in store.list_doc_ids()
+    assert doc_id not in store.list_doc_ids_with_embeddings()
+
+
+@pytest.mark.parametrize("quantized", [None, False, True])
+def test_retrieval_matches_oracle(rng, quantized):
+    dim = 64
+    tpu = _mk_store(dim=dim)
+    oracle = NumpyVectorStore(dim=dim)
+    docs = _corpus(rng, 200, dim)
+    tpu.upsert_batch(docs)
+    for c, m, e in docs:
+        oracle.upsert(c, m, e)
+    q = rng.standard_normal(dim)
+    got = tpu.retrieve_by_embedding_batch(q[None, :], top_k=10, quantized=quantized)[0]
+    want = oracle.retrieve_by_embedding(q, top_k=10)
+    got_ids = [d.doc_id for d, _ in got]
+    want_ids = [d.doc_id for d, _ in want]
+    if quantized is False:
+        # exact mode must match the oracle top-10 (ties aside)
+        assert len(set(got_ids) & set(want_ids)) >= 9
+    else:
+        # quantized two-stage on pure random gaussians (worst case for sign
+        # sketches) still recovers most of the true top-10
+        assert len(set(got_ids) & set(want_ids)) >= 6
+    # scores are real cosines
+    for d, s in got:
+        assert -1.01 <= s <= 1.01
+
+
+def test_min_similarity_filter(rng):
+    store = _mk_store()
+    docs = _corpus(rng, 50, 64)
+    store.upsert_batch(docs)
+    q = np.asarray(docs[0][2])
+    hits = store.retrieve_by_embedding(q, top_k=10, min_similarity=0.99)
+    assert all(s >= 0.99 for _, s in hits)
+    assert len(hits) >= 1  # the doc itself
+
+
+def test_doc_level_filter(rng):
+    store = _mk_store()
+    store.upsert("leaf one", {"doc_level": "leaf"}, rng.standard_normal(64))
+    store.upsert("parent one", {"doc_level": "parent"}, rng.standard_normal(64))
+    q = rng.standard_normal(64)
+    leaves = store.retrieve_by_embedding(q, top_k=10, doc_level_filter="leaf")
+    assert [d.doc_level for d, _ in leaves] == ["leaf"]
+    parents = store.retrieve_by_embedding(q, top_k=10, doc_level_filter="parent")
+    assert [d.doc_level for d, _ in parents] == ["parent"]
+
+
+def test_language_filter(rng):
+    store = _mk_store()
+    store.upsert("english doc", {"language_code": "en"}, rng.standard_normal(64))
+    store.upsert("german doc", {"language_code": "de"}, rng.standard_normal(64))
+    q = rng.standard_normal(64)
+    en = store.retrieve_by_embedding(q, top_k=10, language_filter="en")
+    assert [d.language_code for d, _ in en] == ["en"]
+    none = store.retrieve_by_embedding(q, top_k=10, language_filter="fr")
+    assert none == []
+
+
+def test_delete(rng):
+    store = _mk_store()
+    docs = _corpus(rng, 20, 64)
+    ids = store.upsert_batch(docs)
+    assert store.delete_doc(ids[0])
+    assert not store.delete_doc(ids[0])
+    assert store.get_doc(ids[0]) is None
+    q = np.asarray(docs[0][2])
+    hits = store.retrieve_by_embedding(q, top_k=20)
+    assert ids[0] not in [d.doc_id for d, _ in hits]
+
+
+def test_capacity_growth(rng):
+    store = TpuVectorStore(dim=32, index_config=IndexConfig(dim=32, initial_capacity=256))
+    docs = _corpus(rng, 700, 32)
+    store.upsert_batch(docs)
+    assert store.engine.count == 700
+    assert store.engine.capacity >= 700
+    q = np.asarray(docs[123][2])
+    hits = store.retrieve_by_embedding(q, top_k=5, quantized=False)
+    assert hits[0][0].content == docs[123][0]
+
+
+def test_index_info_and_drop(rng):
+    store = _mk_store()
+    store.upsert_batch(_corpus(rng, 10, 64))
+    info = store.get_index_info()
+    assert info["num_embedded"] == 10
+    assert info["backend"] == "tpu"
+    assert info["memory_bytes"]["binary"] < info["memory_bytes"]["fp32"]
+    store.drop_index()
+    assert store.count_documents() == 0
+    assert store.retrieve_by_embedding(np.ones(64), top_k=5) == []
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    store = _mk_store()
+    docs = _corpus(rng, 30, 64)
+    ids = store.upsert_batch(docs)
+    store.upsert_doc_only("a parent", {"doc_level": "parent"})
+    store.delete_doc(ids[5])
+    store.save(str(tmp_path / "idx"))
+
+    loaded = TpuVectorStore.load(str(tmp_path / "idx"))
+    assert loaded.count_documents() == store.count_documents()
+    assert loaded.get_doc(ids[3]).content == docs[3][0]
+    q = np.asarray(docs[7][2])
+    a = [d.doc_id for d, _ in store.retrieve_by_embedding(q, top_k=5)]
+    b = [d.doc_id for d, _ in loaded.retrieve_by_embedding(q, top_k=5)]
+    assert a == b
+    # deleted doc stays deleted after reload
+    assert loaded.get_doc(ids[5]) is None
+
+
+def test_factory():
+    from radiant_rag_tpu.config import AppConfig
+    from radiant_rag_tpu.index.factory import create_vector_store, validate_backend_config
+
+    cfg = AppConfig()
+    store = create_vector_store(cfg)
+    assert store.ping()
+    assert validate_backend_config(cfg)["valid"]
