@@ -85,11 +85,12 @@ class BaseVectorStore(abc.ABC):
         ef_runtime: Optional[int] = None,
         language_filter: Optional[str] = None,
         doc_level_filter: Optional[str] = None,
+        quantized: Optional[bool] = None,
     ) -> List[Tuple[StoredDoc, float]]:
         """Single-query retrieval (reference `storage/base.py:40` surface)."""
         return self.retrieve_by_embedding_batch(
             np.asarray(embedding)[None, :], top_k, min_similarity, ef_runtime,
-            language_filter, doc_level_filter,
+            language_filter, doc_level_filter, quantized=quantized,
         )[0]
 
     def retrieve_by_embedding_quantized(

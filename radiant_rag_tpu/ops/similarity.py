@@ -151,15 +151,17 @@ def two_stage_topk(
     single device program: candidates never round-trip to the host.
     """
     if stage1 == "hamming":
-        _, cand = hamming_scan_topk(binary_codes, qbinary, mask, k_candidates)
+        s1, cand = hamming_scan_topk(binary_codes, qbinary, mask, k_candidates)
     elif stage1 == "int8":
-        _, cand = int8_scan_topk(int8_codes, queries, int8_scale, int8_offset, mask, k_candidates)
+        s1, cand = int8_scan_topk(int8_codes, queries, int8_scale, int8_offset, mask, k_candidates)
     else:
         raise ValueError(f"unknown stage1: {stage1}")
 
-    # Gather candidate vectors and rescore in full precision.
+    # Gather candidate vectors and rescore in full precision. Candidates that
+    # were masked out in stage 1 (-inf) must stay invalid after rescoring.
     cand_vecs = jnp.take(corpus, cand, axis=0).astype(jnp.float32)  # (B, kc, D)
     rescored = jnp.einsum("bd,bkd->bk", queries, cand_vecs)
+    rescored = jnp.where(s1 > NEG_INF / 2, rescored, NEG_INF)
     top_s, local_i = jax.lax.top_k(rescored, k)
     top_idx = jnp.take_along_axis(cand, local_i, axis=1)
     return top_s, top_idx.astype(jnp.int32)

@@ -106,9 +106,9 @@ def test_doc_level_filter(rng):
     store.upsert("leaf one", {"doc_level": "leaf"}, rng.standard_normal(64))
     store.upsert("parent one", {"doc_level": "parent"}, rng.standard_normal(64))
     q = rng.standard_normal(64)
-    leaves = store.retrieve_by_embedding(q, top_k=10, doc_level_filter="leaf")
+    leaves = store.retrieve_by_embedding(q, top_k=10, min_similarity=-1.0, doc_level_filter="leaf")
     assert [d.doc_level for d, _ in leaves] == ["leaf"]
-    parents = store.retrieve_by_embedding(q, top_k=10, doc_level_filter="parent")
+    parents = store.retrieve_by_embedding(q, top_k=10, min_similarity=-1.0, doc_level_filter="parent")
     assert [d.doc_level for d, _ in parents] == ["parent"]
 
 
@@ -117,9 +117,9 @@ def test_language_filter(rng):
     store.upsert("english doc", {"language_code": "en"}, rng.standard_normal(64))
     store.upsert("german doc", {"language_code": "de"}, rng.standard_normal(64))
     q = rng.standard_normal(64)
-    en = store.retrieve_by_embedding(q, top_k=10, language_filter="en")
+    en = store.retrieve_by_embedding(q, top_k=10, min_similarity=-1.0, language_filter="en")
     assert [d.language_code for d, _ in en] == ["en"]
-    none = store.retrieve_by_embedding(q, top_k=10, language_filter="fr")
+    none = store.retrieve_by_embedding(q, top_k=10, min_similarity=-1.0, language_filter="fr")
     assert none == []
 
 
@@ -131,7 +131,7 @@ def test_delete(rng):
     assert not store.delete_doc(ids[0])
     assert store.get_doc(ids[0]) is None
     q = np.asarray(docs[0][2])
-    hits = store.retrieve_by_embedding(q, top_k=20)
+    hits = store.retrieve_by_embedding(q, top_k=20, min_similarity=-1.0)
     assert ids[0] not in [d.doc_id for d, _ in hits]
 
 
