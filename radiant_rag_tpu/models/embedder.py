@@ -1,0 +1,116 @@
+"""Embedder: batched text -> L2-normalized embeddings on device.
+
+Replaces `LocalNLPModels.embed/embed_single` (reference
+`llm/local_models.py:137-249`): same cache-aware batching contract (check the
+LRU per text, compute only misses, merge in order), but the forward pass is a
+jitted flax BERT whose batch/sequence shapes are bucketed so XLA compiles a
+small fixed set of programs.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiant_rag_tpu.config import EmbeddingConfig
+from radiant_rag_tpu.models.bert import BertConfig, BertEncoder, init_params, l2_normalize, mean_pool
+from radiant_rag_tpu.models.tokenizer import load_tokenizer
+from radiant_rag_tpu.utils.cache import EmbeddingCache
+
+logger = logging.getLogger(__name__)
+
+BATCH_BUCKETS = (1, 8, 32, 64, 128, 256)
+
+
+def _batch_bucket(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256
+
+
+class Embedder:
+    """MiniLM-class bi-encoder with mean pooling + L2 normalization."""
+
+    def __init__(
+        self,
+        config: Optional[EmbeddingConfig] = None,
+        cache: Optional[EmbeddingCache] = None,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+    ) -> None:
+        self.config = config or EmbeddingConfig()
+        cfg = self.config
+        self.bert_cfg = BertConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.dim,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            intermediate_size=cfg.hidden_dim,
+            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        )
+        self.model = BertEncoder(self.bert_cfg)
+        self.tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)
+        if params is not None:
+            self.params = params
+        elif cfg.weights_path:
+            from radiant_rag_tpu.models.hf_loading import try_load_bert_params
+
+            loaded = try_load_bert_params(cfg.weights_path, self.bert_cfg)
+            self.params = loaded if loaded is not None else init_params(self.bert_cfg, seed=seed)
+        else:
+            self.params = init_params(self.bert_cfg, seed=seed)
+        self.cache = cache if cache is not None else EmbeddingCache(cfg.cache_size)
+        self._forward = jax.jit(self._forward_impl)
+
+    @property
+    def embedding_dimension(self) -> int:
+        return self.config.dim
+
+    def _forward_impl(self, params, input_ids, attn, type_ids):
+        hidden = self.model.apply(params, input_ids, attn, type_ids)
+        pooled = mean_pool(hidden, attn)
+        if self.config.normalize:
+            pooled = l2_normalize(pooled)
+        return pooled.astype(jnp.float32)
+
+    def _compute(self, texts: Sequence[str]) -> np.ndarray:
+        """Forward a list of texts (no cache) with batch+seq bucketing."""
+        out = np.zeros((len(texts), self.config.dim), np.float32)
+        bs = self.config.batch_size
+        for start in range(0, len(texts), bs):
+            chunk = list(texts[start : start + bs])
+            ids, attn, types = self.tokenizer.encode_batch(chunk, self.config.max_seq_len)
+            bb = _batch_bucket(len(chunk))
+            if bb > len(chunk):
+                pad = bb - len(chunk)
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                attn = np.pad(attn, ((0, pad), (0, 0)))
+                # padded rows get an all-zero mask; mean_pool guards /0
+                types = np.pad(types, ((0, pad), (0, 0)))
+            emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(types))
+            out[start : start + len(chunk)] = np.asarray(emb)[: len(chunk)]
+        return out
+
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        """Cache-aware batch embedding (reference `local_models.py:137-210`)."""
+        if len(texts) == 0:
+            return np.zeros((0, self.config.dim), np.float32)
+        found, missing = self.cache.get_batch(texts)
+        out = np.zeros((len(texts), self.config.dim), np.float32)
+        for i, e in found.items():
+            out[i] = e
+        if missing:
+            computed = self._compute([texts[i] for i in missing])
+            for j, i in enumerate(missing):
+                out[i] = computed[j]
+                self.cache.put(texts[i], computed[j])
+        return out
+
+    def embed_single(self, text: str) -> np.ndarray:
+        return self.embed([text])[0]

@@ -1,0 +1,120 @@
+"""Contrastive training of the bi-encoder under dp x tp sharding.
+
+The reference has no training at all (it consumes frozen
+sentence-transformers checkpoints, `local_models.py:61-135`). A TPU-native
+retrieval framework owns its embedder, so fine-tuning is first-class: InfoNCE
+with in-batch negatives (the standard sentence-embedding objective), jitted
+over a ('data','model') mesh — batch sharded over 'data' (DP), attention/MLP
+weight matrices sharded over 'model' (TP, Megatron-style pairing: column-split
+qkv/mlp_in, row-split out/mlp_out so each block needs one reduce). GSPMD
+inserts the ICI collectives from the NamedSharding annotations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radiant_rag_tpu.models.bert import BertConfig, BertEncoder, init_params, l2_normalize, mean_pool
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def param_partition_specs(params: Any) -> Any:
+    """PartitionSpec tree for the BERT encoder under 'model'-axis TP.
+
+    Megatron pairing: query/key/value/mlp_in kernels column-split
+    (P(None, 'model')), out/mlp_out kernels row-split (P('model', None));
+    embeddings + LayerNorms replicated.
+    """
+
+    def spec_for(path, leaf) -> P:
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(n) for n in names)
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 2:
+            if any(k in joined for k in ("query/kernel", "key/kernel", "value/kernel", "mlp_in/kernel")):
+                return P(None, "model")
+            if any(k in joined for k in ("out/kernel", "mlp_out/kernel")):
+                return P("model", None)
+            return P(None, None)  # embeddings etc. replicated
+        if ndim == 1:
+            if any(k in joined for k in ("query/bias", "key/bias", "value/bias", "mlp_in/bias")):
+                return P("model")
+            return P(None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def info_nce_loss(model: BertEncoder, params, batch: Dict[str, jax.Array],
+                  temperature: float = 0.05) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Symmetric InfoNCE over in-batch negatives."""
+    zq = l2_normalize(mean_pool(
+        model.apply(params, batch["q_ids"], batch["q_mask"]), batch["q_mask"]))
+    zd = l2_normalize(mean_pool(
+        model.apply(params, batch["d_ids"], batch["d_mask"]), batch["d_mask"]))
+    logits = (zq @ zd.T) / temperature  # (B, B); GSPMD all-gathers zd over dp
+    labels = jnp.arange(logits.shape[0])
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss = 0.5 * (loss_qd + loss_dq)
+    acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def make_train_state(
+    cfg: BertConfig,
+    mesh: Mesh,
+    learning_rate: float = 2e-5,
+    seed: int = 0,
+) -> Tuple[TrainState, BertEncoder, optax.GradientTransformation, Any]:
+    """Init params, place them with TP shardings on the mesh, build optimizer.
+
+    Returns (state, model, optimizer, param_shardings)."""
+    model = BertEncoder(cfg)
+    params = init_params(cfg, seed=seed)
+    specs = param_partition_specs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    params = jax.device_put(params, shardings)
+    tx = optax.adamw(learning_rate)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    return state, model, tx, shardings
+
+
+def contrastive_train_step(
+    model: BertEncoder,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    temperature: float = 0.05,
+):
+    """Build the jitted dp x tp training step for `model` on `mesh`.
+
+    Batch arrays are sharded P('data', None); everything else falls out of the
+    param shardings via GSPMD propagation."""
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: info_nce_loss(model, p, batch, temperature), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    def place_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        return {k: jax.device_put(jnp.asarray(v), batch_sharding) for k, v in batch.items()}
+
+    return step, place_batch

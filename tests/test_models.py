@@ -1,0 +1,117 @@
+"""Model runtime tests: tokenizer, embedder, cross-encoder."""
+
+import numpy as np
+import pytest
+
+from radiant_rag_tpu.config import CrossEncoderConfig, EmbeddingConfig
+from radiant_rag_tpu.models.tokenizer import (
+    HashTokenizer, WordPieceTokenizer, CLS_ID, SEP_ID, PAD_ID, bucket_length,
+)
+from radiant_rag_tpu.models.embedder import Embedder
+from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+
+
+SMALL = EmbeddingConfig(dim=64, num_layers=2, num_heads=4, hidden_dim=128,
+                        vocab_size=1000, max_seq_len=64, batch_size=8)
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return Embedder(SMALL)
+
+
+def test_hash_tokenizer_deterministic():
+    t = HashTokenizer(1000)
+    a = t.tokenize_ids("Hello world, hello!")
+    b = t.tokenize_ids("Hello world, hello!")
+    assert a == b
+    assert len(a) == 5  # hello world , hello ! -> 5 surface tokens
+    assert a[0] == a[3]  # same word same id
+    assert all(0 <= i < 1000 for i in a)
+
+
+def test_encode_batch_shapes():
+    t = HashTokenizer(1000)
+    ids, attn, types = t.encode_batch(["short", "a much longer text with many words here"], max_len=64)
+    assert ids.shape == attn.shape == types.shape
+    assert ids.shape[1] in (16, 32, 64)
+    assert ids[0, 0] == CLS_ID
+    assert (ids[0] == SEP_ID).sum() == 1
+    assert attn[0].sum() < attn[1].sum()
+
+
+def test_encode_pairs_token_types():
+    t = HashTokenizer(1000)
+    ids, attn, types = t.encode_batch(["query text"], max_len=64, pairs=["document body text"])
+    row_types = types[0][attn[0] == 1]
+    assert row_types[0] == 0
+    assert row_types[-1] == 1
+    assert (ids[0] == SEP_ID).sum() == 2
+
+
+def test_wordpiece_greedy():
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+             "un": 4, "##able": 5, "##like": 6, "play": 7, "##ing": 8}
+    t = WordPieceTokenizer(vocab)
+    assert t.tokenize_ids("unable") == [4, 5]
+    assert t.tokenize_ids("playing") == [7, 8]
+    assert t.tokenize_ids("unlike") == [4, 6]
+    assert t.tokenize_ids("xyzzy") == [1]  # unk
+
+
+def test_bucket_length():
+    assert bucket_length(10, 256) == 16
+    assert bucket_length(17, 256) == 32
+    assert bucket_length(300, 256) == 256
+
+
+def test_embedder_shapes_and_norm(embedder):
+    texts = ["alpha beta gamma", "delta", "epsilon zeta eta theta iota"]
+    embs = embedder.embed(texts)
+    assert embs.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-4)
+
+
+def test_embedder_deterministic_and_cached(embedder):
+    e1 = embedder.embed_single("the same text")
+    hits_before = embedder.cache.hits
+    e2 = embedder.embed_single("the same text")
+    np.testing.assert_array_equal(e1, e2)
+    assert embedder.cache.hits == hits_before + 1
+
+
+def test_embedder_batch_matches_single(embedder):
+    texts = ["one two", "three four five"]
+    batch = Embedder(SMALL).embed(texts)
+    single = np.stack([Embedder(SMALL).embed_single(t) for t in texts])
+    np.testing.assert_allclose(batch, single, atol=2e-2)  # bf16 tolerance
+
+
+def test_embedder_similar_texts_closer(embedder):
+    a = embedder.embed_single("the cat sat on the mat")
+    b = embedder.embed_single("the cat sat on the mat today")
+    c = embedder.embed_single("completely different words entirely")
+    assert a @ b > a @ c
+
+
+def test_cross_encoder_scores():
+    ce = CrossEncoder(CrossEncoderConfig(max_seq_len=64, batch_size=4),
+                      bert_cfg=None)
+    # small config for speed
+    from radiant_rag_tpu.models.bert import BertConfig
+    import jax.numpy as jnp
+
+    ce = CrossEncoder(
+        CrossEncoderConfig(max_seq_len=64, batch_size=4),
+        bert_cfg=BertConfig(vocab_size=1000, hidden_size=64, num_layers=2,
+                            num_heads=4, intermediate_size=128, dtype=jnp.float32),
+    )
+    ranked = ce.rerank("query about cats", ["doc one about cats", "doc two about dogs", "third"])
+    assert len(ranked) == 3
+    idxs = [i for i, _ in ranked]
+    assert sorted(idxs) == [0, 1, 2]
+    scores = [s for _, s in ranked]
+    assert scores == sorted(scores, reverse=True)
+    # determinism
+    ranked2 = ce.rerank("query about cats", ["doc one about cats", "doc two about dogs", "third"])
+    assert ranked == ranked2
