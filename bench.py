@@ -1,0 +1,181 @@
+"""Benchmark: hybrid (dense quantized + BM25 + RRF) retrieval QPS per chip.
+
+Measures BASELINE.json config #3/#4 — hybrid dense + BM25 with RRF fusion over
+a synthetic corpus, dense stage running the binary-Hamming two-stage scan with
+fp32 rescore (the default engine path) — against a faithful CPU re-creation of
+the reference's in-process fallback paths:
+
+  dense  : numpy exact cosine scan (reference `redis_store.py:863-952` linear
+           fallback — the only in-process dense path the reference has)
+  bm25   : per-term python loop over posting docs with Counter tf lookups
+           (reference `bm25_index.py:235-262`, modestly improved: Counters
+           instead of list.count)
+  fusion : python-dict RRF (reference `agents/fusion.py:79-102`)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from collections import Counter
+
+import numpy as np
+
+N_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 100_000))
+DIM = 384
+N_QUERY_BATCHES = 12
+BATCH = 32
+TOP_K = 10
+FUSED_K = 15
+BASELINE_QUERIES = 6
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(rng: np.random.Generator, n: int):
+    """Synthetic corpus: clustered embeddings + zipfian token texts."""
+    n_clusters = 256
+    centers = rng.standard_normal((n_clusters, DIM)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    vecs = centers[assign] + 0.7 * rng.standard_normal((n, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    vocab_size = 30_000
+    zipf = rng.zipf(1.3, size=(n, 48)) % vocab_size
+    texts = [" ".join(f"w{t}" for t in row) for row in zipf]
+    return vecs, texts
+
+
+def bench_tpu(vecs, texts, queries_dense, queries_text):
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+
+    n = vecs.shape[0]
+    t0 = time.perf_counter()
+    engine = DeviceVectorIndex(DIM, initial_capacity=n)
+    levels = np.zeros(n, np.int8)
+    langs = np.zeros(n, np.int32)
+    doc_lens = np.asarray([48] * n, np.float32)
+    chunk = 65536
+    for s in range(0, n, chunk):
+        engine.append(vecs[s : s + chunk], levels[s : s + chunk], langs[s : s + chunk], doc_lens[s : s + chunk])
+    bm25 = BM25Index()
+    for row, t in enumerate(texts):
+        bm25.add_document(row, t)
+    bm25._finalize_csr()
+    searcher = HybridSearcher(engine, bm25)
+    build_s = time.perf_counter() - t0
+    log(f"tpu index build: {build_s:.1f}s ({n} docs)")
+
+    def hybrid_batch(qd, qt):
+        res = searcher.search_rows(qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K)
+        return res["fused"]
+
+    # warmup / compile
+    hybrid_batch(queries_dense[:BATCH], queries_text[:BATCH])
+    times = []
+    for b in range(N_QUERY_BATCHES):
+        qd = queries_dense[b * BATCH : (b + 1) * BATCH]
+        qt = queries_text[b * BATCH : (b + 1) * BATCH]
+        t0 = time.perf_counter()
+        fs, frows = hybrid_batch(qd, qt)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    qps = BATCH / med
+    log(f"tpu hybrid: {med*1000:.1f} ms / {BATCH}-query batch -> {qps:.1f} QPS")
+    return qps, build_s, (fs, frows)
+
+
+def bench_cpu_reference(vecs, texts, queries_dense, queries_text):
+    """Reference-equivalent in-process hybrid path."""
+    from radiant_rag_tpu.index.bm25 import tokenize
+
+    doc_tokens = [tokenize(t) for t in texts]
+    counters = [Counter(t) for t in doc_tokens]
+    doc_len = np.asarray([len(t) for t in doc_tokens], np.float64)
+    avgdl = doc_len.mean()
+    n = len(texts)
+    df: Counter = Counter()
+    for c in counters:
+        df.update(c.keys())
+    k1, b = 1.5, 0.75
+
+    def bm25_search(q):
+        scores = np.zeros(n)
+        for term in set(tokenize(q)):
+            d_f = df.get(term)
+            if not d_f:
+                continue
+            idf = math.log((n - d_f + 0.5) / (d_f + 0.5) + 1)
+            for d in range(n):  # reference iterates all docs per term
+                tf = counters[d].get(term, 0)
+                if tf:
+                    scores[d] += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * doc_len[d] / avgdl))
+        top = np.argpartition(-scores, TOP_K)[:TOP_K]
+        return top[np.argsort(-scores[top])]
+
+    def dense_search(qv):
+        s = vecs @ qv
+        top = np.argpartition(-s, TOP_K)[:TOP_K]
+        return top[np.argsort(-s[top])]
+
+    def rrf(runs):
+        agg = {}
+        for run in runs:
+            for rank, doc in enumerate(run, start=1):
+                agg[doc] = agg.get(doc, 0.0) + 1.0 / (60 + rank)
+        return sorted(agg.items(), key=lambda kv: -kv[1])[:FUSED_K]
+
+    times = []
+    for i in range(BASELINE_QUERIES):
+        t0 = time.perf_counter()
+        d = dense_search(queries_dense[i])
+        s = bm25_search(queries_text[i])
+        rrf([d.tolist(), s.tolist()])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    log(f"cpu reference hybrid: {med*1000:.1f} ms/query -> {1/med:.2f} QPS")
+    return 1.0 / med
+
+
+def main():
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(42)
+    log(f"building corpus ({N_DOCS} docs)...")
+    vecs, texts = make_corpus(rng, N_DOCS)
+    nq = N_QUERY_BATCHES * BATCH
+    qidx = rng.integers(0, N_DOCS, nq)
+    queries_dense = vecs[qidx] + 0.25 * rng.standard_normal((nq, DIM)).astype(np.float32)
+    queries_dense /= np.linalg.norm(queries_dense, axis=1, keepdims=True)
+    queries_text = [" ".join(texts[i].split()[:6]) for i in qidx]
+
+    tpu_qps, build_s, _ = bench_tpu(vecs, texts, queries_dense, queries_text)
+    cpu_qps = bench_cpu_reference(vecs, texts, queries_dense, queries_text)
+
+    result = {
+        "metric": f"hybrid_dense+bm25+rrf_qps_per_chip_{N_DOCS//1000}k_docs",
+        "value": round(tpu_qps, 2),
+        "unit": "QPS",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "extra": {
+            "cpu_reference_qps": round(cpu_qps, 3),
+            "index_build_s": round(build_s, 1),
+            "batch_size": BATCH,
+            "top_k": TOP_K,
+            "dense_mode": "binary_hamming+fp32_rescore",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,8 @@ class BM25Config:
     auto_save_threshold: int = 100
     max_query_terms: int = 32
     max_postings_per_query: int = 1 << 18
+    # impact-sketch stage-1 (hashed BM25-as-matmul); 0 disables
+    sketch_dim: int = 1024
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radiant_rag_tpu.index.doc import StoredDoc
-from radiant_rag_tpu.ops.bm25 import bm25_score_topk
+from radiant_rag_tpu.ops.bm25 import PAGE_SIZE, bm25_pages_score_topk
 
 logger = logging.getLogger(__name__)
 
@@ -82,11 +82,13 @@ class BM25Index:
     """In-memory inverted index over device rows."""
 
     def __init__(self, k1: float = 1.5, b: float = 0.75,
-                 max_query_terms: int = 32, max_postings: int = 1 << 18) -> None:
+                 max_query_terms: int = 32, max_postings: int = 1 << 18,
+                 sketch_dim: int = 1024) -> None:
         self.k1 = k1
         self.b = b
         self.max_query_terms = max_query_terms
         self.max_postings = max_postings
+        self.sketch_dim = sketch_dim
         self.vocab: Dict[str, int] = {}
         self.postings: List[_Postings] = []
         self.df: List[int] = []
@@ -97,6 +99,18 @@ class BM25Index:
         self._dl_dev: Optional[jnp.ndarray] = None
         self._dl_size = 0
         self._dl_dirty = True
+        # device-resident CSR postings (built lazily, invalidated on mutation)
+        self._csr_dirty = True
+        self._dev_post_rows: Optional[jnp.ndarray] = None
+        self._dev_post_tf: Optional[jnp.ndarray] = None
+        self._term_start: Optional[np.ndarray] = None  # host (T+1,)
+        self._term_idf: Optional[np.ndarray] = None  # host (T,)
+        # impact sketch (stage-1 BM25-as-matmul)
+        self._sketch: Optional[jnp.ndarray] = None  # (num_docs, S) int8
+        self._sketch_scale: Optional[jnp.ndarray] = None
+        self._sketch_rows = 0
+        self._sketch_dirty = True
+        self._term_bin: Dict[int, int] = {}  # tid -> hash bin (cached)
 
     # -- build -------------------------------------------------------------
     @property
@@ -128,6 +142,8 @@ class BM25Index:
         self.total_len += len(tokens)
         self.removed.discard(row)
         self._dl_dirty = True
+        self._csr_dirty = True
+        self._sketch_dirty = True
 
     def remove_document(self, row: int) -> bool:
         """Lazy removal: mark row dead; postings are purged on rebuild
@@ -140,6 +156,8 @@ class BM25Index:
         self.doc_tokens.pop(row, None)
         self.removed.add(row)
         self._dl_dirty = True
+        self._csr_dirty = True
+        self._sketch_dirty = True
         if self.num_docs and len(self.removed) > 0.25 * (self.num_docs + len(self.removed)):
             self.rebuild()
         return True
@@ -174,6 +192,153 @@ class BM25Index:
             self._dl_dirty = False
         return self._dl_dev
 
+    def _finalize_csr(self) -> None:
+        """Build/refresh the device-resident CSR posting arrays.
+
+        Postings of removed rows are dropped here; between finalizations the
+        valid mask hides them at scoring time."""
+        if not self._csr_dirty and self._dev_post_rows is not None:
+            return
+        t = len(self.vocab)
+        starts = np.zeros((t + 1,), np.int64)
+        arrays = []
+        for tid in range(t):
+            pr, pt = self.postings[tid].arrays()
+            if self.removed:
+                keep = ~np.isin(pr, np.fromiter(self.removed, np.int64))
+                pr, pt = pr[keep], pt[keep]
+            arrays.append((pr, pt))
+            starts[tid + 1] = starts[tid] + len(pr)
+        total = int(starts[-1])
+        size = _next_pow2(max(total, 1), floor=PAGE_SIZE)
+        rows = np.zeros((size,), np.int32)
+        tfs = np.zeros((size,), np.float32)
+        for tid, (pr, pt) in enumerate(arrays):
+            rows[starts[tid] : starts[tid + 1]] = pr
+            tfs[starts[tid] : starts[tid + 1]] = pt
+        self._term_start = starts
+        self._term_idf = np.asarray([self._idf(tid) for tid in range(t)], np.float32)
+        self._host_post_rows = rows  # kept for sketch/impact builds
+        self._host_post_tf = tfs
+        self._dev_post_rows = jnp.asarray(rows)
+        self._dev_post_tf = jnp.asarray(tfs)
+        self._csr_dirty = False
+
+    def _bin_of(self, tid: int, term: str) -> int:
+        b = self._term_bin.get(tid)
+        if b is None:
+            from radiant_rag_tpu.utils.hashing import stable_hash32
+
+            b = stable_hash32(term) % self.sketch_dim
+            self._term_bin[tid] = b
+        return b
+
+    def ensure_sketch(self, num_docs: int) -> None:
+        """Build/refresh the (num_docs, S) int8 impact sketch on device.
+
+        Each posting's exact BM25 contribution is precomputed on host (it only
+        depends on tf, dl, df, avgdl — all known at finalize) and scattered
+        into hashed term bins in one device program (`ops/bm25.py:
+        build_impact_sketch`). Stage-1 BM25 then becomes an int8 MXU matmul.
+        """
+        if self.sketch_dim <= 0:
+            return
+        if not self._sketch_dirty and self._sketch_rows >= num_docs:
+            return
+        from radiant_rag_tpu.ops.bm25 import build_impact_sketch
+
+        self._finalize_csr()
+        rows_parts: List[np.ndarray] = []
+        w_parts: List[np.ndarray] = []
+        bin_parts: List[np.ndarray] = []
+        avgdl = max(self.avgdl, 1e-6)
+        dl_arr = np.zeros((num_docs,), np.float32)
+        for row, ln in self.doc_lens.items():
+            if row < num_docs:
+                dl_arr[row] = ln
+        inv_vocab = {tid: term for term, tid in self.vocab.items()}
+        for tid in range(len(self.vocab)):
+            s, e = int(self._term_start[tid]), int(self._term_start[tid + 1])
+            if e == s:
+                continue
+            pr = np.asarray(self._host_post_rows[s:e])
+            pt = np.asarray(self._host_post_tf[s:e])
+            dl = dl_arr[np.minimum(pr, num_docs - 1)]
+            denom = pt + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+            w = self._term_idf[tid] * pt * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
+            rows_parts.append(pr)
+            w_parts.append(w.astype(np.float32))
+            bin_parts.append(np.full(e - s, self._bin_of(tid, inv_vocab[tid]), np.int32))
+        if rows_parts:
+            rows = np.concatenate(rows_parts)
+            ws = np.concatenate(w_parts)
+            bins = np.concatenate(bin_parts)
+        else:
+            rows = np.zeros((1,), np.int32)
+            ws = np.zeros((1,), np.float32)
+            bins = np.zeros((1,), np.int32)
+        pad = _next_pow2(len(rows), floor=256)
+        rows = np.pad(rows, (0, pad - len(rows)))
+        ws = np.pad(ws, (0, pad - len(ws)))
+        bins = np.pad(bins, (0, pad - len(bins)))
+        self._sketch, self._sketch_scale = build_impact_sketch(
+            jnp.asarray(rows.astype(np.int32)), jnp.asarray(ws), jnp.asarray(bins),
+            num_docs, self.sketch_dim,
+        )
+        self._sketch_rows = num_docs
+        self._sketch_dirty = False
+
+    def make_query_indicator(self, queries: Sequence[str]) -> np.ndarray:
+        """(B, S) int8 indicator over each query's unique terms' bins."""
+        out = np.zeros((len(queries), self.sketch_dim), np.int8)
+        for qi, q in enumerate(queries):
+            terms = tokenize(q)[: self.max_query_terms]
+            for term in dict.fromkeys(terms):
+                tid = self.vocab.get(term)
+                if tid is not None:
+                    out[qi, self._bin_of(tid, term)] += 1
+        return out
+
+    def make_pages(self, queries: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Build the per-batch page table (host; KBs).
+
+        Each page covers PAGE_SIZE consecutive postings of one (query, term).
+        The per-query posting budget favors rare (high-idf) terms first."""
+        starts_l: List[int] = []
+        lens_l: List[int] = []
+        qidx_l: List[int] = []
+        idf_l: List[float] = []
+        for qi, q in enumerate(queries):
+            terms = tokenize(q)[: self.max_query_terms]
+            tids = [self.vocab[t] for t in dict.fromkeys(terms) if t in self.vocab]
+            tids.sort(key=lambda tid: self._term_start[tid + 1] - self._term_start[tid])
+            budget = self.max_postings
+            for tid in tids:
+                if budget <= 0:
+                    break
+                s = int(self._term_start[tid])
+                ln = int(self._term_start[tid + 1]) - s
+                ln = min(ln, budget)
+                budget -= ln
+                idf = float(self._term_idf[tid])
+                for off in range(0, ln, PAGE_SIZE):
+                    starts_l.append(s + off)
+                    lens_l.append(min(PAGE_SIZE, ln - off))
+                    qidx_l.append(qi)
+                    idf_l.append(idf)
+        n_pages = max(len(starts_l), 1)
+        bucket = _next_pow2(n_pages, floor=16)
+        start = np.zeros((bucket,), np.int32)
+        plen = np.zeros((bucket,), np.int32)  # zero-length pages are inert
+        qidx = np.zeros((bucket,), np.int32)
+        idf = np.zeros((bucket,), np.float32)
+        if starts_l:
+            start[: len(starts_l)] = starts_l
+            plen[: len(lens_l)] = lens_l
+            qidx[: len(qidx_l)] = qidx_l
+            idf[: len(idf_l)] = idf_l
+        return {"start": start, "len": plen, "qidx": qidx, "idf": idf}
+
     def search_rows(
         self,
         query: str,
@@ -205,58 +370,19 @@ class BM25Index:
         n_rows = self._dl_size  # pow2 >= everything above
         dl = self._dl_dev
 
-        gathered: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        max_p = 1
-        for q in queries:
-            terms = tokenize(q)[: self.max_query_terms]
-            tids = [self.vocab[t] for t in dict.fromkeys(terms) if t in self.vocab]
-            # Budget postings toward rare (high-idf) terms first.
-            tids.sort(key=lambda tid: len(self.postings[tid]))
-            rows_l, tfs_l, idfs_l = [], [], []
-            budget = self.max_postings
-            for tid in tids:
-                pr, pt = self.postings[tid].arrays()
-                if len(pr) > budget:
-                    pr, pt = pr[:budget], pt[:budget]
-                if len(pr) == 0:
-                    continue
-                rows_l.append(pr)
-                tfs_l.append(pt)
-                idfs_l.append(np.full(len(pr), self._idf(tid), np.float32))
-                budget -= len(pr)
-                if budget <= 0:
-                    break
-            if rows_l:
-                rows = np.concatenate(rows_l)
-                tfs = np.concatenate(tfs_l)
-                idfs = np.concatenate(idfs_l)
-                if self.removed:
-                    keep = ~np.isin(rows, np.fromiter(self.removed, np.int32))
-                    rows, tfs, idfs = rows[keep], tfs[keep], idfs[keep]
-            else:
-                rows = np.zeros((0,), np.int32)
-                tfs = np.zeros((0,), np.float32)
-                idfs = np.zeros((0,), np.float32)
-            gathered.append((rows, tfs, idfs))
-            max_p = max(max_p, len(rows))
-
-        pbucket = _next_pow2(max_p)
-        rows_b = np.full((bq, pbucket), -1, np.int32)
-        tfs_b = np.zeros((bq, pbucket), np.float32)
-        idfs_b = np.zeros((bq, pbucket), np.float32)
-        for i, (rows, tfs, idfs) in enumerate(gathered):
-            rows_b[i, : len(rows)] = rows
-            tfs_b[i, : len(tfs)] = tfs
-            idfs_b[i, : len(idfs)] = idfs
+        self._finalize_csr()
+        pages = self.make_pages(queries)
 
         mask = valid_mask
         if mask is not None and int(mask.shape[0]) < n_rows:
             mask = jnp.concatenate([mask, jnp.zeros((n_rows - int(mask.shape[0]),), bool)])
 
-        top_s, top_i = bm25_score_topk(
-            jnp.asarray(rows_b), jnp.asarray(tfs_b), jnp.asarray(idfs_b),
+        top_s, top_i = bm25_pages_score_topk(
+            self._dev_post_rows, self._dev_post_tf,
+            jnp.asarray(pages["start"]), jnp.asarray(pages["len"]),
+            jnp.asarray(pages["qidx"]), jnp.asarray(pages["idf"]),
             dl, jnp.asarray(self.avgdl, jnp.float32), mask,
-            min(top_k, n_rows), n_rows, self.k1, self.b,
+            bq, n_rows, min(top_k, n_rows), self.k1, self.b,
         )
         scores = np.asarray(top_s)
         rows_out = np.asarray(top_i).astype(np.int64)

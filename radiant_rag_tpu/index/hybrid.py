@@ -1,0 +1,193 @@
+"""Fused hybrid retrieval: dense scan + BM25 + RRF in ONE device program.
+
+The reference runs dense and BM25 retrieval in two host threads
+(ThreadPoolExecutor(2), `orchestrator.py:994-1028`) against external services,
+then fuses in python (`agents/fusion.py`). Here the whole hybrid query — the
+quantized dense scan with fp32 rescore, the CSR BM25 page scoring, RRF fusion
+and all three top-ks — is a single jit program: one host->device transfer
+(queries + BM25 page table, KBs) and one device->host fetch (packed results).
+"Parallel retrieval" is free: XLA schedules both scans in one program.
+
+Result packing: all six result blocks (dense/bm25/fused scores+rows) return
+as one f32 array; row indices are exact in f32 up to 2^24 rows/chip (16.7M —
+above that, split the fetch or shard the corpus; the sharded path in
+parallel/sharded_index.py is the intended regime long before then).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radiant_rag_tpu.index.bm25 import BM25Index
+from radiant_rag_tpu.index.engine import DeviceVectorIndex
+from radiant_rag_tpu.ops import quantize as qz
+from radiant_rag_tpu.ops import similarity as sim
+from radiant_rag_tpu.ops.bm25 import bm25_pages_scores, bm25_sketch_scores
+from radiant_rag_tpu.ops.fusion import rrf_fuse
+
+
+def _dense_stage(vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid,
+                 dense_k, kc, mode):
+    if mode == "exact":
+        dense_s, dense_i = sim.exact_topk(vecs, queries, mask, dense_k)
+    elif mode == "binary":
+        qbin = qz.pack_binary(queries)
+        dense_s, dense_i = sim.two_stage_topk(
+            vecs, queries, mask, dense_k, kc, "hamming", binary_codes=codes, qbinary=qbin)
+    else:
+        dense_s, dense_i = sim.two_stage_topk(
+            vecs, queries, mask, dense_k, kc, "int8",
+            int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset)
+    dense_i = jnp.where(dense_s > sim.NEG_INF / 2, dense_i, -1)
+    dense_i = jnp.where(qvalid[:, None], dense_i, -1)
+    return dense_s, dense_i
+
+
+def _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i):
+    return jnp.concatenate([
+        dense_s, dense_i.astype(jnp.float32),
+        bm_s, bm_i.astype(jnp.float32),
+        fused_s, fused_i.astype(jnp.float32),
+    ], axis=1)
+
+
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode"))
+def _hybrid_program_sketch(
+    vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+    sketch, sketch_scale, qind,
+    queries, qvalid, level_code, lang_code,
+    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
+):
+    """Hybrid program with impact-sketch BM25: both scans are MXU matmuls."""
+    mask = valid
+    mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
+    mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
+
+    dense_s, dense_i = _dense_stage(
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc, mode)
+
+    bm_scores = bm25_sketch_scores(sketch, sketch_scale, qind, mask)
+    bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
+    bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
+    bm_i = jnp.where(qvalid[:, None], bm_i, -1)
+
+    fused_s, fused_i = rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
+    return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
+
+
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs"))
+def _hybrid_program(
+    vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+    post_rows, post_tf, page_start, page_len, page_qidx, page_idf, doc_lens, avgdl,
+    queries, qvalid, level_code, lang_code,
+    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
+    bq: int, num_docs: int, k1: float, b: float,
+):
+    mask = valid
+    mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
+    mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
+
+    dense_s, dense_i = _dense_stage(
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc, mode)
+
+    # exact sparse stage (shares the same mask/row space)
+    bm_scores = bm25_pages_scores(
+        post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
+        doc_lens, avgdl, mask, bq, num_docs, k1, b)
+    bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
+    bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
+    bm_i = jnp.where(qvalid[:, None], bm_i, -1)
+
+    fused_s, fused_i = rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
+    return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
+
+
+class HybridSearcher:
+    """Batched hybrid retrieval over one store's row space."""
+
+    def __init__(self, engine: DeviceVectorIndex, bm25: BM25Index) -> None:
+        self.engine = engine
+        self.bm25 = bm25
+
+    def search_rows(
+        self,
+        queries_dense: np.ndarray,  # (B, D) L2-normalized
+        queries_text: Sequence[str],
+        dense_k: int = 10,
+        bm25_k: int = 10,
+        fused_k: int = 15,
+        rrf_k: int = 60,
+        mode: str = "binary",
+        rescore_multiplier: float = 4.0,
+        level_code: int = -1,
+        lang_code: int = -1,
+        bm25_mode: str = "sketch",  # sketch (MXU stage-1) | pages (exact)
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
+        eng = self.engine
+        b = queries_dense.shape[0]
+        if eng.count == 0:
+            empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
+            return {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
+
+        if self.bm25.sketch_dim <= 0:
+            bm25_mode = "pages"
+        self.bm25._finalize_csr()
+        num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
+
+        qdev, qvalid, _ = eng._bucket_queries(np.asarray(queries_dense, np.float32))
+        dk = min(dense_k, eng.capacity)
+        bk = min(bm25_k, num_docs)
+        fk = min(fused_k, dk + bk)
+        kc = min(max(dk, int(round(dk * rescore_multiplier))), eng.capacity)
+        bq = int(qdev.shape[0])
+        common = (
+            eng.vecs, eng.codes, eng.i8, *qz.int8_scale_offset(eng.i8_lo, eng.i8_hi),
+            eng.valid, eng.level, eng.lang,
+        )
+        codes_args = (
+            qdev, qvalid,
+            jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
+        )
+
+        if bm25_mode == "sketch":
+            self.bm25.ensure_sketch(num_docs)
+            qind = self.bm25.make_query_indicator(queries_text)
+            if qind.shape[0] < bq:
+                qind = np.pad(qind, ((0, bq - qind.shape[0]), (0, 0)))
+            packed = _hybrid_program_sketch(
+                *common,
+                self.bm25._sketch, self.bm25._sketch_scale, jnp.asarray(qind),
+                *codes_args,
+                dk, bk, fk, rrf_k, kc, mode,
+            )
+        else:
+            self.bm25._device_doc_lens(num_docs)
+            assert self.bm25._dl_size == num_docs, (self.bm25._dl_size, num_docs)
+            dl = self.bm25._dl_dev
+            pages = self.bm25.make_pages(queries_text)
+            packed = _hybrid_program(
+                *common,
+                self.bm25._dev_post_rows, self.bm25._dev_post_tf,
+                jnp.asarray(pages["start"]), jnp.asarray(pages["len"]),
+                jnp.asarray(pages["qidx"]), jnp.asarray(pages["idf"]),
+                dl, jnp.asarray(self.bm25.avgdl, jnp.float32),
+                *codes_args,
+                dk, bk, fk, rrf_k, kc, mode, bq, num_docs,
+                self.bm25.k1, self.bm25.b,
+            )
+        packed = np.asarray(packed)[:b]  # ONE device->host fetch
+
+        out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        off = 0
+        for name, k in (("dense", dk), ("bm25", bk), ("fused", fk)):
+            scores = packed[:, off : off + k]
+            rows = packed[:, off + k : off + 2 * k].astype(np.int64)
+            out[name] = (scores.copy(), rows)
+            off += 2 * k
+        return out

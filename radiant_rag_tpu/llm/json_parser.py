@@ -1,0 +1,101 @@
+"""Robust parsing of JSON out of LLM text.
+
+Capability parity with reference `llm/client.py:59-244` (JSONParser):
+markdown-fence and bare-object extraction, trailing-comma/comment cleanup,
+truncation repair by closing open brackets, and type validation.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from typing import Any, Optional, Type
+
+logger = logging.getLogger(__name__)
+
+_FENCE_RE = re.compile(r"```(?:json)?\s*(.*?)```", re.S)
+_LINE_COMMENT_RE = re.compile(r"^\s*//.*$", re.M)
+_TRAILING_COMMA_RE = re.compile(r",(\s*[}\]])")
+
+
+class JSONParser:
+    """Extract and repair JSON from messy LLM output."""
+
+    @staticmethod
+    def extract_candidate(text: str) -> Optional[str]:
+        """Find the most likely JSON payload: fenced block, else first
+        balanced-looking {...} or [...] region."""
+        m = _FENCE_RE.search(text)
+        if m:
+            return m.group(1).strip()
+        for open_ch, close_ch in (("{", "}"), ("[", "]")):
+            start = text.find(open_ch)
+            if start < 0:
+                continue
+            end = text.rfind(close_ch)
+            if end > start:
+                return text[start : end + 1]
+            return text[start:]  # truncated — repair later
+        return None
+
+    @staticmethod
+    def clean(text: str) -> str:
+        """Remove // comments and trailing commas."""
+        text = _LINE_COMMENT_RE.sub("", text)
+        text = _TRAILING_COMMA_RE.sub(r"\1", text)
+        return text.strip()
+
+    @staticmethod
+    def repair_truncation(text: str) -> str:
+        """Close unbalanced brackets/strings from a truncated response
+        (reference `client.py:127-187` bracket-stack closing)."""
+        stack = []
+        in_string = False
+        escape = False
+        for ch in text:
+            if escape:
+                escape = False
+                continue
+            if ch == "\\" and in_string:
+                escape = True
+                continue
+            if ch == '"':
+                in_string = not in_string
+                continue
+            if in_string:
+                continue
+            if ch in "{[":
+                stack.append(ch)
+            elif ch in "}]":
+                if stack:
+                    stack.pop()
+        out = text
+        if in_string:
+            out += '"'
+        # drop a dangling comma/colon before closing
+        stripped = out.rstrip()
+        if stripped.endswith((",", ":")):
+            out = stripped[:-1]
+        for open_ch in reversed(stack):
+            out += "}" if open_ch == "{" else "]"
+        return out
+
+    @classmethod
+    def parse(cls, text: str, expect: Optional[Type] = None) -> Optional[Any]:
+        """Best-effort parse; returns None on failure. `expect` (dict/list)
+        validates the top-level type."""
+        if not text:
+            return None
+        candidate = cls.extract_candidate(text)
+        if candidate is None:
+            return None
+        for attempt in (candidate, cls.clean(candidate), cls.repair_truncation(cls.clean(candidate))):
+            try:
+                value = json.loads(attempt)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if expect is not None and not isinstance(value, expect):
+                continue
+            return value
+        return None

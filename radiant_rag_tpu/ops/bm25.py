@@ -1,12 +1,22 @@
-"""Device BM25 scoring: term-at-a-time scatter-add over gathered postings.
+"""Device BM25 scoring over a device-resident CSR impact index.
 
 Replaces the reference's hottest CPU loop — `BM25Index.search` iterating every
 document per query term with `tokens.count(term)`, O(terms x docs x doclen)
-(`storage/bm25_index.py:218-270`) — with an impact-style design: the host
-gathers the query terms' posting lists from a CSR inverted index (numpy
-slicing, O(total postings)), and the device computes all BM25 contributions
-vectorized and scatter-adds them into a dense per-doc score array, then
-top-ks. Document lengths live on device; IDF rides along with each posting.
+(`storage/bm25_index.py:218-270`).
+
+Two kernels:
+
+  bm25_pages_score_topk  (primary) — postings live ON DEVICE as concatenated
+      CSR arrays (rows, tf, sorted by term). A query batch ships only a tiny
+      page table: each page is (posting_start, valid_len, query_idx, idf)
+      covering PAGE_SIZE consecutive postings of one query term. The kernel
+      gathers pages, computes all BM25 contributions vectorized, scatter-adds
+      them into per-query dense score rows, and top-ks — one device program,
+      KBs of host->device traffic per batch instead of the posting lists
+      themselves.
+
+  bm25_score_topk  (simple) — host-gathered padded postings; kept for small
+      indexes and as a reference implementation for tests.
 
 BM25 semantics match the reference exactly (SURVEY.md §7.4.6):
   idf(t)    = ln((n - df + 0.5)/(df + 0.5) + 1)            (`bm25_index.py:134`)
@@ -55,3 +65,130 @@ def bm25_score_topk(
     top_s, top_i = jax.lax.top_k(scores, k)
     top_i = jnp.where(top_s > 0.0, top_i, -1)
     return top_s, top_i.astype(jnp.int32)
+
+
+PAGE_SIZE = 2048
+
+
+def bm25_pages_scores(
+    post_rows: jax.Array,  # (Ptot,) int32 device-resident posting doc rows
+    post_tf: jax.Array,  # (Ptot,) f32 term frequencies
+    page_start: jax.Array,  # (Pg,) int32 posting offset of each page
+    page_len: jax.Array,  # (Pg,) int32 valid postings in page (0 = dead page)
+    page_qidx: jax.Array,  # (Pg,) int32 which query the page belongs to
+    page_idf: jax.Array,  # (Pg,) f32 idf of the page's term
+    doc_lens: jax.Array,  # (N,) f32
+    avgdl: jax.Array,  # () f32
+    mask: jax.Array,  # (N,) bool or None
+    b_queries: int,
+    num_docs: int,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> jax.Array:
+    """Dense (B, N) BM25 scores from device CSR postings + a host page table."""
+    pg = page_start.shape[0]
+    ptot = post_rows.shape[0]
+    offs = jax.lax.broadcasted_iota(jnp.int32, (pg, PAGE_SIZE), 1)
+    idx = jnp.minimum(page_start[:, None] + offs, ptot - 1)
+    valid = offs < page_len[:, None]
+    rows = jnp.take(post_rows, idx)  # (Pg, PAGE)
+    tfs = jnp.take(post_tf, idx)
+    dl = jnp.take(doc_lens, jnp.minimum(rows, num_docs - 1))
+    denom = tfs + k1 * (1.0 - b + b * dl / jnp.maximum(avgdl, 1e-6))
+    contrib = page_idf[:, None] * tfs * (k1 + 1.0) / jnp.maximum(denom, 1e-6)
+    contrib = jnp.where(valid, contrib, 0.0)
+    flat_idx = page_qidx[:, None] * num_docs + rows  # (Pg, PAGE)
+    flat_idx = jnp.where(valid, flat_idx, b_queries * num_docs)  # drop bucket
+    scores = jnp.zeros((b_queries * num_docs,), jnp.float32).at[
+        flat_idx.reshape(-1)
+    ].add(contrib.reshape(-1), mode="drop")
+    scores = scores.reshape(b_queries, num_docs)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    else:
+        scores = jnp.where(scores > 0.0, scores, NEG_INF)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("b_queries", "num_docs", "k", "k1", "b"))
+def bm25_pages_score_topk(
+    post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
+    doc_lens, avgdl, mask, b_queries: int, num_docs: int, k: int,
+    k1: float = 1.5, b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array]:
+    """Page-table BM25 + top-k; returns (scores (B,k), rows (B,k), -1 pad)."""
+    scores = bm25_pages_scores(
+        post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
+        doc_lens, avgdl, mask, b_queries, num_docs, k1, b,
+    )
+    top_s, top_i = jax.lax.top_k(scores, k)
+    top_i = jnp.where(top_s > 0.0, top_i, -1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Impact-sketch BM25: stage-1 scoring as an int8 MXU matmul.
+#
+# Every posting's full BM25 contribution w(t,d) = idf_t * tf(k1+1)/(tf +
+# k1(1-b+b*dl/avgdl)) is precomputable at index-finalize time. Hashing terms
+# into S bins gives each doc a dense S-dim "impact sketch"; a query becomes a
+# {0,1} indicator over its unique terms' bins, and
+#       score(q, d) = indicator_q . sketch_d
+# equals exact BM25 up to hash-collision noise (doc fill ~48/2048 bins). The
+# scan is then identical in shape to the dense int8 scan: one int8 x int8
+# matmul on the MXU — no scatter, no per-query posting traffic. Exact scoring
+# (bm25_pages_score_topk) remains for the parity API and for rescoring.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def bm25_sketch_topk(
+    sketch: jax.Array,  # (N, S) int8 quantized impact sketches
+    scale: jax.Array,  # () f32 dequant scale
+    qind: jax.Array,  # (B, S) int8 query bin indicators
+    mask: jax.Array,  # (N,) bool or None
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    raw = jax.lax.dot_general(
+        qind, sketch,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, N)
+    scores = raw.astype(jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    top_s, top_i = jax.lax.top_k(scores, k)
+    top_i = jnp.where(top_s > 0.0, top_i, -1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+def bm25_sketch_scores(sketch, scale, qind, mask):
+    """Dense (B, N) sketch scores (for fusion inside larger programs)."""
+    raw = jax.lax.dot_general(
+        qind, sketch,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = raw.astype(jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("num_docs", "sketch_dim"))
+def build_impact_sketch(
+    post_rows: jax.Array,  # (Ptot,) int32
+    post_w: jax.Array,  # (Ptot,) f32 precomputed impact weights (0 = pad)
+    post_bin: jax.Array,  # (Ptot,) int32 hash bin of the posting's term
+    num_docs: int,
+    sketch_dim: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One-time device build: scatter impacts -> (N, S) int8 + scale."""
+    flat = post_rows * sketch_dim + post_bin
+    flat = jnp.where(post_w > 0.0, flat, num_docs * sketch_dim)  # drop pads
+    dense = jnp.zeros((num_docs * sketch_dim,), jnp.float32).at[flat].add(
+        post_w, mode="drop"
+    ).reshape(num_docs, sketch_dim)
+    scale = jnp.maximum(jnp.max(dense) / 127.0, 1e-6)
+    sketch = jnp.clip(jnp.round(dense / scale), 0, 127).astype(jnp.int8)
+    return sketch, scale

@@ -63,6 +63,9 @@ def exact_topk(
     return top_s, top_i.astype(jnp.int32)
 
 
+HAMMING_CHUNK = 8192
+
+
 @partial(jax.jit, static_argnames=("k",))
 def hamming_scan_topk(
     codes: jax.Array,  # (N, W) uint32 packed sign bits
@@ -72,22 +75,32 @@ def hamming_scan_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """Binary Hamming scan over packed codes.
 
-    Accumulates popcount(codes ^ q) word-by-word (W is small — 12 for 384-dim)
-    so peak memory is O(B*N), not O(B*N*W). Returns scores as
-    (D - 2*hamming)/D — the cosine of the sign vectors — so stage-1 scores are
-    on the same scale as rescored similarities.
+    Processes the corpus in fixed row chunks via `lax.map`: the (B, chunk, W)
+    XOR+popcount body is compiled ONCE and looped, so compile time is flat in
+    N while peak memory stays O(B*chunk*W + B*N). (A word-at-a-time fori over
+    full-N broadcasts compiled catastrophically slowly at 100k+ rows on
+    TPU — 200s+ vs ~1s for this form.) Returns scores as (D - 2*hamming)/D —
+    the cosine of the sign vectors — so stage-1 scores share the rescore
+    scale.
     """
     n, w = codes.shape
     b = qcodes.shape[0]
     dim = w * 32
 
-    def body(i, acc):
-        x = jax.lax.dynamic_index_in_dim(codes, i, axis=1, keepdims=False)  # (N,)
-        q = jax.lax.dynamic_index_in_dim(qcodes, i, axis=1, keepdims=False)  # (B,)
-        diff = jax.lax.population_count(x[None, :] ^ q[:, None])  # (B, N) uint32
-        return acc + diff.astype(jnp.int32)
+    chunk = HAMMING_CHUNK
+    while chunk > n:
+        chunk //= 2
+    chunk = max(chunk, 1)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
 
-    hamming = jax.lax.fori_loop(0, w, body, jnp.zeros((b, n), jnp.int32))
+    def body(c):  # c: (chunk, W)
+        x = jax.lax.population_count(c[None, :, :] ^ qcodes[:, None, :])  # (B, chunk, W)
+        return jnp.sum(x.astype(jnp.int32), axis=-1)  # (B, chunk)
+
+    acc = jax.lax.map(body, codes.reshape(n_pad // chunk, chunk, w))  # (n/chunk, B, chunk)
+    hamming = jnp.moveaxis(acc, 0, 1).reshape(b, n_pad)[:, :n]
     scores = (dim - 2 * hamming).astype(jnp.float32) / dim
     scores = _masked(scores, mask)
     top_s, top_i = jax.lax.top_k(scores, k)

@@ -1,0 +1,105 @@
+"""Fused hybrid retrieval tests: one device program for dense+BM25+RRF."""
+
+import numpy as np
+import pytest
+
+from radiant_rag_tpu.config import IndexConfig
+from radiant_rag_tpu.index.bm25 import BM25Index
+from radiant_rag_tpu.index.engine import DeviceVectorIndex
+from radiant_rag_tpu.index.hybrid import HybridSearcher
+
+TEXT_POOL = [
+    "alpha bravo charlie delta", "bravo charlie echo", "delta echo foxtrot golf",
+    "golf hotel india juliet", "kilo lima mike november", "oscar papa quebec",
+    "romeo sierra tango", "uniform victor whiskey", "xray yankee zulu alpha",
+    "november oscar bravo charlie delta echo",
+]
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.default_rng(7)
+    n, d = 120, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    texts = [TEXT_POOL[i % len(TEXT_POOL)] + f" doc{i}" for i in range(n)]
+    engine = DeviceVectorIndex(d, initial_capacity=256)
+    engine.append(vecs, np.zeros(n, np.int8), np.zeros(n, np.int32),
+                  np.asarray([len(t.split()) for t in texts], np.float32))
+    bm25 = BM25Index(sketch_dim=512)
+    for row, t in enumerate(texts):
+        bm25.add_document(row, t)
+    return vecs, texts, HybridSearcher(engine, bm25)
+
+
+def test_hybrid_shapes(setup):
+    vecs, texts, searcher = setup
+    q = vecs[:3]
+    res = searcher.search_rows(q, ["alpha bravo doc1", "echo foxtrot", "zulu"],
+                               dense_k=5, bm25_k=5, fused_k=8)
+    assert set(res) == {"dense", "bm25", "fused"}
+    for name, k in (("dense", 5), ("bm25", 5), ("fused", 8)):
+        s, r = res[name]
+        assert s.shape == (3, k) and r.shape == (3, k)
+
+
+def test_hybrid_dense_matches_engine(setup):
+    vecs, texts, searcher = setup
+    q = vecs[10:13] + 0.01
+    res = searcher.search_rows(q / np.linalg.norm(q, axis=1, keepdims=True),
+                               ["alpha"] * 3, dense_k=5)
+    s_direct, r_direct = searcher.engine.search(
+        q / np.linalg.norm(q, axis=1, keepdims=True), 5, mode="binary")
+    np.testing.assert_array_equal(res["dense"][1], r_direct)
+
+
+@pytest.mark.parametrize("bm25_mode", ["pages", "sketch"])
+def test_hybrid_bm25_finds_term_matches(setup, bm25_mode):
+    vecs, texts, searcher = setup
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((1, 64)).astype(np.float32)
+    res = searcher.search_rows(q, ["kilo lima mike"], bm25_k=5, bm25_mode=bm25_mode)
+    s, r = res["bm25"]
+    hits = [int(x) for x in r[0] if x >= 0]
+    assert hits, f"no bm25 hits in mode {bm25_mode}"
+    for row in hits:
+        assert any(w in texts[row] for w in ("kilo", "lima", "mike"))
+
+
+def test_sketch_ranking_close_to_exact(setup):
+    vecs, texts, searcher = setup
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    queries = ["alpha bravo charlie", "echo foxtrot golf hotel"]
+    exact = searcher.search_rows(q, queries, bm25_k=8, bm25_mode="pages")["bm25"]
+    sketch = searcher.search_rows(q, queries, bm25_k=8, bm25_mode="sketch")["bm25"]
+    for qi in range(2):
+        e = [x for x in exact[1][qi] if x >= 0]
+        s = [x for x in sketch[1][qi] if x >= 0]
+        # hash-collision noise may reorder but the sets should mostly agree
+        overlap = len(set(e) & set(s)) / max(len(e), 1)
+        assert overlap >= 0.7, (e, s)
+
+
+def test_hybrid_fused_contains_both_signals(setup):
+    vecs, texts, searcher = setup
+    # query dense-similar to row 42, textually matching row 4's words
+    q = vecs[42:43]
+    res = searcher.search_rows(q, ["kilo lima mike november"], dense_k=5, bm25_k=5, fused_k=10)
+    fused_rows = set(int(x) for x in res["fused"][1][0] if x >= 0)
+    assert 42 in fused_rows  # dense signal
+    assert any("kilo" in texts[r] for r in fused_rows)  # sparse signal
+
+
+def test_hybrid_respects_validity(setup):
+    vecs, texts, searcher = setup
+    searcher.engine.invalidate(np.asarray([5]))
+    try:
+        q = vecs[5:6]
+        res = searcher.search_rows(q, [texts[5]], dense_k=10, bm25_k=10, fused_k=10)
+        for name in ("dense", "bm25", "fused"):
+            assert 5 not in set(int(x) for x in res[name][1][0] if x >= 0), name
+    finally:
+        # restore for other tests (module-scoped fixture)
+        import jax.numpy as jnp
+        searcher.engine.valid = searcher.engine.valid.at[5].set(True)
