@@ -1,0 +1,418 @@
+"""RadiantTPU application facade + CLI.
+
+Capability parity with reference `radiant/app.py` (`RadiantRAG`, `app.py:52`):
+ingest_documents (hierarchical parent/child chunking + batched embedding,
+`app.py:365-467`), ingest_urls (web crawl), ingest_github (repo crawl with
+markdown/code-aware chunking, `app.py:805-1059`), query/query_raw/simple_query,
+search (dense/bm25/hybrid), start_conversation, rebuild_bm25_index,
+clear_index, check_health, get_stats, and `create_app()` (`app.py:1350`).
+CLI subcommands mirror `app.py:1376-1526`: ingest/query/search/interactive/
+stats/health/clear/rebuild-bm25.
+
+TPU-first difference: ingest is one on-device pipeline — tokenize (host) ->
+embed (flax encoder) -> normalize + binary/int8 quantize -> append to HBM
+index rows — instead of torch-embed + Redis round trips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import re
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from radiant_rag_tpu.config import AppConfig, load_config
+from radiant_rag_tpu.index.bm25 import PersistentBM25Index
+from radiant_rag_tpu.index.factory import create_vector_store
+from radiant_rag_tpu.ingestion.processor import DocumentProcessor, IngestedChunk, ChunkSplitter
+from radiant_rag_tpu.llm.client import LLMClient
+from radiant_rag_tpu.orchestrator import PipelineResult, RAGOrchestrator, SimplifiedOrchestrator
+from radiant_rag_tpu.utils.conversation import ConversationManager
+from radiant_rag_tpu.utils.logging import setup_logging
+from radiant_rag_tpu.utils.metrics import MetricsCollector
+
+logger = logging.getLogger(__name__)
+
+
+class RadiantTPU:
+    """The application facade."""
+
+    def __init__(self, config: Optional[AppConfig] = None,
+                 llm: Optional[LLMClient] = None,
+                 local_models=None, store=None) -> None:
+        self.config = config or load_config()
+        from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.store = store if store is not None else create_vector_store(self.config)
+        self.llm = llm or LLMClient(self.config.llm)
+        if local_models is None:
+            from radiant_rag_tpu.models.registry import LocalNLPModels
+
+            local_models = LocalNLPModels(self.config)
+        self.local_models = local_models
+        self.bm25_index = PersistentBM25Index(
+            self.store, path=self.config.bm25.index_path,
+            k1=self.config.bm25.k1, b=self.config.bm25.b,
+            auto_save_threshold=self.config.bm25.auto_save_threshold,
+            max_query_terms=self.config.bm25.max_query_terms,
+            max_postings=self.config.bm25.max_postings_per_query,
+            sketch_dim=self.config.bm25.sketch_dim,
+        )
+        self.conversations = ConversationManager(
+            max_turns=self.config.conversation.max_turns,
+            data_dir=self.config.conversation.data_dir,
+            ttl_s=self.config.conversation.ttl_s,
+        ) if self.config.conversation.enabled else None
+        self.metrics_collector = MetricsCollector()
+        self.processor = DocumentProcessor(
+            chunk_size=self.config.ingestion.max_parent_chars // 10,
+            overlap=self.config.ingestion.chunk_overlap,
+        )
+        self.orchestrator = RAGOrchestrator(
+            self.config, self.store, self.bm25_index, self.local_models, self.llm,
+            conversation_manager=self.conversations,
+            metrics_collector=self.metrics_collector,
+        )
+        self._simple = SimplifiedOrchestrator(self.store, self.local_models, self.llm)
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+    def ingest_documents(self, paths: Sequence[str], recursive: bool = True) -> Dict[str, Any]:
+        """Parse -> hierarchical chunks -> embed (device) -> upsert -> BM25 sync
+        (reference `app.py:247-467`)."""
+        t0 = time.time()
+        chunks = self.processor.process_paths(paths, recursive=recursive)
+        return self._ingest_chunks(chunks, t0)
+
+    def ingest_chunks(self, chunks: Sequence[IngestedChunk]) -> Dict[str, Any]:
+        return self._ingest_chunks(list(chunks), time.time())
+
+    def _ingest_chunks(self, chunks: List[IngestedChunk], t0: float) -> Dict[str, Any]:
+        cfg = self.config.ingestion
+        parents = 0
+        children: List[Tuple[str, Dict[str, Any]]] = []
+        if cfg.hierarchical:
+            splitter = ChunkSplitter(cfg.child_chunk_size, cfg.chunk_overlap)
+            parent_docs: List[Tuple[str, Dict[str, Any]]] = []
+            for chunk in chunks:
+                pmeta = {**chunk.meta, "doc_level": "parent"}
+                parent_id = self.store.make_doc_id(chunk.content, pmeta)
+                parent_docs.append((chunk.content, pmeta))
+                for j, piece in enumerate(splitter.split(chunk.content)):
+                    children.append((piece, {**chunk.meta, "doc_level": "leaf",
+                                             "parent_id": parent_id,
+                                             "chunk_index": j}))
+            self.store.upsert_doc_only_batch(parent_docs)
+            parents = len(parent_docs)
+        else:
+            children = [(c.content, {**c.meta, "doc_level": "leaf"}) for c in chunks]
+
+        # batched embed on device + upsert (quantized side-cars always written)
+        n = 0
+        bs = max(cfg.upsert_batch_size, 1)
+        for start in range(0, len(children), bs):
+            batch = children[start : start + bs]
+            embeddings = self.local_models.embed([c for c, _m in batch])
+            self.store.upsert_batch([
+                (content, meta, embeddings[i]) for i, (content, meta) in enumerate(batch)
+            ])
+            n += len(batch)
+
+        added, removed = self.bm25_index.sync_with_store()
+        return {
+            "chunks_ingested": n,
+            "parents": parents,
+            "bm25_added": added,
+            "bm25_removed": removed,
+            "duration_s": round(time.time() - t0, 2),
+        }
+
+    def ingest_urls(self, urls: Sequence[str]) -> Dict[str, Any]:
+        """Crawl + ingest (reference `app.py` ingest_urls)."""
+        from radiant_rag_tpu.ingestion.web_crawler import WebCrawler
+
+        wc = self.config.web_crawler
+        crawler = WebCrawler(
+            max_depth=wc.max_depth, max_pages=wc.max_pages,
+            same_domain_only=wc.same_domain_only,
+            rate_limit_delay_s=wc.rate_limit_delay_s, timeout_s=wc.timeout_s,
+            include_patterns=wc.include_patterns, exclude_patterns=wc.exclude_patterns,
+        )
+        chunks: List[IngestedChunk] = []
+        pages = 0
+        for url in urls:
+            for result in crawler.crawl(url):
+                pages += 1
+                for j, piece in enumerate(self.processor.splitter.split(result.text)):
+                    chunks.append(IngestedChunk(
+                        content=piece,
+                        meta={"source": result.url, "title": result.title,
+                              "chunk_index": j}))
+        stats = self._ingest_chunks(chunks, time.time())
+        stats["pages_crawled"] = pages
+        return stats
+
+    def ingest_github(self, url: str) -> Dict[str, Any]:
+        """Crawl a GitHub repo with content-aware chunking
+        (reference `app.py:805-1059`)."""
+        from radiant_rag_tpu.ingestion.github_crawler import GitHubCrawler
+        from radiant_rag_tpu.ingestion.code_chunker import CodeChunker, detect_language
+
+        gh = self.config.github
+        crawler = GitHubCrawler(token=gh.token, max_files=gh.max_files,
+                                include_extensions=gh.include_extensions)
+        files = crawler.crawl(url)
+        code_chunker = CodeChunker()
+        chunks: List[IngestedChunk] = []
+        for f in files:
+            lang = detect_language(f.path)
+            if lang:
+                for c in code_chunker.chunk_text(f.content, lang, source=f.path):
+                    chunks.append(IngestedChunk(content=c.to_indexable_text(),
+                                                meta={"source": f.url, **c.meta()}))
+            elif f.path.lower().endswith((".md", ".markdown")):
+                for j, piece in enumerate(self._chunk_markdown(f.content)):
+                    chunks.append(IngestedChunk(content=piece,
+                                                meta={"source": f.url, "chunk_index": j}))
+            else:
+                for j, piece in enumerate(self.processor.splitter.split(f.content)):
+                    chunks.append(IngestedChunk(content=piece,
+                                                meta={"source": f.url, "chunk_index": j}))
+        stats = self._ingest_chunks(chunks, time.time())
+        stats["files_fetched"] = len(files)
+        return stats
+
+    @staticmethod
+    def _chunk_markdown(text: str, max_chars: int = 3000) -> List[str]:
+        """Header-section + paragraph-merge markdown chunking
+        (reference `app.py:805-1059`)."""
+        sections = re.split(r"(?m)(?=^#{1,6}\s)", text)
+        out: List[str] = []
+        for section in sections:
+            section = section.strip()
+            if not section:
+                continue
+            if len(section) <= max_chars:
+                if out and len(out[-1]) + len(section) < max_chars // 2:
+                    out[-1] += "\n\n" + section
+                else:
+                    out.append(section)
+            else:
+                paras = section.split("\n\n")
+                cur = ""
+                for p in paras:
+                    if len(cur) + len(p) + 2 > max_chars and cur:
+                        out.append(cur)
+                        cur = p
+                    else:
+                        cur = f"{cur}\n\n{p}" if cur else p
+                if cur:
+                    out.append(cur)
+        return out
+
+    # ------------------------------------------------------------------
+    # querying
+    # ------------------------------------------------------------------
+    def query(self, question: str, conversation_id: str = "") -> PipelineResult:
+        history = []
+        if conversation_id and self.conversations is not None:
+            history = self.conversations.get_history_for_synthesis(conversation_id)
+        return self.orchestrator.run(question, conversation_id=conversation_id,
+                                     conversation_history=history)
+
+    def query_raw(self, question: str) -> Dict[str, Any]:
+        return self.query(question).to_dict()
+
+    def simple_query(self, question: str) -> str:
+        """Minimal RAG path (reference `app.py:1159`)."""
+        return self._simple.run(question)
+
+    def search(self, query: str, mode: str = "hybrid", top_k: int = 10) -> List[Tuple[Any, float]]:
+        """Retrieval-only (reference `app.py:1178`)."""
+        if mode == "dense":
+            emb = self.local_models.embed_single(query)
+            return self.store.retrieve_by_embedding(emb, top_k=top_k)
+        if mode == "bm25":
+            return self.bm25_index.search(query, top_k=top_k)
+        # hybrid
+        emb = self.local_models.embed_single(query)
+        dense = self.store.retrieve_by_embedding(emb, top_k=top_k)
+        sparse = self.bm25_index.search(query, top_k=top_k)
+        from radiant_rag_tpu.agents.fusion import RRFAgent
+
+        return RRFAgent(rrf_k=self.config.retrieval.rrf_k).fuse(
+            [dense, sparse], top_k=top_k)
+
+    def start_conversation(self) -> str:
+        if self.conversations is None:
+            raise RuntimeError("conversations disabled in config")
+        return self.conversations.start_conversation()
+
+    # ------------------------------------------------------------------
+    # admin
+    # ------------------------------------------------------------------
+    def rebuild_bm25_index(self) -> int:
+        return self.bm25_index.build_from_store()
+
+    def clear_index(self) -> None:
+        self.store.drop_index()
+        self.bm25_index.build_from_store()
+
+    def save_index(self, directory: str = "") -> None:
+        d = directory or self.config.index.data_dir
+        if hasattr(self.store, "save"):
+            self.store.save(d)
+        self.bm25_index.save()
+
+    def check_health(self) -> Dict[str, Any]:
+        health = {"store": False, "bm25": False, "models": False, "llm": False}
+        try:
+            health["store"] = self.store.ping()
+        except Exception:
+            pass
+        try:
+            health["bm25"] = self.bm25_index.get_stats() is not None
+        except Exception:
+            pass
+        try:
+            health["models"] = self.local_models.embed_single("health check").shape[0] > 0
+        except Exception:
+            pass
+        try:
+            health["llm"] = self.llm.backend.ping()
+        except Exception:
+            pass
+        health["ok"] = all(v for k, v in health.items() if k != "llm")
+        return health
+
+    def get_stats(self) -> Dict[str, Any]:
+        return {
+            "index": self.store.get_index_info(),
+            "bm25": self.bm25_index.get_stats(),
+            "llm": self.llm.stats(),
+            "runs": self.metrics_collector.summary(),
+            "agents": self.orchestrator.get_agent_stats(),
+        }
+
+
+def create_app(config: Optional[AppConfig] = None, **kwargs: Any) -> RadiantTPU:
+    return RadiantTPU(config=config, **kwargs)
+
+
+# ----------------------------------------------------------------------
+# CLI (reference `app.py:1363-1526`)
+# ----------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="radiant-tpu", description="TPU-native agentic RAG framework")
+    parser.add_argument("--config", default="", help="path to YAML config")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("ingest", help="ingest documents")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--no-recursive", action="store_true")
+
+    p = sub.add_parser("ingest-urls", help="crawl and ingest web pages")
+    p.add_argument("urls", nargs="+")
+
+    p = sub.add_parser("ingest-github", help="ingest a GitHub repository")
+    p.add_argument("url")
+
+    p = sub.add_parser("query", help="run the full agentic pipeline")
+    p.add_argument("question")
+    p.add_argument("--conversation", default="")
+    p.add_argument("--report", default="", help="save report to file (.md/.html/.json/.txt)")
+
+    p = sub.add_parser("search", help="retrieval only")
+    p.add_argument("query")
+    p.add_argument("--mode", choices=["hybrid", "dense", "bm25"], default="hybrid")
+    p.add_argument("--top-k", type=int, default=10)
+
+    p = sub.add_parser("simple-query", help="minimal RAG (no agents)")
+    p.add_argument("question")
+
+    sub.add_parser("interactive", help="interactive query loop")
+    sub.add_parser("stats", help="index and pipeline statistics")
+    sub.add_parser("health", help="component health check")
+    sub.add_parser("clear", help="drop the index")
+    sub.add_parser("rebuild-bm25", help="rebuild the BM25 index from the store")
+    sub.add_parser("tui", help="terminal UI")
+    return parser
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    config = load_config(args.config or None)
+    setup_logging("DEBUG" if args.verbose else config.logging.level,
+                  file=config.logging.file, color=config.logging.color)
+    if not args.command:
+        build_parser().print_help()
+        return 1
+
+    app = create_app(config)
+    from radiant_rag_tpu.ui.display import (
+        display_answer, display_health, display_search_results, display_stats,
+    )
+
+    if args.command == "ingest":
+        stats = app.ingest_documents(args.paths, recursive=not args.no_recursive)
+        print(json.dumps(stats, indent=2))
+    elif args.command == "ingest-urls":
+        print(json.dumps(app.ingest_urls(args.urls), indent=2))
+    elif args.command == "ingest-github":
+        print(json.dumps(app.ingest_github(args.url), indent=2))
+    elif args.command == "query":
+        result = app.query(args.question, conversation_id=args.conversation)
+        display_answer(result)
+        if args.report:
+            from radiant_rag_tpu.ui.reports import QueryReport
+
+            QueryReport.from_pipeline_result(result).save(args.report)
+            print(f"report saved to {args.report}")
+    elif args.command == "search":
+        hits = app.search(args.query, mode=args.mode, top_k=args.top_k)
+        display_search_results(args.query, hits)
+    elif args.command == "simple-query":
+        print(app.simple_query(args.question))
+    elif args.command == "interactive":
+        print("radiant-tpu interactive mode — empty line to exit")
+        cid = app.start_conversation() if app.conversations else ""
+        while True:
+            try:
+                q = input("query> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not q:
+                break
+            display_answer(app.query(q, conversation_id=cid))
+    elif args.command == "stats":
+        display_stats(app.get_stats())
+    elif args.command == "health":
+        health = app.check_health()
+        display_health(health)
+        return 0 if health["ok"] else 2
+    elif args.command == "clear":
+        app.clear_index()
+        print("index cleared")
+    elif args.command == "rebuild-bm25":
+        n = app.rebuild_bm25_index()
+        print(f"BM25 index rebuilt: {n} docs")
+    elif args.command == "tui":
+        from radiant_rag_tpu.ui.tui import run_tui
+
+        run_tui(app)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

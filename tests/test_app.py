@@ -1,0 +1,176 @@
+"""End-to-end app facade tests: ingest -> query -> search -> admin.
+
+The reference has no end-to-end tests at all (SURVEY.md §4); this exercises
+the full stack on the CPU backend with a scripted LLM.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from radiant_rag_tpu.config import (
+    AppConfig, BM25Config, ConversationConfig, CrossEncoderConfig,
+    EmbeddingConfig, IndexConfig, StrategyMemoryConfig,
+)
+from radiant_rag_tpu.app import RadiantTPU, build_parser
+from radiant_rag_tpu.llm.backends import MockLLMBackend
+from radiant_rag_tpu.llm.client import LLMClient
+from radiant_rag_tpu.models.bert import BertConfig
+from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+from radiant_rag_tpu.models.embedder import Embedder
+from radiant_rag_tpu.models.registry import LocalNLPModels
+
+GOOD_CRITIQUE = json.dumps({
+    "ok": True, "confidence": 0.85, "relevance": 9, "faithfulness": 8,
+    "coverage": 8, "issues": [], "should_retry": False, "issue_type": "none",
+})
+
+
+def responder(messages):
+    last = messages[-1]["content"]
+    if "query-planning agent" in last:
+        return json.dumps({"retrieval_mode": "hybrid", "use_rewrite": False,
+                           "use_critic": True})
+    if "Evaluate this answer" in last:
+        return GOOD_CRITIQUE
+    if "atomic factual claims" in last or "Match each answer" in last:
+        return "[]"
+    if "Context:" in last and "Question:" in last:
+        return "Solar panels convert sunlight into electricity [DOC 1]."
+    return "ok"
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("app")
+    cfg = AppConfig(
+        index=IndexConfig(dim=64, initial_capacity=256, data_dir=str(tmp / "idx")),
+        embedding=EmbeddingConfig(dim=64, num_layers=2, num_heads=4, hidden_dim=128,
+                                  vocab_size=1000, max_seq_len=64, batch_size=8),
+        cross_encoder=CrossEncoderConfig(max_seq_len=64, batch_size=8),
+        bm25=BM25Config(index_path=str(tmp / "bm25.json.gz"), sketch_dim=256),
+        conversation=ConversationConfig(data_dir=str(tmp / "convs")),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp / "sm.json.gz")),
+    )
+    embedder = Embedder(cfg.embedding)
+    ce = CrossEncoder(cfg.cross_encoder, bert_cfg=BertConfig(
+        vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, dtype=jnp.float32))
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=ce)
+    llm = LLMClient(backend=MockLLMBackend(responder=responder))
+    application = RadiantTPU(config=cfg, llm=llm, local_models=models)
+
+    docs_dir = tmp_path_factory.mktemp("docs")
+    (docs_dir / "energy.txt").write_text(
+        "Solar panels convert sunlight into electricity using photovoltaic cells. "
+        "Wind turbines generate power from moving air. " * 4)
+    (docs_dir / "biology.md").write_text(
+        "# Cells\n\nMitochondria produce ATP for the cell. "
+        "The nucleus stores genetic material. " * 4)
+    application._docs_dir = docs_dir
+    return application
+
+
+def test_ingest_documents(app):
+    stats = app.ingest_documents([str(app._docs_dir)])
+    assert stats["chunks_ingested"] > 0
+    assert stats["parents"] > 0
+    assert stats["bm25_added"] == stats["chunks_ingested"]
+    assert app.store.count_documents() > 0
+
+
+def test_hierarchical_parents_exist(app):
+    parents = [d for d in app.store.docstore
+               if d.doc_level == "parent"]
+    leaves = [d for d in app.store.docstore if d.doc_level == "leaf"]
+    assert parents and leaves
+    assert all(not app.store.has_embedding(p.doc_id) for p in parents)
+    assert all(l.parent_id for l in leaves)
+
+
+def test_search_modes(app):
+    for mode in ("dense", "bm25", "hybrid"):
+        hits = app.search("solar panels electricity", mode=mode, top_k=5)
+        assert hits, mode
+        if mode == "bm25":
+            assert any("solar" in d.content.lower() for d, _ in hits)
+
+
+def test_full_query(app):
+    result = app.query("How do solar panels work?")
+    assert result.success
+    assert "sunlight" in result.answer
+    assert result.docs
+
+
+def test_conversation_flow(app):
+    cid = app.start_conversation()
+    r1 = app.query("How do solar panels work?", conversation_id=cid)
+    assert r1.answer
+    conv = app.conversations.get(cid)
+    assert len(conv.turns) == 1
+    history = app.conversations.get_history_for_synthesis(cid)
+    assert history[0]["role"] == "user"
+
+
+def test_simple_query(app):
+    answer = app.simple_query("what produces ATP?")
+    assert isinstance(answer, str) and answer
+
+
+def test_health_and_stats(app):
+    health = app.check_health()
+    assert health["store"] and health["models"] and health["ok"]
+    stats = app.get_stats()
+    assert stats["index"]["num_embedded"] > 0
+    assert stats["bm25"]["num_docs"] > 0
+
+
+def test_ingest_idempotent(app):
+    before = app.store.count_documents()
+    app.ingest_documents([str(app._docs_dir)])
+    assert app.store.count_documents() == before  # content-hash idempotency
+
+
+def test_rebuild_bm25(app):
+    n = app.rebuild_bm25_index()
+    assert n == len(app.store.list_doc_ids_with_embeddings())
+
+
+def test_save_index(app, tmp_path):
+    app.save_index(str(tmp_path / "saved"))
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    loaded = TpuVectorStore.load(str(tmp_path / "saved"))
+    assert loaded.count_documents() == app.store.count_documents()
+
+
+def test_report_generation(app, tmp_path):
+    from radiant_rag_tpu.ui.reports import QueryReport
+
+    result = app.query("How do solar panels work?")
+    report = QueryReport.from_pipeline_result(result)
+    md = report.to_markdown()
+    assert "# Query Report" in md and result.query in md
+    html = report.to_html()
+    assert "<html" in html
+    parsed = json.loads(report.to_json())
+    assert parsed["query"] == result.query
+    text = report.to_text()
+    assert "QUERY REPORT" in text
+    for ext in ("md", "html", "json", "txt"):
+        report.save(str(tmp_path / f"r.{ext}"))
+        assert (tmp_path / f"r.{ext}").stat().st_size > 0
+
+
+def test_cli_parser():
+    parser = build_parser()
+    args = parser.parse_args(["query", "hello", "--report", "out.md"])
+    assert args.command == "query" and args.question == "hello"
+    args = parser.parse_args(["search", "x", "--mode", "bm25", "--top-k", "3"])
+    assert args.mode == "bm25" and args.top_k == 3
+    args = parser.parse_args(["ingest", "a", "b"])
+    assert args.paths == ["a", "b"]

@@ -1,0 +1,208 @@
+"""Orchestrator pipeline tests with a scripted mock LLM + real device index
+(CPU backend). Reference analog: lifecycle fakes in
+`tests/test_base_agent_lifecycle.py` — extended here to full pipeline runs,
+which the reference never tests end-to-end (SURVEY.md §4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from radiant_rag_tpu.config import AppConfig, EmbeddingConfig, CrossEncoderConfig, \
+    PipelineConfig, StrategyMemoryConfig, IndexConfig
+from radiant_rag_tpu.index.bm25 import PersistentBM25Index
+from radiant_rag_tpu.index.store import TpuVectorStore
+from radiant_rag_tpu.llm.backends import MockLLMBackend
+from radiant_rag_tpu.llm.client import LLMClient
+from radiant_rag_tpu.models.bert import BertConfig
+from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+from radiant_rag_tpu.models.embedder import Embedder
+from radiant_rag_tpu.models.registry import LocalNLPModels
+from radiant_rag_tpu.orchestrator import (
+    LOW_CONFIDENCE_RESPONSE, PipelineResult, RAGOrchestrator, SimplifiedOrchestrator,
+)
+
+import dataclasses
+import jax.numpy as jnp
+
+DOCS = [
+    "The mitochondria is the powerhouse of the cell, producing ATP through respiration.",
+    "Photosynthesis converts sunlight into chemical energy in plant chloroplasts.",
+    "The cell nucleus contains DNA organized into chromosomes.",
+    "Ribosomes synthesize proteins by translating messenger RNA.",
+    "The Golgi apparatus packages proteins for transport out of the cell.",
+    "ATP is the energy currency used by all living cells.",
+]
+
+GOOD_CRITIQUE = json.dumps({
+    "ok": True, "confidence": 0.9, "relevance": 9, "faithfulness": 9,
+    "coverage": 8, "issues": [], "should_retry": False, "issue_type": "none",
+})
+
+DEFAULT_PLAN = json.dumps({
+    "use_decomposition": False, "use_rewrite": False, "use_expansion": False,
+    "use_rrf": True, "use_automerge": True, "use_rerank": True,
+    "use_critic": True, "use_web_search": False, "use_multihop": False,
+    "retrieval_mode": "hybrid", "tools_to_use": [],
+})
+
+
+def scripted_llm(extra=None):
+    def responder(messages):
+        last = messages[-1]["content"]
+        script = dict(extra or {})
+        for key, resp in script.items():
+            if key in last:
+                return resp
+        if "query-planning agent" in last:
+            return DEFAULT_PLAN
+        if "Evaluate this answer" in last:
+            return GOOD_CRITIQUE
+        if "Rewrite each query" in last:
+            return "[]"
+        if "atomic factual claims" in last:
+            return "[]"
+        if "Match each answer sentence" in last:
+            return "[]"
+        if "Context:" in last and "Question:" in last:
+            return "Mitochondria produce ATP, the cell's energy currency [DOC 1]."
+        return "ok"
+    return LLMClient(backend=MockLLMBackend(responder=responder))
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("orch")
+    cfg = AppConfig(
+        index=IndexConfig(dim=64, initial_capacity=256),
+        embedding=EmbeddingConfig(dim=64, num_layers=2, num_heads=4, hidden_dim=128,
+                                  vocab_size=1000, max_seq_len=64, batch_size=8),
+        cross_encoder=CrossEncoderConfig(max_seq_len=64, batch_size=8),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp / "sm.json.gz")),
+    )
+    store = TpuVectorStore(dim=64, index_config=cfg.index, quantization=cfg.quantization)
+    embedder = Embedder(cfg.embedding)
+    ce = CrossEncoder(cfg.cross_encoder, bert_cfg=BertConfig(
+        vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, dtype=jnp.float32))
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=ce)
+    embs = models.embed(DOCS)
+    store.upsert_batch([(t, {"source": f"doc{i}.txt"}, embs[i]) for i, t in enumerate(DOCS)])
+    bm25 = PersistentBM25Index(store, path=str(tmp / "bm25.json.gz"))
+    bm25.build_from_store()
+    return cfg, store, bm25, models
+
+
+def _orch(stack, llm=None, **cfg_overrides):
+    cfg, store, bm25, models = stack
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    return RAGOrchestrator(cfg, store, bm25, models, llm or scripted_llm())
+
+
+def test_full_pipeline_run(stack):
+    orch = _orch(stack)
+    result = orch.run("What do mitochondria produce?")
+    assert result.success
+    assert "ATP" in result.answer
+    assert result.confidence >= 0.8
+    assert not result.low_confidence
+    assert result.docs  # context docs retrieved
+    assert result.plan["retrieval_mode"] == "hybrid"
+    step_names = [s["name"] for s in result.metrics["steps"]]
+    for phase in ("planning", "retrieval", "post_retrieval", "generation", "critique"):
+        assert phase in step_names, step_names
+
+
+def test_simple_query_heuristic():
+    assert RAGOrchestrator._is_simple_query("What is ATP?")
+    assert RAGOrchestrator._is_simple_query("who discovered penicillin today ok")
+    assert not RAGOrchestrator._is_simple_query(
+        "What is the difference between photosynthesis and respiration, and how "
+        "do both processes relate to ATP production in plant cells?")
+
+
+def test_retry_on_context_issue(stack):
+    calls = {"critic": 0}
+
+    def responder(messages):
+        last = messages[-1]["content"]
+        if "query-planning agent" in last:
+            return DEFAULT_PLAN
+        if "Evaluate this answer" in last:
+            calls["critic"] += 1
+            if calls["critic"] == 1:
+                return json.dumps({
+                    "ok": False, "confidence": 0.3, "relevance": 3,
+                    "faithfulness": 4, "coverage": 2,
+                    "issues": ["missing context"], "should_retry": True,
+                    "issue_type": "context",
+                })
+            return GOOD_CRITIQUE
+        if "Rewrite each query" in last:
+            return "[]"
+        if "alternative phrasings" in last:
+            return "[]"
+        if "atomic factual claims" in last or "Match each answer" in last:
+            return "[]"
+        if "Context:" in last and "Question:" in last:
+            return "ATP is produced by mitochondria."
+        return "ok"
+
+    orch = _orch(stack, llm=LLMClient(backend=MockLLMBackend(responder=responder)))
+    result = orch.run("Explain how the energy currency of cells gets produced and used")
+    assert result.retry_count >= 1
+    assert calls["critic"] == 2
+    assert result.confidence >= 0.8  # second round accepted
+
+
+def test_low_confidence_give_up(stack):
+    bad_critique = json.dumps({
+        "ok": False, "confidence": 0.1, "relevance": 1, "faithfulness": 1,
+        "coverage": 1, "issues": ["hopeless"], "should_retry": True,
+        "issue_type": "answer",
+    })
+    orch = _orch(stack, llm=scripted_llm({"Evaluate this answer": bad_critique}))
+    result = orch.run("What is the meaning of everything?")
+    assert result.low_confidence
+    assert result.answer == LOW_CONFIDENCE_RESPONSE
+
+
+def test_dense_only_mode(stack):
+    plan = json.dumps({**json.loads(DEFAULT_PLAN), "retrieval_mode": "dense"})
+    orch = _orch(stack, llm=scripted_llm({"query-planning agent": plan}))
+    result = orch.run("cell nucleus DNA contents")
+    assert result.plan["retrieval_mode"] == "dense"
+    assert result.dense_docs
+    assert not result.bm25_docs
+
+
+def test_bm25_only_mode(stack):
+    plan = json.dumps({**json.loads(DEFAULT_PLAN), "retrieval_mode": "bm25"})
+    orch = _orch(stack, llm=scripted_llm({"query-planning agent": plan}))
+    result = orch.run("ribosomes proteins")
+    assert result.bm25_docs
+    assert not result.dense_docs
+
+
+def test_tool_execution(stack):
+    plan = json.dumps({**json.loads(DEFAULT_PLAN), "tools_to_use": ["calculator"]})
+    orch = _orch(stack, llm=scripted_llm({"query-planning agent": plan}))
+    result = orch.run("what is 2*3+4")
+    assert result.tool_results
+    assert result.tool_results[0]["tool"] == "calculator"
+
+
+def test_simplified_orchestrator(stack):
+    cfg, store, bm25, models = stack
+    so = SimplifiedOrchestrator(store, models, scripted_llm())
+    answer = so.run("What do mitochondria produce?")
+    assert "ATP" in answer
+
+
+def test_pipeline_result_serializable(stack):
+    orch = _orch(stack)
+    result = orch.run("What is ATP?")
+    d = result.to_dict()
+    json.dumps(d)  # must be JSON-serializable
+    assert d["query"] == "What is ATP?"
