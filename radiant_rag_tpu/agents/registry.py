@@ -82,7 +82,8 @@ def register_agent(name: str, description: str = "", category: str = "utility",
     """Decorator: @register_agent("my-agent", ...) on a callable."""
 
     def deco(fn: Callable) -> Callable:
-        (registry or _global_registry).register(
+        # note: an empty AgentRegistry is falsy (__len__), so test identity
+        (_global_registry if registry is None else registry).register(
             fn, name=name, description=description, category=category,
             version=version, tags=tags,
         )

@@ -40,9 +40,37 @@ class JSONParser:
         return None
 
     @staticmethod
-    def clean(text: str) -> str:
+    def strip_comments(text: str) -> str:
+        """Remove // comments outside of string literals (a bare regex would
+        eat URLs like http://)."""
+        out = []
+        in_string = False
+        escape = False
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            if escape:
+                out.append(ch)
+                escape = False
+            elif ch == "\\" and in_string:
+                out.append(ch)
+                escape = True
+            elif ch == '"':
+                in_string = not in_string
+                out.append(ch)
+            elif not in_string and ch == "/" and text[i : i + 2] == "//":
+                while i < len(text) and text[i] != "\n":
+                    i += 1
+                continue
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
+    @classmethod
+    def clean(cls, text: str) -> str:
         """Remove // comments and trailing commas."""
-        text = _LINE_COMMENT_RE.sub("", text)
+        text = cls.strip_comments(text)
         text = _TRAILING_COMMA_RE.sub(r"\1", text)
         return text.strip()
 

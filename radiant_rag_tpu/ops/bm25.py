@@ -34,6 +34,8 @@ import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-1e30)
 
+from radiant_rag_tpu.ops.similarity import full_topk  # noqa: E402
+
 
 @partial(jax.jit, static_argnames=("k", "num_docs"))
 def bm25_score_topk(
@@ -121,7 +123,7 @@ def bm25_pages_score_topk(
         post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
         doc_lens, avgdl, mask, b_queries, num_docs, k1, b,
     )
-    top_s, top_i = jax.lax.top_k(scores, k)
+    top_s, top_i = full_topk(scores, k)
     top_i = jnp.where(top_s > 0.0, top_i, -1)
     return top_s, top_i.astype(jnp.int32)
 
@@ -157,7 +159,7 @@ def bm25_sketch_topk(
     scores = raw.astype(jnp.float32) * scale
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
-    top_s, top_i = jax.lax.top_k(scores, k)
+    top_s, top_i = full_topk(scores, k)
     top_i = jnp.where(top_s > 0.0, top_i, -1)
     return top_s, top_i.astype(jnp.int32)
 
