@@ -32,6 +32,7 @@ BATCH = 32
 TOP_K = 10
 FUSED_K = 15
 BASELINE_QUERIES = 6
+DENSE_MODE = __import__("os").environ.get("BENCH_DENSE_MODE", "int8")
 
 
 def log(msg: str) -> None:
@@ -75,11 +76,14 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
     log(f"tpu index build: {build_s:.1f}s ({n} docs)")
 
     def hybrid_batch(qd, qt):
-        res = searcher.search_rows(qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K)
+        res = searcher.search_rows(qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K, mode=DENSE_MODE)
         return res["fused"]
 
-    # warmup / compile
+    # warmup / compile (first compile in a fresh process can take minutes
+    # through remote-compile tunnels; the persistent cache makes it one-time)
+    t0 = time.perf_counter()
     hybrid_batch(queries_dense[:BATCH], queries_text[:BATCH])
+    log(f"warmup/compile: {time.perf_counter()-t0:.1f}s")
     times = []
     for b in range(N_QUERY_BATCHES):
         qd = queries_dense[b * BATCH : (b + 1) * BATCH]
@@ -171,7 +175,7 @@ def main():
             "index_build_s": round(build_s, 1),
             "batch_size": BATCH,
             "top_k": TOP_K,
-            "dense_mode": "binary_hamming+fp32_rescore",
+            "dense_mode": DENSE_MODE + "+fp32_rescore",
         },
     }
     print(json.dumps(result))

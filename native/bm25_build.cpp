@@ -1,0 +1,184 @@
+// Native bulk BM25 index builder.
+//
+// Replaces the Python per-document tokenize/count/append loop (the dominant
+// cost of BM25 index construction at corpus scale) with a single C++ pass:
+// tokenize (ASCII lowercase alnum runs, length > 1 — byte-identical semantics
+// to radiant_rag_tpu.index.bm25.tokenize for ASCII, and equivalent for
+// non-ASCII since neither side matches non-ASCII bytes), build the term
+// vocabulary, document frequencies, CSR postings sorted by term, and document
+// lengths. Exposed via a C ABI for ctypes (no pybind11 in this toolchain).
+//
+// Reference capability: storage/bm25_index.py builds the same statistics
+// incrementally in Python (add_document, `bm25_index.py:139-180`).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Build {
+  // vocab: concatenated term bytes + offsets
+  std::string term_bytes;
+  std::vector<int64_t> term_offsets;  // T+1
+  std::vector<int64_t> df;            // T
+  // CSR postings by term
+  std::vector<int64_t> term_start;    // T+1
+  std::vector<int32_t> post_rows;     // P
+  std::vector<float>   post_tfs;      // P
+  // per-doc
+  std::vector<int32_t> doc_lens;      // n_docs (token counts)
+  // per-doc term lists (for persistence): term ids + counts, CSR by doc
+  std::vector<int64_t> doc_term_start;  // n_docs+1
+  std::vector<int32_t> doc_term_ids;
+  std::vector<int32_t> doc_term_tfs;
+};
+
+inline bool is_alnum(uint8_t c) {
+  return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9');
+}
+
+inline uint8_t lower(uint8_t c) {
+  return (c >= 'A' && c <= 'Z') ? c + 32 : c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build from concatenated UTF-8 text. doc_offsets has n_docs+1 entries.
+// rows[i] is the engine row id for doc i (postings reference these).
+// Returns an opaque handle; query the arrays with the getters; free with
+// bm25_build_free.
+void* bm25_build(const uint8_t* text, const int64_t* doc_offsets,
+                 int64_t n_docs, const int32_t* rows) {
+  auto* b = new Build();
+  std::unordered_map<std::string_view, int32_t> vocab;
+  vocab.reserve(1 << 16);
+  // postings collected per term in growable vectors-of-pairs
+  std::vector<std::vector<std::pair<int32_t, float>>> postings;
+  postings.reserve(1 << 16);
+  // term string storage: we need stable string_views — collect term copies in
+  // a deque-like chunked arena via term_bytes + per-term temporary strings.
+  std::vector<std::string> term_store;
+  term_store.reserve(1 << 16);
+
+  b->doc_lens.resize(n_docs);
+  b->doc_term_start.resize(n_docs + 1, 0);
+
+  std::unordered_map<int32_t, int32_t> counts;  // term id -> tf (per doc)
+  std::string token;
+  token.reserve(64);
+
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint8_t* p = text + doc_offsets[d];
+    const uint8_t* end = text + doc_offsets[d + 1];
+    counts.clear();
+    int32_t n_tokens = 0;
+    while (p < end) {
+      token.clear();
+      while (p < end) {
+        uint8_t c = lower(*p);
+        if (is_alnum(c)) { token.push_back(static_cast<char>(c)); ++p; }
+        else break;
+      }
+      if (token.empty()) { ++p; continue; }
+      if (token.size() > 1) {
+        ++n_tokens;
+        auto it = vocab.find(std::string_view(token));
+        int32_t tid;
+        if (it == vocab.end()) {
+          tid = static_cast<int32_t>(term_store.size());
+          term_store.emplace_back(token);
+          vocab.emplace(std::string_view(term_store.back()), tid);
+          postings.emplace_back();
+        } else {
+          tid = it->second;
+        }
+        ++counts[tid];
+      }
+    }
+    b->doc_lens[d] = n_tokens;
+    for (const auto& [tid, tf] : counts) {
+      postings[tid].emplace_back(rows ? rows[d] : static_cast<int32_t>(d),
+                                 static_cast<float>(tf));
+      b->doc_term_ids.push_back(tid);
+      b->doc_term_tfs.push_back(tf);
+    }
+    b->doc_term_start[d + 1] = static_cast<int64_t>(b->doc_term_ids.size());
+  }
+
+  // flatten vocab + postings into CSR
+  const int64_t T = static_cast<int64_t>(term_store.size());
+  b->term_offsets.resize(T + 1, 0);
+  b->term_start.resize(T + 1, 0);
+  b->df.resize(T, 0);
+  int64_t total_post = 0, total_bytes = 0;
+  for (int64_t t = 0; t < T; ++t) {
+    total_post += static_cast<int64_t>(postings[t].size());
+    total_bytes += static_cast<int64_t>(term_store[t].size());
+  }
+  b->term_bytes.reserve(total_bytes);
+  b->post_rows.reserve(total_post);
+  b->post_tfs.reserve(total_post);
+  for (int64_t t = 0; t < T; ++t) {
+    b->term_bytes += term_store[t];
+    b->term_offsets[t + 1] = static_cast<int64_t>(b->term_bytes.size());
+    b->df[t] = static_cast<int64_t>(postings[t].size());
+    for (const auto& [row, tf] : postings[t]) {
+      b->post_rows.push_back(row);
+      b->post_tfs.push_back(tf);
+    }
+    b->term_start[t + 1] = static_cast<int64_t>(b->post_rows.size());
+  }
+  return b;
+}
+
+void bm25_build_free(void* h) { delete static_cast<Build*>(h); }
+
+int64_t bm25_num_terms(void* h) {
+  return static_cast<int64_t>(static_cast<Build*>(h)->df.size());
+}
+int64_t bm25_num_postings(void* h) {
+  return static_cast<int64_t>(static_cast<Build*>(h)->post_rows.size());
+}
+int64_t bm25_term_bytes_len(void* h) {
+  return static_cast<int64_t>(static_cast<Build*>(h)->term_bytes.size());
+}
+int64_t bm25_doc_terms_len(void* h) {
+  return static_cast<int64_t>(static_cast<Build*>(h)->doc_term_ids.size());
+}
+
+const char* bm25_term_bytes(void* h) {
+  return static_cast<Build*>(h)->term_bytes.data();
+}
+const int64_t* bm25_term_offsets(void* h) {
+  return static_cast<Build*>(h)->term_offsets.data();
+}
+const int64_t* bm25_df(void* h) { return static_cast<Build*>(h)->df.data(); }
+const int64_t* bm25_term_start(void* h) {
+  return static_cast<Build*>(h)->term_start.data();
+}
+const int32_t* bm25_post_rows(void* h) {
+  return static_cast<Build*>(h)->post_rows.data();
+}
+const float* bm25_post_tfs(void* h) {
+  return static_cast<Build*>(h)->post_tfs.data();
+}
+const int32_t* bm25_doc_lens(void* h) {
+  return static_cast<Build*>(h)->doc_lens.data();
+}
+const int64_t* bm25_doc_term_start(void* h) {
+  return static_cast<Build*>(h)->doc_term_start.data();
+}
+const int32_t* bm25_doc_term_ids(void* h) {
+  return static_cast<Build*>(h)->doc_term_ids.data();
+}
+const int32_t* bm25_doc_term_tfs(void* h) {
+  return static_cast<Build*>(h)->doc_term_tfs.data();
+}
+
+}  // extern "C"

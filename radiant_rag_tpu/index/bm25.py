@@ -1,4 +1,4 @@
-"""BM25 sparse index: host CSR postings + device term-at-a-time scoring.
+"""BM25 sparse index: CSR postings (native bulk build) + device scoring.
 
 Capability parity with the reference's `BM25Index`/`PersistentBM25Index`
 (`storage/bm25_index.py`): same tokenizer (lowercase alnum-only, len>1,
@@ -7,12 +7,15 @@ ln((n-df+0.5)/(df+0.5)+1), `bm25_index.py:134`), incremental adds, gzip-JSON
 persistence with atomic replace (`bm25_index.py:420-470`), and
 build/sync-from-store (`bm25_index.py:574-652`).
 
-The hot loop is redesigned: instead of iterating all docs per query term
-(O(terms x docs x doclen), `bm25_index.py:235-262`), the index keeps an
-inverted posting list per term (row, tf); a query gathers its terms' postings
-on host (numpy, O(matched postings)) and scores them on device with one
-scatter-add + top-k program (`ops/bm25.py`). Scoring shares the vector
-engine's row space so hybrid RRF fusion stays on device.
+Architecture (vs the reference's O(terms x docs x doclen) python scoring loop,
+`bm25_index.py:235-262`):
+
+  host   CSR base (numpy; built in one native C++ pass for bulk loads —
+         `native/bm25_build.cpp`) + per-term delta posting lists for
+         incremental adds; finalize merges base+delta and uploads to device.
+  device two query paths sharing the store's row space so hybrid fusion stays
+         on-chip: exact page-table scoring (ops/bm25.bm25_pages_score_topk)
+         and the int8 impact-sketch MXU matmul (ops/bm25.bm25_sketch_topk).
 """
 
 from __future__ import annotations
@@ -52,34 +55,28 @@ def _next_pow2(n: int, floor: int = 64) -> int:
 
 
 class _Postings:
-    """Growable posting list for one term with a cached numpy view."""
+    """Growable delta posting list for one term."""
 
-    __slots__ = ("rows", "tfs", "_cache")
+    __slots__ = ("rows", "tfs")
 
     def __init__(self) -> None:
         self.rows: List[int] = []
-        self.tfs: List[int] = []
-        self._cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.tfs: List[float] = []
 
-    def add(self, row: int, tf: int) -> None:
+    def add(self, row: int, tf: float) -> None:
         self.rows.append(row)
         self.tfs.append(tf)
-        self._cache = None
-
-    def arrays(self) -> Tuple[np.ndarray, np.ndarray]:
-        if self._cache is None:
-            self._cache = (
-                np.asarray(self.rows, np.int32),
-                np.asarray(self.tfs, np.float32),
-            )
-        return self._cache
 
     def __len__(self) -> int:
         return len(self.rows)
 
 
+_EMPTY_I32 = np.zeros(0, np.int32)
+_EMPTY_F32 = np.zeros(0, np.float32)
+
+
 class BM25Index:
-    """In-memory inverted index over device rows."""
+    """Inverted index over device rows: CSR base + incremental delta."""
 
     def __init__(self, k1: float = 1.5, b: float = 0.75,
                  max_query_terms: int = 32, max_postings: int = 1 << 18,
@@ -89,28 +86,38 @@ class BM25Index:
         self.max_query_terms = max_query_terms
         self.max_postings = max_postings
         self.sketch_dim = sketch_dim
+        # vocabulary
+        self.terms: List[str] = []  # tid -> term
         self.vocab: Dict[str, int] = {}
-        self.postings: List[_Postings] = []
         self.df: List[int] = []
-        self.doc_tokens: Dict[int, List[str]] = {}  # row -> tokens (persistence)
+        # CSR base (covers terms [0, len(_base_start)-1))
+        self._base_start: np.ndarray = np.zeros(1, np.int64)
+        self._base_rows: np.ndarray = _EMPTY_I32
+        self._base_tfs: np.ndarray = _EMPTY_F32
+        # incremental deltas per term (sparse dict: tid -> _Postings)
+        self.delta: Dict[int, _Postings] = {}
+        # per-doc state
+        self.doc_terms: Dict[int, List[Tuple[int, int]]] = {}  # row -> [(tid, tf)]
         self.doc_lens: Dict[int, int] = {}
         self.total_len = 0
         self.removed: set = set()
+        # device caches
         self._dl_dev: Optional[jnp.ndarray] = None
         self._dl_size = 0
         self._dl_dirty = True
-        # device-resident CSR postings (built lazily, invalidated on mutation)
         self._csr_dirty = True
         self._dev_post_rows: Optional[jnp.ndarray] = None
         self._dev_post_tf: Optional[jnp.ndarray] = None
-        self._term_start: Optional[np.ndarray] = None  # host (T+1,)
-        self._term_idf: Optional[np.ndarray] = None  # host (T,)
-        # impact sketch (stage-1 BM25-as-matmul)
-        self._sketch: Optional[jnp.ndarray] = None  # (num_docs, S) int8
+        self._term_start: Optional[np.ndarray] = None  # finalized (T+1,)
+        self._term_idf: Optional[np.ndarray] = None
+        self._host_post_rows: Optional[np.ndarray] = None
+        self._host_post_tf: Optional[np.ndarray] = None
+        # impact sketch
+        self._sketch: Optional[jnp.ndarray] = None
         self._sketch_scale: Optional[jnp.ndarray] = None
         self._sketch_rows = 0
         self._sketch_dirty = True
-        self._term_bin: Dict[int, int] = {}  # tid -> hash bin (cached)
+        self._term_bin: Dict[int, int] = {}
 
     # -- build -------------------------------------------------------------
     @property
@@ -121,60 +128,119 @@ class BM25Index:
     def avgdl(self) -> float:
         return self.total_len / self.num_docs if self.num_docs else 0.0
 
-    def add_document(self, row: int, text_or_tokens) -> None:
-        tokens = text_or_tokens if isinstance(text_or_tokens, list) else tokenize(text_or_tokens)
-        if row in self.doc_lens:
-            self.remove_document(row)
-        counts: Dict[str, int] = {}
-        for t in tokens:
-            counts[t] = counts.get(t, 0) + 1
-        for term, tf in counts.items():
-            tid = self.vocab.get(term)
-            if tid is None:
-                tid = len(self.vocab)
-                self.vocab[term] = tid
-                self.postings.append(_Postings())
-                self.df.append(0)
-            self.postings[tid].add(row, tf)
-            self.df[tid] += 1
-        self.doc_tokens[row] = tokens
-        self.doc_lens[row] = len(tokens)
-        self.total_len += len(tokens)
-        self.removed.discard(row)
+    def _mark_dirty(self) -> None:
         self._dl_dirty = True
         self._csr_dirty = True
         self._sketch_dirty = True
 
+    def _term_id(self, term: str) -> int:
+        tid = self.vocab.get(term)
+        if tid is None:
+            tid = len(self.terms)
+            self.vocab[term] = tid
+            self.terms.append(term)
+            self.df.append(0)
+        return tid
+
+    def add_document(self, row: int, text_or_tokens) -> None:
+        tokens = text_or_tokens if isinstance(text_or_tokens, list) else tokenize(text_or_tokens)
+        counts: Dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        self.add_document_counts(row, list(counts.items()), len(tokens))
+
+    def add_document_counts(self, row: int, term_counts: Sequence[Tuple[str, int]],
+                            length: int) -> None:
+        """Add from (term, tf) pairs + token count (the canonical statistics —
+        BM25 needs nothing else)."""
+        if row in self.doc_lens:
+            self.remove_document(row)
+        pairs: List[Tuple[int, int]] = []
+        for term, tf in term_counts:
+            tid = self._term_id(term)
+            self.delta.setdefault(tid, _Postings()).add(row, float(tf))
+            self.df[tid] += 1
+            pairs.append((tid, int(tf)))
+        self.doc_terms[row] = pairs
+        self.doc_lens[row] = int(length)
+        self.total_len += int(length)
+        self.removed.discard(row)
+        self._mark_dirty()
+
+    def bulk_build(self, rows: Sequence[int], texts: Sequence[str]) -> bool:
+        """Bulk (re)index: native C++ single pass when available, python loop
+        otherwise. Returns True when the native path ran. Existing contents
+        are replaced."""
+        self._reset()
+        try:
+            from radiant_rag_tpu.index.native import bulk_build as native_build
+
+            built = native_build(texts, list(rows))
+        except Exception as exc:  # pragma: no cover - defensive
+            logger.warning("native bm25 build failed (%s); python fallback", exc)
+            built = None
+        if built is None:
+            for row, text in zip(rows, texts):
+                self.add_document(row, text)
+            return False
+        self.terms = built.terms
+        self.vocab = {t: i for i, t in enumerate(built.terms)}
+        self.df = built.df.astype(np.int64).tolist()
+        self._base_start = built.term_start
+        self._base_rows = built.post_rows
+        self._base_tfs = built.post_tfs
+        self.delta = {}
+        self.doc_lens = {int(r): int(l) for r, l in zip(rows, built.doc_lens)}
+        self.total_len = int(built.doc_lens.sum())
+        dts = built.doc_term_start
+        self.doc_terms = {
+            int(r): list(zip(built.doc_term_ids[dts[i]: dts[i + 1]].tolist(),
+                             built.doc_term_tfs[dts[i]: dts[i + 1]].tolist()))
+            for i, r in enumerate(rows)
+        }
+        self.removed = set()
+        self._mark_dirty()
+        return True
+
+    def _reset(self) -> None:
+        self.terms = []
+        self.vocab = {}
+        self.df = []
+        self._base_start = np.zeros(1, np.int64)
+        self._base_rows = _EMPTY_I32
+        self._base_tfs = _EMPTY_F32
+        self.delta = {}
+        self.doc_terms = {}
+        self.doc_lens = {}
+        self.total_len = 0
+        self.removed = set()
+        self._mark_dirty()
+
     def remove_document(self, row: int) -> bool:
-        """Lazy removal: mark row dead; postings are purged on rebuild
-        (reference forces a full rebuild on removal, `bm25_index.py:182-216`;
-        here dead rows are masked at scoring time and the index is compacted
-        once >25% of rows are dead)."""
+        """Lazy removal: mark row dead; postings are purged at the next
+        finalize (reference forces a full rebuild on removal,
+        `bm25_index.py:182-216`); compaction triggers at >25% dead."""
         if row not in self.doc_lens:
             return False
         self.total_len -= self.doc_lens.pop(row)
-        self.doc_tokens.pop(row, None)
+        for tid, _tf in self.doc_terms.pop(row, []):
+            self.df[tid] = max(0, self.df[tid] - 1)
         self.removed.add(row)
-        self._dl_dirty = True
-        self._csr_dirty = True
-        self._sketch_dirty = True
+        self._mark_dirty()
         if self.num_docs and len(self.removed) > 0.25 * (self.num_docs + len(self.removed)):
             self.rebuild()
         return True
 
     def rebuild(self) -> None:
-        docs = dict(self.doc_tokens)
-        self.vocab.clear()
-        self.postings = []
-        self.df = []
-        self.doc_tokens = {}
-        self.doc_lens = {}
-        self.total_len = 0
-        self.removed = set()
-        for row, tokens in docs.items():
-            self.add_document(row, tokens)
+        """Compact: drop dead postings and unused terms."""
+        old_terms = self.terms
+        docs = [(row, [(old_terms[tid], tf) for tid, tf in pairs], self.doc_lens[row])
+                for row, pairs in self.doc_terms.items()]
+        self._reset()
+        for row, term_counts, length in docs:
+            self.add_document_counts(row, term_counts, length)
 
-    # -- search ------------------------------------------------------------
+    # -- stats -------------------------------------------------------------
     def _idf(self, tid: int) -> float:
         n = self.num_docs
         df = self.df[tid]
@@ -193,54 +259,76 @@ class BM25Index:
         return self._dl_dev
 
     def _finalize_csr(self) -> None:
-        """Build/refresh the device-resident CSR posting arrays.
-
-        Postings of removed rows are dropped here; between finalizations the
-        valid mask hides them at scoring time."""
+        """Merge base + delta into a fresh CSR, drop removed rows, upload."""
         if not self._csr_dirty and self._dev_post_rows is not None:
             return
-        t = len(self.vocab)
+        t = len(self.terms)
+        n_base_terms = len(self._base_start) - 1
+        removed_arr = (np.fromiter(self.removed, np.int32, len(self.removed))
+                       if self.removed else None)
         starts = np.zeros((t + 1,), np.int64)
-        arrays = []
+        rows_parts: List[np.ndarray] = []
+        tfs_parts: List[np.ndarray] = []
         for tid in range(t):
-            pr, pt = self.postings[tid].arrays()
-            if self.removed:
-                keep = ~np.isin(pr, np.fromiter(self.removed, np.int64))
-                pr, pt = pr[keep], pt[keep]
-            arrays.append((pr, pt))
+            parts_r: List[np.ndarray] = []
+            parts_f: List[np.ndarray] = []
+            if tid < n_base_terms:
+                s, e = self._base_start[tid], self._base_start[tid + 1]
+                if e > s:
+                    parts_r.append(self._base_rows[s:e])
+                    parts_f.append(self._base_tfs[s:e])
+            d = self.delta.get(tid)
+            if d is not None and len(d):
+                parts_r.append(np.asarray(d.rows, np.int32))
+                parts_f.append(np.asarray(d.tfs, np.float32))
+            if parts_r:
+                pr = parts_r[0] if len(parts_r) == 1 else np.concatenate(parts_r)
+                pf = parts_f[0] if len(parts_f) == 1 else np.concatenate(parts_f)
+                if removed_arr is not None:
+                    keep = ~np.isin(pr, removed_arr)
+                    pr, pf = pr[keep], pf[keep]
+            else:
+                pr, pf = _EMPTY_I32, _EMPTY_F32
+            rows_parts.append(pr)
+            tfs_parts.append(pf)
             starts[tid + 1] = starts[tid] + len(pr)
         total = int(starts[-1])
         size = _next_pow2(max(total, 1), floor=PAGE_SIZE)
         rows = np.zeros((size,), np.int32)
         tfs = np.zeros((size,), np.float32)
-        for tid, (pr, pt) in enumerate(arrays):
-            rows[starts[tid] : starts[tid + 1]] = pr
-            tfs[starts[tid] : starts[tid + 1]] = pt
+        for tid in range(t):
+            rows[starts[tid]: starts[tid + 1]] = rows_parts[tid]
+            tfs[starts[tid]: starts[tid + 1]] = tfs_parts[tid]
+        # fold the merged CSR back into the base; deltas are absorbed
+        self._base_start = starts.copy()
+        self._base_rows = rows[:total].copy()
+        self._base_tfs = tfs[:total].copy()
+        self.delta = {}
         self._term_start = starts
         self._term_idf = np.asarray([self._idf(tid) for tid in range(t)], np.float32)
-        self._host_post_rows = rows  # kept for sketch/impact builds
+        self._host_post_rows = rows
         self._host_post_tf = tfs
         self._dev_post_rows = jnp.asarray(rows)
         self._dev_post_tf = jnp.asarray(tfs)
         self._csr_dirty = False
 
-    def _bin_of(self, tid: int, term: str) -> int:
+    # -- impact sketch -----------------------------------------------------
+    def _bin_of(self, tid: int) -> int:
         b = self._term_bin.get(tid)
         if b is None:
             from radiant_rag_tpu.utils.hashing import stable_hash32
 
-            b = stable_hash32(term) % self.sketch_dim
+            b = stable_hash32(self.terms[tid]) % self.sketch_dim
             self._term_bin[tid] = b
         return b
 
     def ensure_sketch(self, num_docs: int) -> None:
         """Build/refresh the (num_docs, S) int8 impact sketch on device.
 
-        Each posting's exact BM25 contribution is precomputed on host (it only
-        depends on tf, dl, df, avgdl — all known at finalize) and scattered
-        into hashed term bins in one device program (`ops/bm25.py:
-        build_impact_sketch`). Stage-1 BM25 then becomes an int8 MXU matmul.
-        """
+        Each posting's exact BM25 contribution is precomputed (it depends only
+        on tf, dl, df, avgdl — all known at finalize) and scattered into
+        hashed term bins in one device program; stage-1 BM25 then becomes an
+        int8 MXU matmul (`ops/bm25.py:build_impact_sketch`)."""
         if self.sketch_dim <= 0:
             return
         if not self._sketch_dirty and self._sketch_rows >= num_docs:
@@ -248,41 +336,32 @@ class BM25Index:
         from radiant_rag_tpu.ops.bm25 import build_impact_sketch
 
         self._finalize_csr()
-        rows_parts: List[np.ndarray] = []
-        w_parts: List[np.ndarray] = []
-        bin_parts: List[np.ndarray] = []
         avgdl = max(self.avgdl, 1e-6)
         dl_arr = np.zeros((num_docs,), np.float32)
         for row, ln in self.doc_lens.items():
             if row < num_docs:
                 dl_arr[row] = ln
-        inv_vocab = {tid: term for term, tid in self.vocab.items()}
-        for tid in range(len(self.vocab)):
-            s, e = int(self._term_start[tid]), int(self._term_start[tid + 1])
-            if e == s:
-                continue
-            pr = np.asarray(self._host_post_rows[s:e])
-            pt = np.asarray(self._host_post_tf[s:e])
-            dl = dl_arr[np.minimum(pr, num_docs - 1)]
-            denom = pt + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
-            w = self._term_idf[tid] * pt * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
-            rows_parts.append(pr)
-            w_parts.append(w.astype(np.float32))
-            bin_parts.append(np.full(e - s, self._bin_of(tid, inv_vocab[tid]), np.int32))
-        if rows_parts:
-            rows = np.concatenate(rows_parts)
-            ws = np.concatenate(w_parts)
-            bins = np.concatenate(bin_parts)
-        else:
-            rows = np.zeros((1,), np.int32)
-            ws = np.zeros((1,), np.float32)
-            bins = np.zeros((1,), np.int32)
-        pad = _next_pow2(len(rows), floor=256)
-        rows = np.pad(rows, (0, pad - len(rows)))
-        ws = np.pad(ws, (0, pad - len(ws)))
-        bins = np.pad(bins, (0, pad - len(bins)))
+        total = int(self._term_start[-1])
+        rows = self._host_post_rows[:total]
+        tfs = self._host_post_tf[:total]
+        # per-posting idf + bin, vectorized via per-term repeat
+        t = len(self.terms)
+        lengths = np.diff(self._term_start)
+        idf_per_post = np.repeat(self._term_idf, lengths)
+        bins_per_term = np.asarray([self._bin_of(tid) for tid in range(t)], np.int32)
+        bin_per_post = np.repeat(bins_per_term, lengths)
+        dl = dl_arr[np.minimum(rows, num_docs - 1)]
+        denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+        w = idf_per_post * tfs * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
+        pad = _next_pow2(max(total, 1), floor=256)
+        rows_p = np.zeros(pad, np.int32)
+        rows_p[:total] = rows
+        w_p = np.zeros(pad, np.float32)
+        w_p[:total] = w
+        bins_p = np.zeros(pad, np.int32)
+        bins_p[:total] = bin_per_post
         self._sketch, self._sketch_scale = build_impact_sketch(
-            jnp.asarray(rows.astype(np.int32)), jnp.asarray(ws), jnp.asarray(bins),
+            jnp.asarray(rows_p), jnp.asarray(w_p), jnp.asarray(bins_p),
             num_docs, self.sketch_dim,
         )
         self._sketch_rows = num_docs
@@ -296,14 +375,14 @@ class BM25Index:
             for term in dict.fromkeys(terms):
                 tid = self.vocab.get(term)
                 if tid is not None:
-                    out[qi, self._bin_of(tid, term)] += 1
+                    out[qi, self._bin_of(tid)] += 1
         return out
 
+    # -- page table --------------------------------------------------------
     def make_pages(self, queries: Sequence[str]) -> Dict[str, np.ndarray]:
-        """Build the per-batch page table (host; KBs).
-
-        Each page covers PAGE_SIZE consecutive postings of one (query, term).
-        The per-query posting budget favors rare (high-idf) terms first."""
+        """Build the per-batch page table (host; KBs). Each page covers
+        PAGE_SIZE consecutive postings of one (query, term); the per-query
+        posting budget favors rare (high-idf) terms first."""
         starts_l: List[int] = []
         lens_l: List[int] = []
         qidx_l: List[int] = []
@@ -339,6 +418,7 @@ class BM25Index:
             idf[: len(idf_l)] = idf_l
         return {"start": start, "len": plen, "qidx": qidx, "idf": idf}
 
+    # -- search ------------------------------------------------------------
     def search_rows(
         self,
         query: str,
@@ -357,7 +437,7 @@ class BM25Index:
         valid_mask: Optional[jnp.ndarray] = None,
         num_rows: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched BM25 scoring in one device program."""
+        """Batched exact BM25 scoring in one device program."""
         bq = len(queries)
         if self.num_docs == 0:
             return (np.full((bq, top_k), -1e30, np.float32),
@@ -394,27 +474,45 @@ class BM25Index:
 
     # -- serialization -----------------------------------------------------
     def to_dict(self) -> Dict:
-        """v2 format: tokens per row; stats rebuilt on load
-        (reference `bm25_index.py:275-327`)."""
+        """v3 format: per-row (term, tf) pairs + length; stats rebuilt on
+        load (reference's v2 stores raw token lists, `bm25_index.py:275-327` —
+        counts are the sufficient statistic)."""
         return {
-            "version": 2,
+            "version": 3,
             "k1": self.k1,
             "b": self.b,
-            "docs": {str(row): toks for row, toks in self.doc_tokens.items()},
+            "docs": {
+                str(row): {"l": self.doc_lens[row],
+                           "t": [[self.terms[tid], tf] for tid, tf in pairs]}
+                for row, pairs in self.doc_terms.items()
+            },
         }
 
     @classmethod
     def from_dict(cls, data: Dict, **kwargs) -> "BM25Index":
         idx = cls(k1=float(data.get("k1", 1.5)), b=float(data.get("b", 0.75)), **kwargs)
-        for row, tokens in data.get("docs", {}).items():
-            idx.add_document(int(row), list(tokens))
+        for row, payload in data.get("docs", {}).items():
+            if isinstance(payload, dict):  # v3
+                idx.add_document_counts(
+                    int(row), [(t, int(tf)) for t, tf in payload["t"]],
+                    int(payload["l"]))
+            else:  # v2 token lists
+                idx.add_document(int(row), list(payload))
         return idx
+
+    def doc_payload(self, row: int) -> Optional[Dict]:
+        """Persistence payload for one row (used by PersistentBM25Index)."""
+        pairs = self.doc_terms.get(row)
+        if pairs is None:
+            return None
+        return {"l": self.doc_lens[row],
+                "t": [[self.terms[tid], tf] for tid, tf in pairs]}
 
     def get_stats(self) -> Dict:
         return {
             "num_docs": self.num_docs,
-            "num_terms": len(self.vocab),
-            "total_postings": sum(len(p) for p in self.postings),
+            "num_terms": len(self.terms),
+            "total_postings": int(self._base_start[-1]) + sum(len(d) for d in self.delta.values()),
             "avgdl": self.avgdl,
             "removed_pending": len(self.removed),
         }
@@ -451,17 +549,23 @@ class PersistentBM25Index:
             with gzip.open(p, "rt", encoding="utf-8") as fh:
                 data = json.load(fh)
             docs = data.get("docs", {})
-            k1 = float(data.get("k1", self._index.k1))
-            b = float(data.get("b", self._index.b))
-            idx = BM25Index(k1=k1, b=b,
+            idx = BM25Index(k1=float(data.get("k1", self._index.k1)),
+                            b=float(data.get("b", self._index.b)),
                             max_query_terms=self._index.max_query_terms,
-                            max_postings=self._index.max_postings)
+                            max_postings=self._index.max_postings,
+                            sketch_dim=self._index.sketch_dim)
             resolved = 0
-            for key, tokens in docs.items():
+            for key, payload in docs.items():
                 row = self.store.row_of(key) if hasattr(self.store, "row_of") else None
-                if row is not None:
-                    idx.add_document(row, list(tokens))
-                    resolved += 1
+                if row is None:
+                    continue
+                if isinstance(payload, dict):
+                    idx.add_document_counts(
+                        row, [(t, int(tf)) for t, tf in payload["t"]],
+                        int(payload["l"]))
+                else:
+                    idx.add_document(row, list(payload))
+                resolved += 1
             self._index = idx
             logger.info("loaded BM25 index from %s (%d/%d docs resolved)",
                         p, resolved, len(docs))
@@ -473,14 +577,14 @@ class PersistentBM25Index:
             self._ensure_loaded()
             p = Path(self.path)
             p.parent.mkdir(parents=True, exist_ok=True)
-            # persist by doc_id, resolved through the store's row map
             docs = {}
             row_to_id = getattr(self.store, "id_for_row", None)
-            for row, tokens in self._index.doc_tokens.items():
+            for row in self._index.doc_terms:
                 key = row_to_id(row) if row_to_id else str(row)
                 if key is not None:
-                    docs[key] = tokens
-            payload = {"version": 2, "k1": self._index.k1, "b": self._index.b, "docs": docs}
+                    docs[key] = self._index.doc_payload(row)
+            payload = {"version": 3, "k1": self._index.k1, "b": self._index.b,
+                       "docs": docs}
             tmp = str(p) + ".tmp"
             with gzip.open(tmp, "wt", encoding="utf-8") as fh:
                 json.dump(payload, fh)
@@ -509,21 +613,25 @@ class PersistentBM25Index:
             return self._index.remove_document(row)
 
     def build_from_store(self) -> int:
-        """Full rebuild from the vector store (reference `bm25_index.py:574`)."""
+        """Full rebuild from the vector store in one native bulk pass
+        (reference `bm25_index.py:574`)."""
         with self._lock:
             self._ensure_loaded()
-            self._index = BM25Index(k1=self._index.k1, b=self._index.b,
-                                    max_query_terms=self._index.max_query_terms,
-                                    max_postings=self._index.max_postings)
-            n = 0
+            rows: List[int] = []
+            texts: List[str] = []
             for doc_id in self.store.list_doc_ids_with_embeddings():
                 doc = self.store.get_doc(doc_id)
                 row = self.store.row_of(doc_id)
                 if doc is not None and row is not None:
-                    self._index.add_document(row, doc.content)
-                    n += 1
+                    rows.append(row)
+                    texts.append(doc.content)
+            self._index = BM25Index(k1=self._index.k1, b=self._index.b,
+                                    max_query_terms=self._index.max_query_terms,
+                                    max_postings=self._index.max_postings,
+                                    sketch_dim=self._index.sketch_dim)
+            self._index.bulk_build(rows, texts)
             self.save()
-            return n
+            return len(rows)
 
     def sync_with_store(self) -> Tuple[int, int]:
         """Diff against store ids; add new, remove stale
@@ -540,12 +648,21 @@ class PersistentBM25Index:
             for row in indexed - set(store_rows):
                 self._index.remove_document(row)
                 removed += 1
+            new_rows: List[int] = []
+            new_texts: List[str] = []
             for row, doc_id in store_rows.items():
                 if row not in indexed:
                     doc = self.store.get_doc(doc_id)
                     if doc is not None:
-                        self._index.add_document(row, doc.content)
-                        added += 1
+                        new_rows.append(row)
+                        new_texts.append(doc.content)
+            if new_rows:
+                if not indexed and not removed:
+                    self._index.bulk_build(new_rows, new_texts)  # fresh: native path
+                else:
+                    for row, text in zip(new_rows, new_texts):
+                        self._index.add_document(row, text)
+                added = len(new_rows)
             if added or removed:
                 self.save()
             return added, removed

@@ -104,7 +104,7 @@ def _search_program(
 class DeviceVectorIndex:
     """Append-only device-resident dense index over one row space."""
 
-    QUERY_BUCKETS = (1, 4, 16, 64, 256)
+    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
 
     def __init__(
         self,

@@ -73,10 +73,17 @@ class TpuVectorStore(BaseVectorStore):
         return LEVEL_CODES.get(level, LEVEL_CODES["other"])
 
     def _default_mode(self) -> str:
+        """Stage-1 scan for the default (quantized) path.
+
+        precision "both" stores binary AND int8 codes (reference semantics);
+        the int8 MXU matmul is the default stage-1 because it is the most
+        robust compile on current toolchains — the popcount Hamming scan
+        remains selectable via precision="binary" and wins when HBM capacity
+        is the binding constraint (48B vs 384B per doc)."""
         q = self.quantization
         if not q.enabled:
             return "exact"
-        return {"binary": "binary", "int8": "int8", "both": "binary"}[q.precision]
+        return {"binary": "binary", "int8": "int8", "both": "int8"}[q.precision]
 
     # -- BaseVectorStore ---------------------------------------------------
     def ping(self) -> bool:
@@ -146,7 +153,7 @@ class TpuVectorStore(BaseVectorStore):
             mode = self._default_mode()
         elif quantized:
             q = self.quantization
-            mode = {"binary": "binary", "int8": "int8", "both": "binary"}[q.precision]
+            mode = {"binary": "binary", "int8": "int8", "both": "int8"}[q.precision]
         else:
             mode = "exact"
         level_code = -1 if not doc_level_filter else self._level_code(doc_level_filter)

@@ -93,3 +93,27 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 384)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_train_checkpoint_roundtrip(tmp_path, rng):
+    from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+    from radiant_rag_tpu.parallel.train import make_train_state, contrastive_train_step
+
+    mesh = create_mesh(data=2, model=1)
+    state, model, tx, _ = make_train_state(TINY, mesh, learning_rate=1e-3)
+    step, place_batch = contrastive_train_step(model, tx, mesh)
+    batch = place_batch({
+        "q_ids": rng.integers(0, 256, (4, 8)).astype(np.int32),
+        "q_mask": np.ones((4, 8), np.int32),
+        "d_ids": rng.integers(0, 256, (4, 8)).astype(np.int32),
+        "d_mask": np.ones((4, 8), np.int32),
+    })
+    state, _ = step(state, batch)
+    ckpt = TrainCheckpointer(str(tmp_path / "ckpt"))
+    ckpt.save(int(state.step), jax.device_get(state))
+    assert ckpt.latest_step() == 1
+    restored = ckpt.restore(template=jax.device_get(state))
+    leaves_a = jax.tree.leaves(jax.device_get(state.params))
+    leaves_b = jax.tree.leaves(restored.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
