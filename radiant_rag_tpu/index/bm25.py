@@ -326,15 +326,14 @@ class BM25Index:
         """Build/refresh the (num_docs, S) int8 impact sketch on device.
 
         Each posting's exact BM25 contribution is precomputed (it depends only
-        on tf, dl, df, avgdl — all known at finalize) and scattered into
-        hashed term bins in one device program; stage-1 BM25 then becomes an
-        int8 MXU matmul (`ops/bm25.py:build_impact_sketch`)."""
+        on tf, dl, df, avgdl — all known at finalize) and aggregated into
+        hashed term bins host-side with np.bincount (a device scatter into
+        num_docs*S elements is pathological at scale); stage-1 BM25 is then an
+        int8 MXU matmul (`ops/bm25.py:bm25_sketch_scores`)."""
         if self.sketch_dim <= 0:
             return
         if not self._sketch_dirty and self._sketch_rows >= num_docs:
             return
-        from radiant_rag_tpu.ops.bm25 import build_impact_sketch
-
         self._finalize_csr()
         avgdl = max(self.avgdl, 1e-6)
         dl_arr = np.zeros((num_docs,), np.float32)
@@ -353,17 +352,15 @@ class BM25Index:
         dl = dl_arr[np.minimum(rows, num_docs - 1)]
         denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
         w = idf_per_post * tfs * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
-        pad = _next_pow2(max(total, 1), floor=256)
-        rows_p = np.zeros(pad, np.int32)
-        rows_p[:total] = rows
-        w_p = np.zeros(pad, np.float32)
-        w_p[:total] = w
-        bins_p = np.zeros(pad, np.int32)
-        bins_p[:total] = bin_per_post
-        self._sketch, self._sketch_scale = build_impact_sketch(
-            jnp.asarray(rows_p), jnp.asarray(w_p), jnp.asarray(bins_p),
-            num_docs, self.sketch_dim,
-        )
+        # Host aggregation: bincount is the C-speed scatter-add (a device
+        # scatter into num_docs*S elements compiles pathologically at scale).
+        flat = rows.astype(np.int64) * self.sketch_dim + bin_per_post
+        dense = np.bincount(flat, weights=w.astype(np.float64),
+                            minlength=num_docs * self.sketch_dim)
+        scale = max(float(dense.max()) / 127.0, 1e-6)
+        sketch_host = np.clip(np.round(dense / scale), 0, 127).astype(np.int8)
+        self._sketch = jnp.asarray(sketch_host.reshape(num_docs, self.sketch_dim))
+        self._sketch_scale = jnp.asarray(scale, jnp.float32)
         self._sketch_rows = num_docs
         self._sketch_dirty = False
 

@@ -175,22 +175,3 @@ def bm25_sketch_scores(sketch, scale, qind, mask):
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
     return scores
-
-
-@partial(jax.jit, static_argnames=("num_docs", "sketch_dim"))
-def build_impact_sketch(
-    post_rows: jax.Array,  # (Ptot,) int32
-    post_w: jax.Array,  # (Ptot,) f32 precomputed impact weights (0 = pad)
-    post_bin: jax.Array,  # (Ptot,) int32 hash bin of the posting's term
-    num_docs: int,
-    sketch_dim: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """One-time device build: scatter impacts -> (N, S) int8 + scale."""
-    flat = post_rows * sketch_dim + post_bin
-    flat = jnp.where(post_w > 0.0, flat, num_docs * sketch_dim)  # drop pads
-    dense = jnp.zeros((num_docs * sketch_dim,), jnp.float32).at[flat].add(
-        post_w, mode="drop"
-    ).reshape(num_docs, sketch_dim)
-    scale = jnp.maximum(jnp.max(dense) / 127.0, 1e-6)
-    sketch = jnp.clip(jnp.round(dense / scale), 0, 127).astype(jnp.int8)
-    return sketch, scale
