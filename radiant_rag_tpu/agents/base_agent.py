@@ -91,6 +91,11 @@ class BaseAgent:
 
     name: str = "base"
     category: AgentCategory = AgentCategory.UTILITY
+    # Optional process-wide exporter sink (UnifiedMetrics); set by the
+    # orchestrator when Prometheus/OTel export is configured. Every run()
+    # reports its AgentMetrics through it (reference exports per-agent
+    # executions/duration/confidence, `utils/metrics_export.py:95-201`).
+    metrics_sink = None
 
     def __init__(self, enabled: bool = True) -> None:
         self.enabled = enabled
@@ -146,6 +151,11 @@ class BaseAgent:
                 )
         metrics.ended = time.time()
         self._total_ms += metrics.duration_ms
+        if BaseAgent.metrics_sink is not None:
+            try:
+                BaseAgent.metrics_sink.record_agent(metrics)
+            except Exception:  # export must never break the pipeline
+                pass
         return AgentResult(data=data, success=success, status=status, error=error,
                            warnings=warnings, metrics=metrics)
 

@@ -57,6 +57,14 @@ def _set_rows_false(valid: jax.Array, rows: jax.Array) -> jax.Array:
     return valid.at[rows].set(False, mode="drop")
 
 
+@jax.jit
+def _mask_program(valid, level, lang, level_code, lang_code):
+    mask = valid
+    mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
+    mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
+    return mask
+
+
 @partial(jax.jit, static_argnames=("k", "kc", "mode"))
 def _search_program(
     vecs: jax.Array,
@@ -124,6 +132,8 @@ class DeviceVectorIndex:
         # identity dequant until calibration
         self.i8_lo = jnp.full((dim,), -1.0, jnp.float32)
         self.i8_hi = jnp.full((dim,), 1.0, jnp.float32)
+        # optional graph engine (HNSW-equivalent; built on demand)
+        self.graph = None
 
     # -- allocation --------------------------------------------------------
     def _alloc(self, cap: int) -> None:
@@ -220,6 +230,37 @@ class DeviceVectorIndex:
         self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
         self._calibrated = True
 
+    # -- graph (HNSW-equivalent) -------------------------------------------
+    def build_graph(self, degree: int = 16, n_long_edges: int = 4,
+                    n_entry_points: int = 16, steps: int = 6) -> None:
+        """Build the KNN-graph engine over current rows (`index/graph.py`).
+
+        Like HNSW builds (reference efC=200 insert passes), this is an
+        offline step; incremental appends fall back to the flat scan until
+        the next build."""
+        from radiant_rag_tpu.index.graph import GraphIndex
+
+        if self.count == 0:
+            return
+        self.graph = GraphIndex(degree=degree, n_long_edges=n_long_edges,
+                                n_entry_points=n_entry_points, steps=steps)
+        self.graph.build(np.asarray(self.vecs[: self.count]),
+                         valid=np.asarray(self.valid[: self.count]))
+
+    def _graph_search(self, queries: np.ndarray, k: int, ef: int,
+                      level_code: int, lang_code: int) -> Tuple[np.ndarray, np.ndarray]:
+        mask = _mask_program(self.valid, self.level, self.lang,
+                             jnp.asarray(level_code, jnp.int32),
+                             jnp.asarray(lang_code, jnp.int32))
+        # graph covers rows [0, built_rows); newer rows are masked out here
+        # and callers should rebuild or use flat mode for full coverage
+        built = self.graph.built_rows
+        if built < self.capacity:
+            mask = mask & (jnp.arange(self.capacity) < built)
+        s, i = self.graph.search(self.vecs[:built], queries, k, ef=ef,
+                                 mask=mask[:built])
+        return s, i
+
     # -- queries -----------------------------------------------------------
     def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
         b = queries.shape[0]
@@ -248,6 +289,19 @@ class DeviceVectorIndex:
         if self.count == 0:
             b = queries.shape[0]
             return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
+        if mode == "graph":
+            if self.graph is None or self.graph.built_rows == 0:
+                mode = "int8"  # graph not built -> flat fallback
+            else:
+                kg = min(k, self.graph.built_rows)
+                s, i = self._graph_search(
+                    np.asarray(queries, np.float32), kg,
+                    ef=int(ef_runtime or max(64, 4 * k)),
+                    level_code=level_code, lang_code=lang_code)
+                if kg < k:
+                    s = np.pad(s, ((0, 0), (0, k - kg)), constant_values=-1e30)
+                    i = np.pad(i, ((0, 0), (0, k - kg)), constant_values=-1)
+                return s, i
         k_eff = min(k, self.capacity)
         kc = int(max(k_eff, round(k_eff * rescore_multiplier)))
         if ef_runtime:

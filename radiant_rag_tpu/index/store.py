@@ -81,9 +81,18 @@ class TpuVectorStore(BaseVectorStore):
         remains selectable via precision="binary" and wins when HBM capacity
         is the binding constraint (48B vs 384B per doc)."""
         q = self.quantization
+        if self.index_config.use_graph and self.engine.graph is not None \
+                and self.engine.graph.built_rows > 0:
+            return "graph"
         if not q.enabled:
             return "exact"
         return {"binary": "binary", "int8": "int8", "both": "int8"}[q.precision]
+
+    def build_graph(self) -> None:
+        """Build the HNSW-equivalent graph engine over current rows
+        (reference analog: RediSearch index construction with M/efC,
+        `redis_store.py:260-276`)."""
+        self.engine.build_graph(degree=self.index_config.graph_degree)
 
     # -- BaseVectorStore ---------------------------------------------------
     def ping(self) -> bool:

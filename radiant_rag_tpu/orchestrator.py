@@ -122,6 +122,7 @@ class RAGOrchestrator:
         conversation_manager=None,
         web_crawler=None,
         metrics_collector=None,
+        metrics_exporter=None,
     ) -> None:
         self.config = config
         self.store = store
@@ -131,6 +132,20 @@ class RAGOrchestrator:
         self.conversation_manager = conversation_manager
         self.metrics_collector = metrics_collector
         cfg = config
+        if metrics_exporter is None and (cfg.metrics.prometheus_enabled or cfg.metrics.otel_enabled):
+            from radiant_rag_tpu.utils.metrics_export import UnifiedMetrics
+
+            metrics_exporter = UnifiedMetrics.create(
+                prometheus_enabled=cfg.metrics.prometheus_enabled,
+                prometheus_port=cfg.metrics.prometheus_port,
+                otel_enabled=cfg.metrics.otel_enabled,
+                otel_endpoint=cfg.metrics.otel_endpoint,
+            )
+        self.metrics_exporter = metrics_exporter
+        if metrics_exporter is not None:
+            from radiant_rag_tpu.agents.base_agent import BaseAgent
+
+            BaseAgent.metrics_sink = metrics_exporter
 
         # fused device retrieval path (hybrid fast path)
         self._hybrid = None
