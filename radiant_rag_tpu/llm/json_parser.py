@@ -29,15 +29,20 @@ class JSONParser:
         m = _FENCE_RE.search(text)
         if m:
             return m.group(1).strip()
+        # whichever bracket opens FIRST wins (an array of objects must parse
+        # as the array, not as its first object)
+        candidates = []
         for open_ch, close_ch in (("{", "}"), ("[", "]")):
             start = text.find(open_ch)
-            if start < 0:
-                continue
-            end = text.rfind(close_ch)
-            if end > start:
-                return text[start : end + 1]
-            return text[start:]  # truncated — repair later
-        return None
+            if start >= 0:
+                candidates.append((start, open_ch, close_ch))
+        if not candidates:
+            return None
+        start, open_ch, close_ch = min(candidates)
+        end = text.rfind(close_ch)
+        if end > start:
+            return text[start : end + 1]
+        return text[start:]  # truncated — repair later
 
     @staticmethod
     def strip_comments(text: str) -> str:
