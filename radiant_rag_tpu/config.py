@@ -106,6 +106,7 @@ class RerankConfig:
 class EmbeddingConfig:
     """Embedding model (reference `config.py:176-179`)."""
 
+    backend: str = "jax"  # jax | openai_compatible
     model_name: str = "minilm-l12"
     weights_path: str = ""  # local flax/HF weights; empty => deterministic init
     dim: int = 384
@@ -124,6 +125,7 @@ class EmbeddingConfig:
 class CrossEncoderConfig:
     """Cross-encoder model (reference `config.py:177`)."""
 
+    backend: str = "jax"  # jax | llm
     model_name: str = "minilm-l12-cross"
     weights_path: str = ""
     max_seq_len: int = 384

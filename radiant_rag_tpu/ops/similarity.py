@@ -101,20 +101,25 @@ def hamming_scan_topk(
     b = qcodes.shape[0]
     dim = w * 32
 
-    chunk = HAMMING_CHUNK
-    while chunk > n:
-        chunk //= 2
-    chunk = max(chunk, 1)
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    if n_pad != n:
-        codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
+    from radiant_rag_tpu.ops.pallas_kernels import TILE_N, hamming_scores_pallas, use_pallas
 
-    def body(c):  # c: (chunk, W)
-        x = jax.lax.population_count(c[None, :, :] ^ qcodes[:, None, :])  # (B, chunk, W)
-        return jnp.sum(x.astype(jnp.int32), axis=-1)  # (B, chunk)
+    if use_pallas() and n % TILE_N == 0 and jax.default_backend() != "cpu":
+        hamming = hamming_scores_pallas(codes, qcodes)
+    else:
+        chunk = HAMMING_CHUNK
+        while chunk > n:
+            chunk //= 2
+        chunk = max(chunk, 1)
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        if n_pad != n:
+            codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
 
-    acc = jax.lax.map(body, codes.reshape(n_pad // chunk, chunk, w))  # (n/chunk, B, chunk)
-    hamming = jnp.moveaxis(acc, 0, 1).reshape(b, n_pad)[:, :n]
+        def body(c):  # c: (chunk, W)
+            x = jax.lax.population_count(c[None, :, :] ^ qcodes[:, None, :])  # (B, chunk, W)
+            return jnp.sum(x.astype(jnp.int32), axis=-1)  # (B, chunk)
+
+        acc = jax.lax.map(body, codes.reshape(n_pad // chunk, chunk, w))  # (n/chunk, B, chunk)
+        hamming = jnp.moveaxis(acc, 0, 1).reshape(b, n_pad)[:, :n]
     scores = (dim - 2 * hamming).astype(jnp.float32) / dim
     scores = _masked(scores, mask)
     top_s, top_i = full_topk(scores, k)

@@ -265,3 +265,31 @@ def test_llm_no_retry_on_4xx():
     with pytest.raises(LLMError):
         client.chat([{"role": "user", "content": "x"}])
     assert client.backend.n == 1
+
+
+# ------------------------------------------------------- model backends -----
+def test_llm_reranking_backend():
+    from radiant_rag_tpu.llm.model_backends import LLMRerankingBackend
+
+    backend = LLMRerankingBackend(llm_client("[2, 9, 5]"))
+    ranked = backend.rerank("q", ["a", "b", "c"])
+    assert [i for i, _ in ranked] == [1, 2, 0]
+    assert ranked[0][1] == 9.0
+
+
+def test_jax_embedding_backend_factory():
+    from radiant_rag_tpu.config import AppConfig, EmbeddingConfig
+    from radiant_rag_tpu.llm.model_backends import create_embedding_backend
+    import dataclasses
+
+    cfg = dataclasses.replace(AppConfig(), embedding=EmbeddingConfig(
+        dim=32, num_layers=1, num_heads=2, hidden_dim=64, vocab_size=500,
+        max_seq_len=32, batch_size=4))
+    backend = create_embedding_backend(cfg)
+    out = backend.embed(["hello", "world"])
+    assert out.shape == (2, 32)
+    assert backend.embedding_dimension == 32
+
+
+def llm_client(default):
+    return LLMClient(backend=MockLLMBackend(default=default))
