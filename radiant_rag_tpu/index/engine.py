@@ -106,7 +106,10 @@ def _search_program(
     # Rows that came from masked-out (-inf) scores, or padded queries, are -1.
     top_i = jnp.where(top_s > sim.NEG_INF / 2, top_i, -1)
     top_i = jnp.where(qvalid[:, None], top_i, -1)
-    return top_s, top_i
+    # Pack scores+rows into ONE array: a single device->host fetch (each
+    # fetch costs fixed latency through remote-device tunnels). Rows are
+    # exact in f32 below 2^24 (16.7M rows/chip).
+    return jnp.concatenate([top_s, top_i.astype(jnp.float32)], axis=1)
 
 
 class DeviceVectorIndex:
@@ -308,7 +311,7 @@ class DeviceVectorIndex:
             kc = max(kc, int(ef_runtime))
         kc = min(max(kc, 1), self.capacity)
         qdev, qvalid, b = self._bucket_queries(np.asarray(queries, np.float32))
-        top_s, top_i = _search_program(
+        packed = _search_program(
             self.vecs, self.codes, self.i8,
             *qz.int8_scale_offset(self.i8_lo, self.i8_hi),
             self.valid, self.level, self.lang,
@@ -316,8 +319,9 @@ class DeviceVectorIndex:
             jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
             k_eff, kc, mode,
         )
-        scores = np.asarray(top_s)[:b]
-        rows = np.asarray(top_i)[:b].astype(np.int64)
+        packed = np.asarray(packed)[:b]  # one fetch
+        scores = packed[:, :k_eff]
+        rows = packed[:, k_eff:].astype(np.int64)
         if k_eff < k:
             scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-1e30)
             rows = np.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
