@@ -126,3 +126,131 @@ class ShardedFlatIndex:
         prog = self._get_program(k_eff, kc, mode)
         s, i = prog(self.vecs, self.codes, self.valid, qdev, qcodes)
         return np.asarray(s), np.asarray(i).astype(np.int64)
+
+
+def _shard_hybrid_body(
+    vecs: jax.Array,  # (rows/shard, D)
+    codes: jax.Array,  # (rows/shard, W)
+    sketch: jax.Array,  # (rows/shard, S) int8 BM25 impact sketch
+    valid: jax.Array,  # (rows/shard,)
+    queries: jax.Array,  # (B, D) replicated
+    qcodes: jax.Array,  # (B, W) replicated
+    qind: jax.Array,  # (B, S) int8 replicated
+    sketch_scale: jax.Array,  # () f32
+    dense_k: int,
+    bm25_k: int,
+    fused_k: int,
+    rrf_k: int,
+    kc: int,
+    mode: str,
+    rows_per_shard: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full hybrid on each shard; global merge + fusion over ICI.
+
+    Dense and sparse runs are merged ACROSS shards first (all_gather of
+    per-shard top-k), so RRF sees globally-correct ranks; fusion itself is
+    then computed redundantly on every device (k is tiny) — no extra
+    communication round."""
+    from radiant_rag_tpu.ops.bm25 import bm25_sketch_scores
+    from radiant_rag_tpu.ops.fusion import rrf_fuse
+
+    shard = jax.lax.axis_index(("data", "model"))
+
+    if mode == "exact":
+        ds, di = sim.exact_topk(vecs, queries, valid, dense_k)
+    else:
+        ds, di = sim.two_stage_topk(
+            vecs, queries, valid, dense_k, kc, "hamming",
+            binary_codes=codes, qbinary=qcodes)
+    gdi = jnp.where(ds > sim.NEG_INF / 2, di + shard * rows_per_shard, -1)
+
+    bm_scores = bm25_sketch_scores(sketch, sketch_scale, qind, valid)
+    bs, bi = jax.lax.top_k(bm_scores, bm25_k)
+    gbi = jnp.where(bs > 0.0, bi + shard * rows_per_shard, -1)
+
+    # global merge of each run over ICI
+    all_ds = jax.lax.all_gather(ds, ("data", "model"), axis=1, tiled=True)
+    all_di = jax.lax.all_gather(gdi, ("data", "model"), axis=1, tiled=True)
+    d_s, sel = jax.lax.top_k(all_ds, dense_k)
+    d_i = jnp.take_along_axis(all_di, sel, axis=1)
+
+    all_bs = jax.lax.all_gather(bs, ("data", "model"), axis=1, tiled=True)
+    all_bi = jax.lax.all_gather(gbi, ("data", "model"), axis=1, tiled=True)
+    b_s, sel = jax.lax.top_k(all_bs, bm25_k)
+    b_i = jnp.take_along_axis(all_bi, sel, axis=1)
+
+    f_s, f_i = rrf_fuse((d_i, b_i), k=fused_k, rrf_k=rrf_k)
+    packed = jnp.concatenate([
+        d_s, d_i.astype(jnp.float32), b_s, b_i.astype(jnp.float32),
+        f_s, f_i.astype(jnp.float32),
+    ], axis=1)
+    return packed
+
+
+class ShardedHybridIndex(ShardedFlatIndex):
+    """Corpus-sharded HYBRID retrieval: dense + BM25 sketch + RRF, one
+    shard_map program, collectives over ICI (the multi-chip form of
+    `index/hybrid.py`)."""
+
+    def __init__(self, mesh: Mesh, vecs: np.ndarray,
+                 sketch: np.ndarray,  # (N, S) int8 impact sketch rows
+                 sketch_scale: float,
+                 valid: Optional[np.ndarray] = None) -> None:
+        super().__init__(mesh, vecs, valid)
+        s = sketch.shape[1]
+        total = self.rows_per_shard * self._n_shards
+        sp = np.zeros((total, s), np.int8)
+        sp[: sketch.shape[0]] = sketch
+        mat_sharding = NamedSharding(mesh, P(("data", "model"), None))
+        self.sketch = jax.device_put(sp, mat_sharding)
+        self.sketch_scale = jnp.asarray(sketch_scale, jnp.float32)
+        self._hybrid_cache = {}
+
+    def _get_hybrid_program(self, dense_k, bm25_k, fused_k, rrf_k, kc, mode):
+        key = (dense_k, bm25_k, fused_k, rrf_k, kc, mode)
+        if key not in self._hybrid_cache:
+            body = partial(_shard_hybrid_body, dense_k=dense_k, bm25_k=bm25_k,
+                           fused_k=fused_k, rrf_k=rrf_k, kc=kc, mode=mode,
+                           rows_per_shard=self.rows_per_shard)
+            mapped = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(("data", "model"), None),  # vecs
+                          P(("data", "model"), None),  # codes
+                          P(("data", "model"), None),  # sketch
+                          P(("data", "model"),),  # valid
+                          P(), P(), P(), P()),  # queries, qcodes, qind, scale
+                out_specs=P(),
+                check_vma=False,
+            )
+            self._hybrid_cache[key] = jax.jit(mapped)
+        return self._hybrid_cache[key]
+
+    def hybrid_search(
+        self,
+        queries_dense: np.ndarray,  # (B, D)
+        qind: np.ndarray,  # (B, S) int8 query-term indicators
+        dense_k: int = 10,
+        bm25_k: int = 10,
+        fused_k: int = 15,
+        rrf_k: int = 60,
+        mode: str = "binary",
+        rescore_multiplier: float = 4.0,
+    ):
+        q = np.asarray(queries_dense, np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        dk = min(dense_k, self.rows_per_shard)
+        bk = min(bm25_k, self.rows_per_shard)
+        fk = min(fused_k, dk + bk)
+        kc = min(max(dk, int(round(dk * rescore_multiplier))), self.rows_per_shard)
+        qdev = jnp.asarray(q)
+        qcodes = qz.pack_binary(qdev)
+        prog = self._get_hybrid_program(dk, bk, fk, rrf_k, kc, mode)
+        packed = np.asarray(prog(self.vecs, self.codes, self.sketch, self.valid,
+                                 qdev, qcodes, jnp.asarray(qind), self.sketch_scale))
+        out = {}
+        off = 0
+        for name, k in (("dense", dk), ("bm25", bk), ("fused", fk)):
+            out[name] = (packed[:, off: off + k].copy(),
+                         packed[:, off + k: off + 2 * k].astype(np.int64))
+            off += 2 * k
+        return out

@@ -117,3 +117,38 @@ def test_train_checkpoint_roundtrip(tmp_path, rng):
     leaves_b = jax.tree.leaves(restored.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_sharded_hybrid_matches_single_device(rng):
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.parallel.sharded_index import ShardedHybridIndex
+
+    mesh = create_mesh(data=4, model=2)
+    n, d = 700, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    texts = [f"token{i % 37} shared{i % 5} word{i}" for i in range(n)]
+    bm25 = BM25Index(sketch_dim=256)
+    bm25.bulk_build(list(range(n)), texts)
+    bm25.ensure_sketch(n)
+    sketch = np.asarray(bm25._sketch)
+    scale = float(np.asarray(bm25._sketch_scale))
+
+    idx = ShardedHybridIndex(mesh, vecs, sketch, scale)
+    queries = vecs[100:104]
+    qind = bm25.make_query_indicator(["token7 shared2", "word5", "token0", "shared4 word9"])
+    res = idx.hybrid_search(queries, qind, dense_k=5, bm25_k=5, fused_k=8, mode="exact")
+
+    # dense run must match a single-device oracle exactly
+    oracle = queries @ vecs.T
+    for qi in range(4):
+        expect = list(np.argsort(-oracle[qi])[:5])
+        got = [int(x) for x in res["dense"][1][qi] if x >= 0]
+        assert got == expect, (qi, got, expect)
+    # bm25 hits reference rows whose text contains the query terms
+    hits0 = [int(x) for x in res["bm25"][1][0] if x >= 0]
+    assert hits0
+    assert any("token7" in texts[r] or "shared2" in texts[r] for r in hits0)
+    # fused is union-ranked, bounded, and ids valid
+    fused = [int(x) for x in res["fused"][1][0] if x >= 0]
+    assert fused and all(0 <= r < n for r in fused)
