@@ -341,6 +341,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("simple-query", help="minimal RAG (no agents)")
     p.add_argument("question")
 
+    p = sub.add_parser("train", help="fine-tune the embedder on the indexed corpus")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--checkpoint-dir", default="./data/embedder_ckpt")
+
     sub.add_parser("interactive", help="interactive query loop")
     sub.add_parser("stats", help="index and pipeline statistics")
     sub.add_parser("health", help="component health check")
@@ -395,6 +401,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if not q:
                 break
             display_answer(app.query(q, conversation_id=cid))
+    elif args.command == "train":
+        from radiant_rag_tpu.parallel.data import train_embedder
+
+        metrics = train_embedder(
+            app.store, config.embedding, steps=args.steps,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            checkpoint_dir=args.checkpoint_dir)
+        print(json.dumps(metrics))
     elif args.command == "stats":
         display_stats(app.get_stats())
     elif args.command == "health":

@@ -99,8 +99,11 @@ class HashTokenizer(_BaseTokenizer):
     """Deterministic hash tokenizer (no vocab file needed)."""
 
     def __init__(self, vocab_size: int = 30522) -> None:
+        if vocab_size < 128:
+            raise ValueError("HashTokenizer needs vocab_size >= 128 (special ids < 103)")
         self.vocab_size = vocab_size
-        self._reserved = 999  # ids below this are special/unused
+        # ids below this are special/unused; scale down for tiny test vocabs
+        self._reserved = min(999, max(103, vocab_size // 4))
 
     def tokenize_ids(self, text: str) -> List[int]:
         words = _WORD_RE.findall(text.lower())

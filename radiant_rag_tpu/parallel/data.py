@@ -1,0 +1,123 @@
+"""Contrastive training data: (pseudo-query, document) pairs from the corpus.
+
+The reference consumes a frozen embedder; this framework can fine-tune its
+own on the indexed corpus without labels via the standard pseudo-query
+construction (ICT-style): the "query" is a sampled span/leading sentence of a
+chunk, the positive is the chunk itself, and in-batch negatives complete the
+InfoNCE objective (`parallel/train.py`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def make_pseudo_query(text: str, rng: np.random.Generator,
+                      max_words: int = 12) -> str:
+    """A query-like span: the lead sentence, or a random window of words."""
+    sentences = [s for s in _SENT_RE.split(text[:1000]) if len(s.split()) >= 3]
+    if sentences and rng.random() < 0.5:
+        return " ".join(sentences[0].split()[:max_words])
+    words = text.split()
+    if len(words) <= max_words:
+        return text
+    start = int(rng.integers(0, max(1, len(words) - max_words)))
+    return " ".join(words[start : start + max_words])
+
+
+class ContrastivePairSampler:
+    """Batches of tokenized (query, doc) pairs from stored documents."""
+
+    def __init__(self, texts: Sequence[str], tokenizer, batch_size: int = 32,
+                 max_seq_len: int = 128, seed: int = 0) -> None:
+        if len(texts) < batch_size:
+            raise ValueError(f"need >= {batch_size} docs, have {len(texts)}")
+        self.texts = list(texts)
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_seq_len = max_seq_len
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_store(cls, store, tokenizer, **kwargs) -> "ContrastivePairSampler":
+        texts = [store.get_doc(i).content for i in store.list_doc_ids_with_embeddings()]
+        return cls(texts, tokenizer, **kwargs)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield self.next_batch()
+
+    def next_batch(self) -> Dict[str, np.ndarray]:
+        idx = self.rng.choice(len(self.texts), self.batch_size, replace=False)
+        docs = [self.texts[i] for i in idx]
+        queries = [make_pseudo_query(d, self.rng) for d in docs]
+        q_ids, q_mask, _ = self.tokenizer.encode_batch(queries, self.max_seq_len)
+        d_ids, d_mask, _ = self.tokenizer.encode_batch(docs, self.max_seq_len)
+        # pad query/doc to a shared length so the encoder sees one shape
+        s = max(q_ids.shape[1], d_ids.shape[1])
+
+        def padto(a):
+            return np.pad(a, ((0, 0), (0, s - a.shape[1])))
+
+        return {"q_ids": padto(q_ids), "q_mask": padto(q_mask),
+                "d_ids": padto(d_ids), "d_mask": padto(d_mask)}
+
+
+def train_embedder(
+    store,
+    embedding_config,
+    mesh=None,
+    steps: int = 100,
+    batch_size: int = 32,
+    learning_rate: float = 2e-5,
+    checkpoint_dir: str = "",
+    log_every: int = 10,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh)."""
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.models.bert import BertConfig
+    from radiant_rag_tpu.models.tokenizer import load_tokenizer
+    from radiant_rag_tpu.parallel.mesh import create_mesh
+    from radiant_rag_tpu.parallel.train import contrastive_train_step, make_train_state
+
+    cfg = embedding_config
+    bert_cfg = BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.dim, num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads, intermediate_size=cfg.hidden_dim,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    mesh = mesh or create_mesh()
+    state, model, tx, _ = make_train_state(bert_cfg, mesh, learning_rate, seed=seed)
+    step_fn, place_batch = contrastive_train_step(model, tx, mesh)
+    tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)
+    sampler = ContrastivePairSampler.from_store(
+        store, tokenizer, batch_size=batch_size,
+        max_seq_len=min(cfg.max_seq_len, 128), seed=seed)
+
+    ckpt = None
+    if checkpoint_dir:
+        from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(checkpoint_dir)
+
+    import jax
+    import logging
+
+    logger = logging.getLogger(__name__)
+    last = {}
+    for i in range(steps):
+        batch = place_batch(sampler.next_batch())
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            logger.info("step %d/%d loss=%.4f acc=%.3f", i + 1, steps,
+                        last["loss"], last["accuracy"])
+    if ckpt is not None:
+        ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+    return last

@@ -152,3 +152,28 @@ def test_sharded_hybrid_matches_single_device(rng):
     # fused is union-ranked, bounded, and ids valid
     fused = [int(x) for x in res["fused"][1][0] if x >= 0]
     assert fused and all(0 <= r < n for r in fused)
+
+
+def test_contrastive_sampler_and_train_embedder(tmp_path, rng):
+    from radiant_rag_tpu.config import EmbeddingConfig, IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.parallel.data import ContrastivePairSampler, make_pseudo_query, train_embedder
+
+    r = np.random.default_rng(0)
+    q = make_pseudo_query("One sentence here. Another sentence follows with words.", r)
+    assert 1 <= len(q.split()) <= 12
+
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=256))
+    docs = [(f"document number {i} about topic {i%5} with several extra words", {},
+             r.standard_normal(16)) for i in range(40)]
+    store.upsert_batch(docs)
+
+    cfg = EmbeddingConfig(dim=16, num_layers=1, num_heads=2, hidden_dim=32,
+                          vocab_size=300, max_seq_len=32, batch_size=8, dtype="float32")
+    metrics = train_embedder(store, cfg, mesh=create_mesh(data=4, model=2),
+                             steps=3, batch_size=8, log_every=1,
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    assert np.isfinite(metrics["loss"])
+    from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+    assert TrainCheckpointer(str(tmp_path / "ckpt")).latest_step() == 3
