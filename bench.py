@@ -68,8 +68,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
     for s in range(0, n, chunk):
         engine.append(vecs[s : s + chunk], levels[s : s + chunk], langs[s : s + chunk], doc_lens[s : s + chunk])
     bm25 = BM25Index()
-    for row, t in enumerate(texts):
-        bm25.add_document(row, t)
+    bm25.bulk_build(list(range(n)), texts)  # native C++ single-pass build
     bm25._finalize_csr()
     searcher = HybridSearcher(engine, bm25)
     build_s = time.perf_counter() - t0
@@ -94,7 +93,18 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
     med = float(np.median(times))
     qps = BATCH / med
     log(f"tpu hybrid: {med*1000:.1f} ms / {BATCH}-query batch -> {qps:.1f} QPS")
-    return qps, build_s, (fs, frows)
+
+    # recall@10 of the quantized dense stage vs the exact scan (on-device oracle)
+    qd = queries_dense[:BATCH]
+    _, approx_rows = engine.search(qd, TOP_K, mode=DENSE_MODE)
+    _, exact_rows = engine.search(qd, TOP_K, mode="exact")
+    recall = np.mean([
+        len(set(approx_rows[i][approx_rows[i] >= 0]) & set(exact_rows[i][exact_rows[i] >= 0]))
+        / max(1, (exact_rows[i] >= 0).sum())
+        for i in range(BATCH)
+    ])
+    log(f"dense recall@{TOP_K} vs exact: {recall:.3f}")
+    return qps, build_s, float(recall)
 
 
 def bench_cpu_reference(vecs, texts, queries_dense, queries_text):
@@ -162,7 +172,7 @@ def main():
     queries_dense /= np.linalg.norm(queries_dense, axis=1, keepdims=True)
     queries_text = [" ".join(texts[i].split()[:6]) for i in qidx]
 
-    tpu_qps, build_s, _ = bench_tpu(vecs, texts, queries_dense, queries_text)
+    tpu_qps, build_s, recall = bench_tpu(vecs, texts, queries_dense, queries_text)
     cpu_qps = bench_cpu_reference(vecs, texts, queries_dense, queries_text)
 
     result = {
@@ -176,6 +186,7 @@ def main():
             "batch_size": BATCH,
             "top_k": TOP_K,
             "dense_mode": DENSE_MODE + "+fp32_rescore",
+            "dense_recall_at_10_vs_exact": round(recall, 4),
         },
     }
     print(json.dumps(result))
