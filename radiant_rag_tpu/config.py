@@ -43,6 +43,9 @@ class IndexConfig:
     graph_ef_construction: int = 200
     graph_ef_runtime: int = 100
     use_graph: bool = False  # flat/quantized scan is default engine
+    # memory-tier mode: drop fp32 vectors from HBM, rescore via int8 dequant
+    # (doubles per-chip corpus capacity; exact mode unavailable)
+    store_fp32: bool = True
     data_dir: str = "./data/index"
 
 

@@ -94,6 +94,7 @@ def _search_program(
         top_s, top_i = sim.two_stage_topk(
             vecs, queries, mask, k, kc, "hamming",
             binary_codes=codes, qbinary=qbin,
+            int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
         )
     elif mode == "int8":
         top_s, top_i = sim.two_stage_topk(
@@ -123,12 +124,19 @@ class DeviceVectorIndex:
         initial_capacity: int = 4096,
         calibration_sample: int = 4096,
         device=None,
+        store_fp32: bool = True,
     ) -> None:
+        """store_fp32=False is the memory-tier mode for very large corpora:
+        fp32 vectors are NOT kept in HBM (1.5KB/doc saved at 384-dim);
+        rescoring dequantizes int8 candidates instead (recall cost is small —
+        the exact path and on-line recalibration become unavailable, so
+        calibrate up-front via int8_ranges or the first >=64-row append)."""
         self.dim = dim
         self.words = qz.packed_words(dim)
         self.count = 0
         self.capacity = _next_pow2(max(initial_capacity, 256))
         self.device = device
+        self.store_fp32 = store_fp32
         self._calibrated = False
         self.calibration_sample = calibration_sample
         self._alloc(self.capacity)
@@ -140,7 +148,7 @@ class DeviceVectorIndex:
 
     # -- allocation --------------------------------------------------------
     def _alloc(self, cap: int) -> None:
-        self.vecs = jnp.zeros((cap, self.dim), jnp.float32)
+        self.vecs = jnp.zeros((cap if self.store_fp32 else 0, self.dim), jnp.float32)
         self.codes = jnp.zeros((cap, self.words), jnp.uint32)
         self.i8 = jnp.zeros((cap, self.dim), jnp.int8)
         self.valid = jnp.zeros((cap,), bool)
@@ -158,7 +166,8 @@ class DeviceVectorIndex:
         def grow(arr):
             return jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
 
-        self.vecs = grow(self.vecs)
+        if self.store_fp32:
+            self.vecs = grow(self.vecs)
         self.codes = grow(self.codes)
         self.i8 = grow(self.i8)
         self.valid = grow(self.valid)
@@ -191,7 +200,13 @@ class DeviceVectorIndex:
         vpad = padded(np.asarray(vecs, np.float32), np.float32)
         start = jnp.asarray(self.count, jnp.int32)
         vdev = jnp.asarray(vpad)
-        self.vecs = _write_slab(self.vecs, vdev, start)
+        if not self._calibrated and not self.store_fp32 and p >= 64:
+            # fp32-free mode: calibrate from this first batch (no stored fp32
+            # to recalibrate from later)
+            self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(vdev[:p])
+            self._calibrated = True
+        if self.store_fp32:
+            self.vecs = _write_slab(self.vecs, vdev, start)
         self.codes = _write_slab(self.codes, qz.pack_binary(vdev), start)
         self.i8 = _write_slab(self.i8, qz.quantize_int8(vdev, self.i8_lo, self.i8_hi), start)
         vmask = np.zeros((pad_p,), bool)
@@ -203,7 +218,7 @@ class DeviceVectorIndex:
 
         rows = np.arange(self.count, self.count + p, dtype=np.int64)
         self.count += p
-        if not self._calibrated and self.count >= 64:
+        if not self._calibrated and self.store_fp32 and self.count >= 64:
             self.recalibrate()
         return rows
 
@@ -219,7 +234,7 @@ class DeviceVectorIndex:
         artifact loaded at store init; here calibration is one device program
         over the resident corpus and requantization is free (fp32 vectors are
         already in HBM)."""
-        if self.count == 0:
+        if self.count == 0 or not self.store_fp32:
             return
         n = min(self.count, self.calibration_sample)
         self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(self.vecs[:n])
@@ -230,7 +245,8 @@ class DeviceVectorIndex:
         """Load external calibration (reference `redis_store.py:176-181`)."""
         self.i8_lo = jnp.asarray(lo, jnp.float32)
         self.i8_hi = jnp.asarray(hi, jnp.float32)
-        self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
+        if self.store_fp32:
+            self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
         self._calibrated = True
 
     # -- graph (HNSW-equivalent) -------------------------------------------
@@ -292,6 +308,8 @@ class DeviceVectorIndex:
         if self.count == 0:
             b = queries.shape[0]
             return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
+        if mode in ("graph", "exact") and not self.store_fp32:
+            mode = "int8"  # fp32-free mode has no exact vectors
         if mode == "graph":
             if self.graph is None or self.graph.built_rows == 0:
                 mode = "int8"  # graph not built -> flat fallback
@@ -330,15 +348,23 @@ class DeviceVectorIndex:
     # -- stats / persistence ----------------------------------------------
     def memory_bytes(self) -> Dict[str, int]:
         return {
-            "fp32": self.capacity * self.dim * 4,
+            "fp32": (self.capacity * self.dim * 4) if self.store_fp32 else 0,
             "binary": self.capacity * self.words * 4,
             "int8": self.capacity * self.dim,
         }
 
     def to_host(self) -> Dict[str, np.ndarray]:
         n = self.count
+        if not self.store_fp32:
+            # reconstruct approximate vectors from int8 (documented precision
+            # loss; fp32-free deployments should persist source embeddings
+            # upstream if bit-exact reload matters)
+            vecs_out = np.asarray(qz.dequantize_int8(
+                self.i8[:n], self.i8_lo, self.i8_hi))
+        else:
+            vecs_out = np.asarray(self.vecs[:n])
         return {
-            "vecs": np.asarray(self.vecs[:n]),
+            "vecs": vecs_out,
             "valid": np.asarray(self.valid[:n]),
             "level": np.asarray(self.level[:n]),
             "lang": np.asarray(self.lang[:n]),

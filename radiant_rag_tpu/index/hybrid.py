@@ -38,7 +38,8 @@ def _dense_stage(vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid,
     elif mode == "binary":
         qbin = qz.pack_binary(queries)
         dense_s, dense_i = sim.two_stage_topk(
-            vecs, queries, mask, dense_k, kc, "hamming", binary_codes=codes, qbinary=qbin)
+            vecs, queries, mask, dense_k, kc, "hamming", binary_codes=codes,
+            qbinary=qbin, int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset)
     else:
         dense_s, dense_i = sim.two_stage_topk(
             vecs, queries, mask, dense_k, kc, "int8",

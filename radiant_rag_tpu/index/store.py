@@ -51,7 +51,8 @@ class TpuVectorStore(BaseVectorStore):
         self.dim = dim
         self.docstore = DocStore()
         self.engine = DeviceVectorIndex(
-            dim, initial_capacity=self.index_config.initial_capacity
+            dim, initial_capacity=self.index_config.initial_capacity,
+            store_fp32=self.index_config.store_fp32,
         )
         self.lang_codes: Dict[str, int] = {}
         if self.quantization.int8_ranges_path and os.path.isfile(self.quantization.int8_ranges_path):
@@ -220,7 +221,9 @@ class TpuVectorStore(BaseVectorStore):
 
     def drop_index(self) -> None:
         self.docstore.clear()
-        self.engine = DeviceVectorIndex(self.dim, initial_capacity=self.index_config.initial_capacity)
+        self.engine = DeviceVectorIndex(
+            self.dim, initial_capacity=self.index_config.initial_capacity,
+            store_fp32=self.index_config.store_fp32)
         self.lang_codes.clear()
 
     def count_documents(self) -> int:

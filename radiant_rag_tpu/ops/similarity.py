@@ -189,9 +189,15 @@ def two_stage_topk(
     else:
         raise ValueError(f"unknown stage1: {stage1}")
 
-    # Gather candidate vectors and rescore in full precision. Candidates that
-    # were masked out in stage 1 (-inf) must stay invalid after rescoring.
-    cand_vecs = jnp.take(corpus, cand, axis=0).astype(jnp.float32)  # (B, kc, D)
+    # Gather candidate vectors and rescore. Full fp32 when the corpus keeps
+    # fp32 vectors resident; otherwise (fp32-free memory mode) rescore against
+    # dequantized int8 — still a large accuracy step up from stage-1 scores.
+    # Candidates masked out in stage 1 (-inf) must stay invalid afterwards.
+    if corpus.shape[0] > 0:
+        cand_vecs = jnp.take(corpus, cand, axis=0).astype(jnp.float32)  # (B, kc, D)
+    else:
+        cand_i8 = jnp.take(int8_codes, cand, axis=0).astype(jnp.float32)
+        cand_vecs = cand_i8 * int8_scale[None, None, :] + int8_offset[None, None, :]
     rescored = jnp.einsum("bd,bkd->bk", queries, cand_vecs)
     rescored = jnp.where(s1 > NEG_INF / 2, rescored, NEG_INF)
     top_s, local_i = jax.lax.top_k(rescored, k)

@@ -337,7 +337,10 @@ class RAGOrchestrator:
                     ev_res = self.context_eval.run(ctx)
                     if ev_res.success and ev_res.data is not None:
                         ev = ev_res.data
-                        if ev.recommendation == "abort":
+                        exhausted_and_empty = (not ev.sufficient
+                                               and attempt >= cfg.agentic.max_critic_retries
+                                               and not ctx.context_docs)
+                        if ev.recommendation == "abort" or exhausted_and_empty:
                             result.answer = LOW_CONFIDENCE_RESPONSE
                             result.low_confidence = True
                             result.confidence = ev.confidence

@@ -185,3 +185,26 @@ def test_factory():
     store = create_vector_store(cfg)
     assert store.ping()
     assert validate_backend_config(cfg)["valid"]
+
+
+def test_fp32_free_memory_mode(rng):
+    """store_fp32=False: int8-dequant rescoring, halved HBM, recall holds."""
+    cfg = IndexConfig(dim=64, initial_capacity=256, store_fp32=False)
+    store = TpuVectorStore(dim=64, index_config=cfg)
+    docs = _corpus(rng, 200, 64)
+    store.upsert_batch(docs)
+    info = store.get_index_info()
+    assert info["memory_bytes"]["fp32"] == 0
+    q = np.asarray(docs[17][2])
+    hits = store.retrieve_by_embedding(q, top_k=5)
+    assert hits and hits[0][0].content == docs[17][0]
+    # exact mode silently degrades to int8 (no fp32 resident)
+    hits2 = store.retrieve_by_embedding(q, top_k=5, quantized=False)
+    assert hits2 and hits2[0][0].content == docs[17][0]
+    # recall vs a full store
+    full = TpuVectorStore(dim=64, index_config=IndexConfig(dim=64, initial_capacity=256))
+    full.upsert_batch(docs)
+    qv = rng.standard_normal(64)
+    a = {d.doc_id for d, _ in store.retrieve_by_embedding(qv, top_k=10, min_similarity=-1)}
+    b = {d.doc_id for d, _ in full.retrieve_by_embedding(qv, top_k=10, min_similarity=-1)}
+    assert len(a & b) >= 6
