@@ -347,6 +347,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--checkpoint-dir", default="./data/embedder_ckpt")
 
+    p = sub.add_parser("serve", help="HTTP JSON API server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+
     sub.add_parser("interactive", help="interactive query loop")
     sub.add_parser("stats", help="index and pipeline statistics")
     sub.add_parser("health", help="component health check")
@@ -401,6 +405,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if not q:
                 break
             display_answer(app.query(q, conversation_id=cid))
+    elif args.command == "serve":
+        from radiant_rag_tpu.server import serve
+
+        serve(app, host=args.host, port=args.port)
     elif args.command == "train":
         from radiant_rag_tpu.parallel.data import train_embedder
 

@@ -1,0 +1,125 @@
+"""HTTP serving layer tests (transport-level against a live server on
+localhost + handler-level for error paths)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from radiant_rag_tpu.config import (AppConfig, BM25Config, ConversationConfig,
+                                    CrossEncoderConfig, EmbeddingConfig,
+                                    IndexConfig, StrategyMemoryConfig)
+from radiant_rag_tpu.app import RadiantTPU
+from radiant_rag_tpu.llm.backends import MockLLMBackend
+from radiant_rag_tpu.llm.client import LLMClient
+from radiant_rag_tpu.models.bert import BertConfig
+from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+from radiant_rag_tpu.models.embedder import Embedder
+from radiant_rag_tpu.models.registry import LocalNLPModels
+from radiant_rag_tpu.server import RagAPI, make_server
+
+GOOD = json.dumps({"ok": True, "confidence": 0.8, "relevance": 8,
+                   "faithfulness": 8, "coverage": 8, "issues": [],
+                   "should_retry": False, "issue_type": "none"})
+
+
+def responder(messages):
+    last = messages[-1]["content"]
+    if "Evaluate this answer" in last:
+        return GOOD
+    if "atomic factual" in last or "Match each answer" in last:
+        return "[]"
+    if "Context:" in last and "Question:" in last:
+        return "Lasers emit coherent light [DOC 1]."
+    return "{}"
+
+
+@pytest.fixture(scope="module")
+def served_app(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    cfg = AppConfig(
+        index=IndexConfig(dim=32, initial_capacity=256),
+        embedding=EmbeddingConfig(dim=32, num_layers=1, num_heads=2, hidden_dim=64,
+                                  vocab_size=500, max_seq_len=32, batch_size=4),
+        cross_encoder=CrossEncoderConfig(max_seq_len=32, batch_size=4),
+        bm25=BM25Config(index_path=str(tmp / "b.json.gz"), sketch_dim=128),
+        conversation=ConversationConfig(data_dir=str(tmp / "c")),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp / "s.json.gz")),
+    )
+    embedder = Embedder(cfg.embedding)
+    ce = CrossEncoder(cfg.cross_encoder, bert_cfg=BertConfig(
+        vocab_size=500, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, dtype=jnp.float32))
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=ce)
+    app = RadiantTPU(config=cfg, llm=LLMClient(backend=MockLLMBackend(responder=responder)),
+                     local_models=models)
+    docs_dir = tmp_path_factory.mktemp("docs")
+    (docs_dir / "a.txt").write_text("Lasers emit coherent light through stimulated emission. " * 5)
+    app.ingest_documents([str(docs_dir)])
+
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield app, port
+    server.shutdown()
+
+
+def _req(port, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", data=data,
+                                 method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_health_endpoint(served_app):
+    _app, port = served_app
+    status, body = _req(port, "GET", "/health")
+    assert status == 200 and body["ok"]
+
+
+def test_search_endpoint(served_app):
+    _app, port = served_app
+    status, body = _req(port, "POST", "/search",
+                        {"query": "coherent light lasers", "mode": "bm25", "top_k": 3})
+    assert status == 200
+    assert body["hits"] and "coherent" in body["hits"][0]["content"]
+
+
+def test_query_endpoint(served_app):
+    _app, port = served_app
+    status, body = _req(port, "POST", "/query", {"question": "What do lasers emit?"})
+    assert status == 200
+    assert "coherent" in body["answer"]
+    assert body["confidence"] >= 0.5
+
+
+def test_error_paths(served_app):
+    _app, port = served_app
+    status, body = _req(port, "POST", "/query", {})
+    assert status == 400
+    status, body = _req(port, "POST", "/nope", {})
+    assert status == 404
+    status, body = _req(port, "GET", "/stats")
+    assert status == 200 and body["index"]["num_embedded"] > 0
+
+
+def test_api_handler_exception_to_500(served_app):
+    app, _port = served_app
+    api = RagAPI(app)
+
+    class Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("kaput")
+
+    api.app = Boom()
+    status, body = api.handle("POST", "/search", {"query": "x"})
+    assert status == 500 and "kaput" in body["error"]
