@@ -118,7 +118,7 @@ class EmbeddingConfig:
     hidden_dim: int = 1536
     vocab_size: int = 30522
     max_seq_len: int = 256
-    batch_size: int = 32
+    batch_size: int = 128  # 2.5x ingest throughput vs 32 (see BENCH_NOTES.md)
     normalize: bool = True
     cache_size: int = 10000
     dtype: str = "bfloat16"
