@@ -337,6 +337,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("query")
     p.add_argument("--mode", choices=["hybrid", "dense", "bm25"], default="hybrid")
     p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--save", default="", help="save a search report to file")
 
     p = sub.add_parser("simple-query", help="minimal RAG (no agents)")
     p.add_argument("question")
@@ -392,6 +393,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif args.command == "search":
         hits = app.search(args.query, mode=args.mode, top_k=args.top_k)
         display_search_results(args.query, hits)
+        if args.save:
+            from radiant_rag_tpu.ui.reports import save_search_report
+
+            save_search_report(args.query, hits, args.save)
+            print(f"search report saved to {args.save}")
     elif args.command == "simple-query":
         print(app.simple_query(args.question))
     elif args.command == "interactive":

@@ -52,13 +52,13 @@ def hamming_scores_pallas(
         _hamming_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
-            pl.BlockSpec((b, w), lambda i: (0, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((b, w), lambda i: (0, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, TILE_N), lambda i: (0, i),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         interpret=interpret,
     )(codes, qcodes)
@@ -87,13 +87,13 @@ def int8_scores_pallas(
         _int8_scan_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, TILE_N), lambda i: (0, i),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         interpret=interpret,
     )(codes, qi)

@@ -1,0 +1,96 @@
+"""CLI smoke tests via subprocess (exercises `python -m radiant_rag_tpu` end
+to end on the CPU backend with a mock LLM + tiny models via config/env)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+CONFIG_TMPL = """
+index:
+  dim: 32
+  initial_capacity: 256
+embedding:
+  dim: 32
+  num_layers: 1
+  num_heads: 2
+  hidden_dim: 64
+  vocab_size: 500
+  max_seq_len: 32
+  batch_size: 4
+cross_encoder:
+  max_seq_len: 32
+  batch_size: 4
+llm:
+  backend: 'mock'
+bm25:
+  index_path: '{tmp}/bm25.json.gz'
+  sketch_dim: 128
+conversation:
+  data_dir: '{tmp}/convs'
+strategy_memory:
+  path: '{tmp}/sm.json.gz'
+logging:
+  level: 'WARNING'
+"""
+
+
+def run_cli(args, tmp, config_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["RADIANT_CONFIG"] = str(config_path)
+    # force CPU despite sitecustomize (same trick as conftest)
+    code = (
+        "import jax, sys; jax.config.update('jax_platforms','cpu');"
+        "from radiant_rag_tpu.app import main; sys.exit(main(sys.argv[1:]))"
+    )
+    return subprocess.run([sys.executable, "-c", code] + args,
+                          capture_output=True, text=True, timeout=300,
+                          cwd=str(tmp), env=env)
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    config = tmp / "config.yaml"
+    config.write_text(CONFIG_TMPL.format(tmp=tmp))
+    docs = tmp / "docs"
+    docs.mkdir()
+    (docs / "a.txt").write_text("Gravity bends light around massive objects. " * 8)
+    return tmp, config
+
+
+def test_cli_ingest_then_search(cli_env):
+    tmp, config = cli_env
+    r = run_cli(["ingest", str(tmp / "docs")], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout)
+    assert stats["chunks_ingested"] > 0
+
+    r = run_cli(["search", "gravity light", "--mode", "bm25", "--top-k", "3",
+                 "--save", str(tmp / "report.md")], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gravity" in r.stdout.lower() or "Gravity" in r.stdout
+    assert (tmp / "report.md").is_file()
+
+
+def test_cli_health_and_stats(cli_env):
+    tmp, config = cli_env
+    r = run_cli(["health"], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(["stats"], tmp, config)
+    assert r.returncode == 0
+    assert "num_embedded" in r.stdout
+
+
+def test_cli_no_command_shows_help(cli_env):
+    tmp, config = cli_env
+    r = run_cli([], tmp, config)
+    assert r.returncode == 1
+    assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
