@@ -71,6 +71,10 @@ class RadiantTPU:
             ttl_s=self.config.conversation.ttl_s,
         ) if self.config.conversation.enabled else None
         self.metrics_collector = MetricsCollector()
+        from radiant_rag_tpu.utils.cache import QueryCache
+
+        self.query_cache = QueryCache(self.config.cache.query_cache_size,
+                                      self.config.cache.query_cache_ttl_s)
         self.processor = DocumentProcessor(
             chunk_size=self.config.ingestion.max_parent_chars // 10,
             overlap=self.config.ingestion.chunk_overlap,
@@ -127,6 +131,7 @@ class RadiantTPU:
             n += len(batch)
 
         added, removed = self.bm25_index.sync_with_store()
+        self.query_cache.clear()  # index changed; cached answers are stale
         return {
             "chunks_ingested": n,
             "parents": parents,
@@ -221,12 +226,23 @@ class RadiantTPU:
     # ------------------------------------------------------------------
     # querying
     # ------------------------------------------------------------------
-    def query(self, question: str, conversation_id: str = "") -> PipelineResult:
+    def query(self, question: str, conversation_id: str = "",
+              use_cache: bool = True) -> PipelineResult:
+        """Full agentic query; repeated questions (outside conversations) are
+        served from the TTL'd query cache (reference `utils/cache.py:150`,
+        headline "repeated query <1s", README.md:723)."""
+        if use_cache and not conversation_id:
+            cached = self.query_cache.get("query", question)
+            if cached is not None:
+                return cached
         history = []
         if conversation_id and self.conversations is not None:
             history = self.conversations.get_history_for_synthesis(conversation_id)
-        return self.orchestrator.run(question, conversation_id=conversation_id,
-                                     conversation_history=history)
+        result = self.orchestrator.run(question, conversation_id=conversation_id,
+                                       conversation_history=history)
+        if use_cache and not conversation_id and result.success and not result.low_confidence:
+            self.query_cache.put("query", question, result)
+        return result
 
     def query_raw(self, question: str) -> Dict[str, Any]:
         return self.query(question).to_dict()
@@ -235,8 +251,19 @@ class RadiantTPU:
         """Minimal RAG path (reference `app.py:1159`)."""
         return self._simple.run(question)
 
-    def search(self, query: str, mode: str = "hybrid", top_k: int = 10) -> List[Tuple[Any, float]]:
+    def search(self, query: str, mode: str = "hybrid", top_k: int = 10,
+               use_cache: bool = True) -> List[Tuple[Any, float]]:
         """Retrieval-only (reference `app.py:1178`)."""
+        if use_cache:
+            cached = self.query_cache.get("search", query, mode=mode, top_k=top_k)
+            if cached is not None:
+                return cached
+        hits = self._search_uncached(query, mode, top_k)
+        if use_cache:
+            self.query_cache.put("search", query, hits, mode=mode, top_k=top_k)
+        return hits
+
+    def _search_uncached(self, query: str, mode: str, top_k: int) -> List[Tuple[Any, float]]:
         if mode == "dense":
             emb = self.local_models.embed_single(query)
             return self.store.retrieve_by_embedding(emb, top_k=top_k)
@@ -265,6 +292,7 @@ class RadiantTPU:
     def clear_index(self) -> None:
         self.store.drop_index()
         self.bm25_index.build_from_store()
+        self.query_cache.clear()
 
     def save_index(self, directory: str = "") -> None:
         d = directory or self.config.index.data_dir
@@ -294,10 +322,15 @@ class RadiantTPU:
         return health
 
     def get_stats(self) -> Dict[str, Any]:
+        from radiant_rag_tpu.utils.cache import get_embedding_cache
+
         return {
             "index": self.store.get_index_info(),
             "bm25": self.bm25_index.get_stats(),
             "llm": self.llm.stats(),
+            "caches": {"query": self.query_cache.stats(),
+                       "embedding": self.local_models.embedder.cache.stats()
+                       if hasattr(self.local_models, "embedder") else {}},
             "runs": self.metrics_collector.summary(),
             "agents": self.orchestrator.get_agent_stats(),
         }

@@ -67,8 +67,8 @@ class CrossEncoder:
         """Relevance score per (query, doc) pair."""
         if not pairs:
             return np.zeros((0,), np.float32)
-        out = np.zeros((len(pairs),), np.float32)
         bs = self.config.batch_size
+        pending = []  # async dispatch; fetch once (see embedder._compute)
         for start in range(0, len(pairs), bs):
             chunk = pairs[start : start + bs]
             queries = [q for q, _ in chunk]
@@ -83,7 +83,10 @@ class CrossEncoder:
                 attn = np.pad(attn, ((0, pad), (0, 0)))
                 types = np.pad(types, ((0, pad), (0, 0)))
             scores = self._forward(self.params, jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(types))
-            out[start : start + len(chunk)] = np.asarray(scores)[: len(chunk)]
+            pending.append((start, len(chunk), scores))
+        out = np.zeros((len(pairs),), np.float32)
+        for start, n, scores in pending:
+            out[start : start + n] = np.asarray(scores)[:n]
         return out
 
     def rerank(

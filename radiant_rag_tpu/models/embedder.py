@@ -80,9 +80,13 @@ class Embedder:
         return pooled.astype(jnp.float32)
 
     def _compute(self, texts: Sequence[str]) -> np.ndarray:
-        """Forward a list of texts (no cache) with batch+seq bucketing."""
-        out = np.zeros((len(texts), self.config.dim), np.float32)
+        """Forward a list of texts (no cache) with batch+seq bucketing.
+
+        Dispatches all batches asynchronously and fetches at the end so host
+        tokenization of batch i+1 overlaps device compute of batch i (JAX
+        async dispatch) — a per-batch fetch would serialize the pipeline."""
         bs = self.config.batch_size
+        pending = []  # (start, n, device_array)
         for start in range(0, len(texts), bs):
             chunk = list(texts[start : start + bs])
             ids, attn, types = self.tokenizer.encode_batch(chunk, self.config.max_seq_len)
@@ -94,7 +98,10 @@ class Embedder:
                 # padded rows get an all-zero mask; mean_pool guards /0
                 types = np.pad(types, ((0, pad), (0, 0)))
             emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(types))
-            out[start : start + len(chunk)] = np.asarray(emb)[: len(chunk)]
+            pending.append((start, len(chunk), emb))
+        out = np.zeros((len(texts), self.config.dim), np.float32)
+        for start, n, emb in pending:
+            out[start : start + n] = np.asarray(emb)[:n]
         return out
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:

@@ -174,3 +174,22 @@ def test_cli_parser():
     assert args.mode == "bm25" and args.top_k == 3
     args = parser.parse_args(["ingest", "a", "b"])
     assert args.paths == ["a", "b"]
+
+
+def test_query_cache_hits_and_invalidation(app):
+    app.query_cache.clear()
+    r1 = app.query("How do solar panels work?")
+    r2 = app.query("How do solar panels work?")
+    assert r2 is r1  # served from cache
+    assert app.query_cache.stats()["hits"] >= 1
+    # search cache
+    h1 = app.search("solar", mode="bm25", top_k=3)
+    h2 = app.search("solar", mode="bm25", top_k=3)
+    assert h2 is h1
+    # ingest invalidates
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        pathlib.Path(d, "new.txt").write_text("Fresh document about cache invalidation testing. " * 4)
+        app.ingest_documents([d])
+    r3 = app.query("How do solar panels work?")
+    assert r3 is not r1
