@@ -97,3 +97,43 @@ def int8_scores_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         interpret=interpret,
     )(codes, qi)
+
+
+def _hamming_kernel_t(codes_t_ref, qcodes_ref, out_ref):
+    """Lane-major variant: codes arrive transposed (W, TILE_N) so every VPU op
+    runs over the corpus dimension in full (sublane=B, lane=TILE_N) tiles —
+    the (B, TILE_N, W) broadcast of the naive kernel wastes lanes on W=12."""
+    ct = codes_t_ref[:]  # (W, TILE_N) uint32
+    q = qcodes_ref[:]  # (B, W) uint32
+    w = ct.shape[0]
+    acc = jnp.zeros((q.shape[0], ct.shape[1]), jnp.int32)
+    for i in range(w):  # static unroll over words (12 for 384-dim)
+        acc = acc + jax.lax.population_count(
+            q[:, i : i + 1] ^ ct[i][None, :]).astype(jnp.int32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_scores_pallas_t(
+    codes_t: jax.Array,  # (W, N) uint32 TRANSPOSED packed codes, N % TILE_N == 0
+    qcodes: jax.Array,  # (B, W) uint32
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N) int32 hamming distances from lane-major codes."""
+    w, n = codes_t.shape
+    b = qcodes.shape[0]
+    grid = (n // TILE_N,)
+    return pl.pallas_call(
+        _hamming_kernel_t,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w, TILE_N), lambda i: (0, i), memory_space=pl.ANY
+                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((b, w), lambda i: (0, 0), memory_space=pl.ANY
+                         if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, TILE_N), lambda i: (0, i),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        interpret=interpret,
+    )(codes_t, qcodes)

@@ -255,6 +255,15 @@ class RAGOrchestrator:
             conversation_history: Optional[List[Dict[str, str]]] = None) -> PipelineResult:
         ctx = new_agent_context(query)
         if conversation_history:
+            # compress long histories, keeping recent turns verbatim
+            # (reference `summarization.py` conversation compression)
+            keep = self.config.summarization.keep_recent_turns
+            if self.summarization.enabled and len(conversation_history) > 2 * keep:
+                try:
+                    conversation_history = self.summarization.compress_conversation(
+                        conversation_history)
+                except Exception:
+                    pass
             ctx.conversation_history = conversation_history
         metrics = RunMetrics(run_id=ctx.run_id)
         result = PipelineResult(query=query, answer="", run_id=ctx.run_id,
@@ -329,6 +338,9 @@ class RAGOrchestrator:
                 # Phase 5: post-retrieval
                 with metrics.track_step("post_retrieval"):
                     self._run_post_retrieval(ctx, metrics)
+                # retrieval-quality heuristic (reference `orchestrator.py:490`)
+                ctx.confidences["retrieval_quality"] = \
+                    self.critic.evaluate_retrieval_quality(ctx.context_docs)
                 retrieval_cached = True
 
             # Phase 5.5: context evaluation (pre-generation gate)

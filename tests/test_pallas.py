@@ -31,3 +31,18 @@ def test_int8_kernel_matches_numpy(rng):
         jnp.asarray(codes), jnp.asarray(qi), interpret=True))
     oracle = qi.astype(np.int64) @ codes.astype(np.int64).T
     np.testing.assert_array_equal(out.astype(np.int64), oracle)
+
+
+def test_hamming_t_kernel_matches_numpy(rng):
+    from radiant_rag_tpu.ops.pallas_kernels import hamming_scores_pallas_t
+
+    n, w, b = 2 * TILE_N, 4, 8
+    codes = rng.integers(0, 2**31, (n, w)).astype(np.uint32)
+    qcodes = rng.integers(0, 2**31, (b, w)).astype(np.uint32)
+    out = np.asarray(hamming_scores_pallas_t(
+        jnp.asarray(codes.T.copy()), jnp.asarray(qcodes), interpret=True))
+    xor = codes[None, :, :] ^ qcodes[:, None, :]
+    oracle = np.zeros((b, n), np.int32)
+    for shift in range(32):
+        oracle += ((xor >> shift) & 1).sum(-1).astype(np.int32)
+    np.testing.assert_array_equal(out, oracle)
