@@ -78,7 +78,8 @@ def train_embedder(
     checkpoint_dir: str = "",
     log_every: int = 10,
     seed: int = 0,
-) -> Dict[str, float]:
+    return_params: bool = False,
+):
     """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh)."""
     import jax.numpy as jnp
 
@@ -120,4 +121,6 @@ def train_embedder(
                         last["loss"], last["accuracy"])
     if ckpt is not None:
         ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+    if return_params:
+        return last, jax.device_get(state.params)
     return last

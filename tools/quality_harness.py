@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Retrieval quality harness: recall/MRR of every engine mode vs brute force.
+
+The BASELINE metric is "recall@10-matched hybrid QPS/chip" (BASELINE.json);
+this harness produces the recall side on a synthetic-but-structured corpus:
+passages composed from topic vocabularies, queries generated as pseudo-queries
+of a target passage (ICT construction, `parallel/data.py`). Ground truth =
+the target passage; we report hit-rate@k (did the target make top-k) and MRR
+for dense exact / dense quantized / bm25 / hybrid, plus engine agreement with
+the numpy oracle.
+
+Usage: python tools/quality_harness.py [--docs 2000] [--queries 100] [--dim 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+TOPICS = {
+    "astronomy": "star planet orbit telescope galaxy nebula comet asteroid lunar solar eclipse",
+    "biology": "cell protein enzyme membrane nucleus mitochondria ribosome dna rna organism",
+    "computing": "processor memory cache compiler kernel thread scheduler latency throughput bus",
+    "cooking": "flour butter oven dough yeast simmer saute braise seasoning marinade",
+    "economics": "market inflation demand supply tariff interest equity bond fiscal monetary",
+    "geology": "mineral sediment tectonic magma erosion basalt granite fossil stratum fault",
+    "medicine": "diagnosis symptom therapy vaccine antibody pathogen dosage clinical chronic acute",
+    "music": "melody harmony rhythm tempo chord octave timbre crescendo sonata orchestra",
+}
+
+
+def make_corpus(rng, n_docs: int):
+    names = list(TOPICS)
+    docs = []
+    for i in range(n_docs):
+        topic = names[i % len(names)]
+        vocab = TOPICS[topic].split()
+        words = list(rng.choice(vocab, size=30)) + [f"detail{i}", f"entity{i % 97}"]
+        rng.shuffle(words)
+        docs.append((f"{topic} passage {i}: " + " ".join(words), topic))
+    return docs
+
+
+def make_queries(rng, docs, n_queries: int):
+    from radiant_rag_tpu.parallel.data import make_pseudo_query
+
+    idx = rng.choice(len(docs), n_queries, replace=False)
+    out = []
+    for i in idx:
+        text, _topic = docs[i]
+        out.append((make_pseudo_query(text, rng, max_words=8), int(i)))
+    return out
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=2000)
+    parser.add_argument("--queries", type=int, default=100)
+    parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--top-k", type=int, default=10)
+    parser.add_argument("--train-steps", type=int, default=0,
+                        help="fine-tune the embedder (ICT contrastive) and re-evaluate dense")
+    args = parser.parse_args(argv)
+
+    import dataclasses
+
+    from radiant_rag_tpu.config import AppConfig, BM25Config, EmbeddingConfig, IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.models.embedder import Embedder
+
+    rng = np.random.default_rng(0)
+    docs = make_corpus(rng, args.docs)
+    queries = make_queries(rng, docs, args.queries)
+
+    emb_cfg = EmbeddingConfig(dim=args.dim, num_layers=2, num_heads=4,
+                              hidden_dim=args.dim * 2, vocab_size=8192,
+                              max_seq_len=64, batch_size=64)
+    embedder = Embedder(emb_cfg)
+    store = TpuVectorStore(dim=args.dim,
+                           index_config=IndexConfig(dim=args.dim, initial_capacity=args.docs))
+    embs = embedder.embed([t for t, _ in docs])
+    store.upsert_batch([(t, {"topic": tp}, embs[i]) for i, (t, tp) in enumerate(docs)])
+    bm25 = BM25Index(sketch_dim=1024)
+    rows = [store.row_of(store.make_doc_id(t, {"topic": tp})) for t, tp in docs]
+    bm25.bulk_build(rows, [t for t, _ in docs])
+    searcher = HybridSearcher(store.engine, bm25)
+
+    q_texts = [q for q, _ in queries]
+    targets = [store.make_doc_id(docs[t][0], {"topic": docs[t][1]}) for _, t in queries]
+    q_embs = embedder.embed(q_texts)
+
+    def evaluate(mode_fn):
+        hits, rr = 0, 0.0
+        for qi in range(len(queries)):
+            ranked = mode_fn(qi)
+            if targets[qi] in ranked:
+                hits += 1
+                rr += 1.0 / (ranked.index(targets[qi]) + 1)
+        return {"hit_rate": round(hits / len(queries), 3),
+                "mrr": round(rr / len(queries), 3)}
+
+    k = args.top_k
+    per_q = store.retrieve_by_embedding_batch(q_embs, top_k=k, quantized=False)
+    dense_exact = evaluate(lambda qi: [d.doc_id for d, _ in per_q[qi]])
+    per_qq = store.retrieve_by_embedding_batch(q_embs, top_k=k, quantized=True)
+    dense_quant = evaluate(lambda qi: [d.doc_id for d, _ in per_qq[qi]])
+    _s, brows = bm25.search_rows_batch(q_texts, top_k=k,
+                                       valid_mask=store.valid_mask(),
+                                       num_rows=store.row_capacity())
+    bm25_res = evaluate(lambda qi: [store.id_for_row(int(r)) for r in brows[qi] if r >= 0])
+    hy = searcher.search_rows(q_embs, q_texts, dense_k=k, bm25_k=k, fused_k=k)
+    hybrid_res = evaluate(lambda qi: [store.id_for_row(int(r))
+                                      for r in hy["fused"][1][qi] if r >= 0])
+
+    report = {
+        "docs": args.docs, "queries": args.queries, "top_k": k,
+        "dense_exact": dense_exact,
+        "dense_quantized": dense_quant,
+        "bm25": bm25_res,
+        "hybrid": hybrid_res,
+    }
+
+    if args.train_steps > 0:
+        # Fine-tune the (random-init) encoder on the corpus with the ICT
+        # contrastive objective, then re-embed and re-evaluate dense retrieval
+        # — the end-to-end proof that the training pipeline teaches the
+        # encoder the retrieval task this environment has no pretrained
+        # weights for.
+        from radiant_rag_tpu.parallel.data import train_embedder
+        from radiant_rag_tpu.parallel.mesh import create_mesh
+
+        metrics, params = train_embedder(
+            store, emb_cfg, mesh=create_mesh(), steps=args.train_steps,
+            batch_size=64, learning_rate=1e-4,
+            log_every=max(args.train_steps // 5, 1), return_params=True)
+        report["train"] = metrics
+
+        trained = Embedder(emb_cfg, params=params)
+        store2 = TpuVectorStore(dim=args.dim, index_config=IndexConfig(
+            dim=args.dim, initial_capacity=args.docs))
+        embs2 = trained.embed([t for t, _ in docs])
+        store2.upsert_batch([(t, {"topic": tp}, embs2[i])
+                             for i, (t, tp) in enumerate(docs)])
+        q_embs2 = trained.embed(q_texts)
+        per_q2 = store2.retrieve_by_embedding_batch(q_embs2, top_k=k, quantized=False)
+        targets2 = [store2.make_doc_id(docs[t][0], {"topic": docs[t][1]})
+                    for _, t in queries]
+
+        def evaluate2(mode_fn):
+            hits, rr = 0, 0.0
+            for qi in range(len(queries)):
+                ranked = mode_fn(qi)
+                if targets2[qi] in ranked:
+                    hits += 1
+                    rr += 1.0 / (ranked.index(targets2[qi]) + 1)
+            return {"hit_rate": round(hits / len(queries), 3),
+                    "mrr": round(rr / len(queries), 3)}
+
+        report["dense_after_training"] = evaluate2(
+            lambda qi: [d.doc_id for d, _ in per_q2[qi]])
+        searcher2 = HybridSearcher(store2.engine, bm25)
+        hy2 = searcher2.search_rows(q_embs2, q_texts, dense_k=k, bm25_k=k, fused_k=k)
+        report["hybrid_after_training"] = evaluate2(
+            lambda qi: [store2.id_for_row(int(r)) for r in hy2["fused"][1][qi] if r >= 0])
+        print(json.dumps(report, indent=2))
+        return 0
+
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
