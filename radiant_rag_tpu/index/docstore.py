@@ -79,7 +79,7 @@ class DocStore:
                     "content": doc.content,
                     "meta": doc.meta,
                     "row": self.id_to_row.get(doc.doc_id, -1),
-                }) + "\n")
+                }, default=str) + "\n")
         os.replace(tmp, str(p))
 
     @classmethod

@@ -283,6 +283,10 @@ class DeviceVectorIndex:
     # -- queries -----------------------------------------------------------
     def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
         b = queries.shape[0]
+        if b > self.QUERY_BUCKETS[-1]:
+            raise ValueError(
+                f"query batch {b} exceeds max bucket {self.QUERY_BUCKETS[-1]}; "
+                "split the batch (engine.search chunks automatically)")
         bucket = self.QUERY_BUCKETS[-1]
         for cand in self.QUERY_BUCKETS:
             if b <= cand:
@@ -308,6 +312,13 @@ class DeviceVectorIndex:
         if self.count == 0:
             b = queries.shape[0]
             return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
+        max_b = self.QUERY_BUCKETS[-1]
+        if queries.shape[0] > max_b:  # chunk oversized batches
+            parts = [self.search(queries[s : s + max_b], k, mode,
+                                 rescore_multiplier, ef_runtime, level_code, lang_code)
+                     for s in range(0, queries.shape[0], max_b)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         if mode in ("graph", "exact") and not self.store_fp32:
             mode = "int8"  # fp32-free mode has no exact vectors
         if mode == "graph":

@@ -208,3 +208,14 @@ def test_fp32_free_memory_mode(rng):
     a = {d.doc_id for d, _ in store.retrieve_by_embedding(qv, top_k=10, min_similarity=-1)}
     b = {d.doc_id for d, _ in full.retrieve_by_embedding(qv, top_k=10, min_similarity=-1)}
     assert len(a & b) >= 6
+
+
+def test_oversized_query_batch_chunks(rng):
+    store = _mk_store(dim=32)
+    docs = _corpus(rng, 60, 32)
+    store.upsert_batch(docs)
+    q = np.stack([np.asarray(d[2]) for d in docs] * 5)  # 300 queries > 256 bucket
+    results = store.retrieve_by_embedding_batch(q, top_k=3, min_similarity=-1.0)
+    assert len(results) == 300
+    assert results[0][0][0].content == docs[0][0]
+    assert results[299][0][0].content == docs[59][0]
