@@ -135,6 +135,17 @@ class HybridSearcher:
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
             return {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
+        max_b = eng.QUERY_BUCKETS[-1]
+        if b > max_b:  # chunk oversized batches
+            parts = [self.search_rows(queries_dense[s : s + max_b],
+                                      list(queries_text[s : s + max_b]),
+                                      dense_k, bm25_k, fused_k, rrf_k, mode,
+                                      rescore_multiplier, level_code, lang_code,
+                                      bm25_mode)
+                     for s in range(0, b, max_b)]
+            return {name: (np.concatenate([p[name][0] for p in parts]),
+                           np.concatenate([p[name][1] for p in parts]))
+                    for name in ("dense", "bm25", "fused")}
 
         if self.bm25.sketch_dim <= 0:
             bm25_mode = "pages"
