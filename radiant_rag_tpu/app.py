@@ -63,6 +63,8 @@ class RadiantTPU:
             auto_save_threshold=self.config.bm25.auto_save_threshold,
             max_query_terms=self.config.bm25.max_query_terms,
             max_postings=self.config.bm25.max_postings_per_query,
+            persist_max_docs=self.config.bm25.persist_max_docs,
+            auto_build=self.config.bm25.auto_build,
             sketch_dim=self.config.bm25.sketch_dim,
         )
         self.conversations = ConversationManager(

@@ -79,6 +79,10 @@ class BM25Config:
     max_postings_per_query: int = 1 << 18
     # impact-sketch stage-1 (hashed BM25-as-matmul); 0 disables
     sketch_dim: int = 1024
+    # above this many docs, skip JSON persistence and rebuild from the store
+    # on load instead (the native bulk build is faster than parsing the file)
+    persist_max_docs: int = 200000
+    auto_build: bool = True  # build from store on first use when file absent
 
 
 @dataclass(frozen=True)

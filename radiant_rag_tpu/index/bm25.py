@@ -525,22 +525,37 @@ class PersistentBM25Index:
 
     def __init__(self, store, path: str = "./data/bm25_index.json.gz",
                  k1: float = 1.5, b: float = 0.75, auto_save_threshold: int = 100,
+                 persist_max_docs: int = 200000, auto_build: bool = True,
                  **kwargs) -> None:
         self.store = store
         self.path = path
         self.auto_save_threshold = auto_save_threshold
+        self.persist_max_docs = persist_max_docs
+        self.auto_build = auto_build
         self._lock = threading.RLock()
         self._index = BM25Index(k1=k1, b=b, **kwargs)
         self._loaded = False
         self._dirty_adds = 0
 
     # -- lifecycle ---------------------------------------------------------
-    def _ensure_loaded(self) -> None:
+    def _ensure_loaded(self, auto_build: bool = True) -> None:
         if self._loaded:
             return
         self._loaded = True
         p = Path(self.path)
         if not p.is_file():
+            # No persisted index: BM25 statistics are fully derivable from the
+            # store, and the native bulk build is fast (seconds at 1M docs) —
+            # rebuild instead of starting empty (also the load path for
+            # corpora above persist_max_docs, whose JSON persistence is
+            # intentionally skipped).
+            if auto_build and self.auto_build:
+                try:
+                    ids = self.store.list_doc_ids_with_embeddings()
+                except Exception:
+                    ids = []
+                if ids:
+                    self._build_from_store_locked()
             return
         try:
             with gzip.open(p, "rt", encoding="utf-8") as fh:
@@ -572,6 +587,13 @@ class PersistentBM25Index:
     def save(self) -> None:
         with self._lock:
             self._ensure_loaded()
+            if self._index.num_docs > self.persist_max_docs:
+                logger.info(
+                    "BM25 persistence skipped (%d docs > persist_max_docs=%d); "
+                    "index rebuilds from the store on load",
+                    self._index.num_docs, self.persist_max_docs)
+                self._dirty_adds = 0
+                return
             p = Path(self.path)
             p.parent.mkdir(parents=True, exist_ok=True)
             docs = {}
@@ -613,7 +635,11 @@ class PersistentBM25Index:
         """Full rebuild from the vector store in one native bulk pass
         (reference `bm25_index.py:574`)."""
         with self._lock:
-            self._ensure_loaded()
+            self._loaded = True  # building IS the load
+            return self._build_from_store_locked()
+
+    def _build_from_store_locked(self) -> int:
+        if True:
             rows: List[int] = []
             texts: List[str] = []
             for doc_id in self.store.list_doc_ids_with_embeddings():
@@ -634,7 +660,9 @@ class PersistentBM25Index:
         """Diff against store ids; add new, remove stale
         (reference `bm25_index.py:611-652`). Returns (added, removed)."""
         with self._lock:
-            self._ensure_loaded()
+            # no auto-build here: sync itself is about to diff-and-add, and
+            # counting an auto-build as zero "added" would misreport ingests
+            self._ensure_loaded(auto_build=False)
             store_rows = {}
             for doc_id in self.store.list_doc_ids_with_embeddings():
                 row = self.store.row_of(doc_id)

@@ -144,3 +144,23 @@ def test_bm25_respects_store_valid_mask(rng, tmp_path):
     target = pidx.search("turnips", top_k=1)[0][0]
     store.delete_doc(target.doc_id)  # no sync — mask alone must hide it
     assert pidx.search("turnips", top_k=2) == []
+
+
+def test_auto_build_from_store_when_file_missing(rng, tmp_path):
+    store = _store_with_docs(rng, DOCS)
+    pidx = PersistentBM25Index(store, path=str(tmp_path / "missing.json.gz"))
+    # no build_from_store call — first search auto-builds from the store
+    hits = pidx.search("turnips", top_k=2)
+    assert hits and "turnips" in hits[0][0].content
+
+
+def test_persistence_skipped_above_cap(rng, tmp_path):
+    store = _store_with_docs(rng, DOCS)
+    path = tmp_path / "cap.json.gz"
+    pidx = PersistentBM25Index(store, path=str(path), persist_max_docs=2)
+    pidx.build_from_store()
+    assert not path.is_file()  # too many docs -> persistence skipped
+    # still fully functional (and reloads by rebuilding)
+    assert pidx.search("quick dog", top_k=2)
+    pidx2 = PersistentBM25Index(store, path=str(path), persist_max_docs=2)
+    assert pidx2.search("quick dog", top_k=2)
