@@ -134,6 +134,11 @@ class RadiantTPU:
 
         added, removed = self.bm25_index.sync_with_store()
         self.query_cache.clear()  # index changed; cached answers are stale
+        if self.config.index.auto_persist and hasattr(self.store, "save"):
+            try:
+                self.store.save(self.config.index.data_dir)
+            except Exception as exc:
+                logger.warning("index auto-persist failed: %s", exc)
         return {
             "chunks_ingested": n,
             "parents": parents,

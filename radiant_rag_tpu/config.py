@@ -47,6 +47,9 @@ class IndexConfig:
     # (doubles per-chip corpus capacity; exact mode unavailable)
     store_fp32: bool = True
     data_dir: str = "./data/index"
+    # durability (the reference gets this implicitly from Redis): load any
+    # saved index from data_dir at startup and save after each ingest
+    auto_persist: bool = True
 
 
 @dataclass(frozen=True)

@@ -16,8 +16,27 @@ def create_vector_store(config: AppConfig) -> BaseVectorStore:
     """Dispatch on `config.index.backend` (reference `factory.py:40-61`)."""
     backend = config.index.backend
     if backend == "tpu":
+        import os
+
         from radiant_rag_tpu.index.store import TpuVectorStore
 
+        manifest = os.path.join(config.index.data_dir, "manifest.json")
+        if config.index.auto_persist and os.path.isfile(manifest):
+            try:
+                store = TpuVectorStore.load(
+                    config.index.data_dir, index_config=config.index,
+                    quantization=config.quantization)
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "loaded persisted index from %s (%d docs)",
+                    config.index.data_dir, store.count_documents())
+                return store
+            except Exception as exc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "failed to load persisted index (%s); starting empty", exc)
         return TpuVectorStore(
             dim=config.index.dim,
             index_config=config.index,

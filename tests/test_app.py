@@ -193,3 +193,32 @@ def test_query_cache_hits_and_invalidation(app):
         app.ingest_documents([d])
     r3 = app.query("How do solar panels work?")
     assert r3 is not r1
+
+
+def test_index_durability_across_restart(tmp_path_factory):
+    """Ingest in one app instance; a fresh instance sees the corpus
+    (the durability the reference delegates to Redis)."""
+    tmp = tmp_path_factory.mktemp("durable")
+    cfg = AppConfig(
+        index=IndexConfig(dim=32, initial_capacity=256, data_dir=str(tmp / "idx")),
+        embedding=EmbeddingConfig(dim=32, num_layers=1, num_heads=2, hidden_dim=64,
+                                  vocab_size=500, max_seq_len=32, batch_size=4),
+        cross_encoder=CrossEncoderConfig(max_seq_len=32, batch_size=4),
+        bm25=BM25Config(index_path=str(tmp / "bm25.json.gz"), sketch_dim=128),
+        conversation=ConversationConfig(data_dir=str(tmp / "convs")),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp / "sm.json.gz")),
+    )
+    embedder = Embedder(cfg.embedding)
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=None)
+    llm = LLMClient(backend=MockLLMBackend(responder=responder))
+    app1 = RadiantTPU(config=cfg, llm=llm, local_models=models)
+    docs = tmp_path_factory.mktemp("ddocs")
+    (docs / "x.txt").write_text("Volcanoes erupt molten lava from deep underground chambers. " * 5)
+    app1.ingest_documents([str(docs)])
+    n = app1.store.count_documents()
+    assert n > 0
+
+    app2 = RadiantTPU(config=cfg, llm=llm, local_models=models)  # fresh "restart"
+    assert app2.store.count_documents() == n
+    hits = app2.search("volcanoes lava", mode="bm25", top_k=3)
+    assert hits and "lava" in hits[0][0].content
