@@ -264,7 +264,7 @@ class RadiantTPU:
         if use_cache:
             cached = self.query_cache.get("search", query, mode=mode, top_k=top_k)
             if cached is not None:
-                return cached
+                return list(cached)  # copy: protect the cached list from mutation
         hits = self._search_uncached(query, mode, top_k)
         if use_cache:
             self.query_cache.put("search", query, hits, mode=mode, top_k=top_k)

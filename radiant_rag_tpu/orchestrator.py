@@ -331,7 +331,9 @@ class RAGOrchestrator:
                 # Phase 4.5: multihop
                 if ctx.plan.get("use_multihop") and self.multihop.enabled:
                     with metrics.track_step("multihop"):
-                        mh = self.multihop.run(ctx)
+                        # the planner explicitly requested multihop — skip the
+                        # agent's own indicator re-check
+                        mh = self.multihop.run(ctx, force=True)
                         if mh.success and mh.data and mh.data.get("used"):
                             extra = [(d, 0.7) for d, _s in mh.data.get("docs", [])]
                             ctx.fused_docs = dedup_best_score(ctx.fused_docs + extra)

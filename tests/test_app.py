@@ -182,10 +182,12 @@ def test_query_cache_hits_and_invalidation(app):
     r2 = app.query("How do solar panels work?")
     assert r2 is r1  # served from cache
     assert app.query_cache.stats()["hits"] >= 1
-    # search cache
+    # search cache (returns a copy to protect the cached list)
     h1 = app.search("solar", mode="bm25", top_k=3)
+    hits_before = app.query_cache.stats()["hits"]
     h2 = app.search("solar", mode="bm25", top_k=3)
-    assert h2 is h1
+    assert h2 == h1 and h2 is not h1
+    assert app.query_cache.stats()["hits"] == hits_before + 1
     # ingest invalidates
     import tempfile, pathlib
     with tempfile.TemporaryDirectory() as d:

@@ -206,3 +206,75 @@ def test_pipeline_result_serializable(stack):
     d = result.to_dict()
     json.dumps(d)  # must be JSON-serializable
     assert d["query"] == "What is ATP?"
+
+
+def test_multihop_merges_docs(stack):
+    calls = {"n": 0}
+
+    def responder(messages):
+        last = messages[-1]["content"]
+        if "query-planning agent" in last:
+            return json.dumps({**json.loads(DEFAULT_PLAN), "use_multihop": True})
+        if "SEQUENCE of sub-questions" in last:
+            return '["What is the energy currency?", "What produces {prev}?"]'
+        if "Answer the sub-question" in last:
+            calls["n"] += 1
+            return json.dumps({"answer": "ATP" if calls["n"] == 1 else "mitochondria",
+                               "entities": [], "confidence": 0.9,
+                               "sufficient": calls["n"] >= 2})
+        if "Evaluate this answer" in last:
+            return GOOD_CRITIQUE
+        if "atomic factual claims" in last or "Match each answer" in last:
+            return "[]"
+        if "Context:" in last and "Question:" in last:
+            return "Mitochondria produce ATP."
+        return "[]"
+
+    # force multihop regex trigger with a bridge-style question
+    orch = _orch(stack, llm=LLMClient(backend=MockLLMBackend(responder=responder)))
+    result = orch.run("What organelle is the producer of the energy currency of the cell?")
+    assert result.success
+    assert calls["n"] >= 2  # both hops executed
+    assert result.docs
+
+
+def test_web_search_fallback_on_empty_index(stack, tmp_path):
+    cfg, _store, _bm25, models = stack
+    import dataclasses
+    from radiant_rag_tpu.config import PipelineConfig, WebSearchConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.index.bm25 import PersistentBM25Index
+    from radiant_rag_tpu.orchestrator import RAGOrchestrator
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        pipeline=dataclasses.replace(cfg.pipeline, use_web_search=True,
+                                     use_context_eval=False),
+        web_search=WebSearchConfig(enabled=True),
+    )
+    empty_store = TpuVectorStore(dim=64, index_config=cfg.index)
+    empty_bm25 = PersistentBM25Index(empty_store, path=str(tmp_path / "w.json.gz"))
+
+    class FakeCrawler:
+        def crawl_single(self, url):
+            return {"text": "Mitochondria produce ATP, the energy currency.",
+                    "title": "bio"}
+
+    def responder(messages):
+        last = messages[-1]["content"]
+        if "public web page URLs" in last:
+            return '["https://example.com/biology"]'
+        if "Evaluate this answer" in last:
+            return GOOD_CRITIQUE
+        if "atomic factual claims" in last or "Match each answer" in last:
+            return "[]"
+        if "Context:" in last and "Question:" in last:
+            return "Mitochondria produce ATP [DOC 1]."
+        return "{}"
+
+    orch = RAGOrchestrator(cfg2, empty_store, empty_bm25, models,
+                           LLMClient(backend=MockLLMBackend(responder=responder)),
+                           web_crawler=FakeCrawler())
+    result = orch.run("What produces ATP in cells today?")
+    assert result.web_docs  # web fallback supplied the context
+    assert "ATP" in result.answer
