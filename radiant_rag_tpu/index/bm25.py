@@ -132,6 +132,7 @@ class BM25Index:
         self._dl_dirty = True
         self._csr_dirty = True
         self._sketch_dirty = True
+        self._dm_dirty = True
 
     def _term_id(self, term: str) -> int:
         tid = self.vocab.get(term)
@@ -363,6 +364,46 @@ class BM25Index:
         self._sketch_scale = jnp.asarray(scale, jnp.float32)
         self._sketch_rows = num_docs
         self._sketch_dirty = False
+
+    # -- doc-major table (exact candidate rescore) --------------------------
+    def ensure_doc_major(self, num_docs: int, max_terms: int = 128) -> None:
+        """Build (num_docs, L) device term-id/tf tables for exact candidate
+        rescoring after the sketch scan. Docs with more than L unique terms
+        keep their L highest-tf terms (512-char chunks have ~60)."""
+        if (not getattr(self, "_dm_dirty", True)
+                and getattr(self, "_dm_rows", 0) >= num_docs
+                and getattr(self, "_dm_width", 0) == max_terms):
+            return
+        tids = np.full((num_docs, max_terms), -1, np.int32)
+        tfs = np.zeros((num_docs, max_terms), np.int32)
+        for row, pairs in self.doc_terms.items():
+            if row >= num_docs:
+                continue
+            if len(pairs) > max_terms:
+                pairs = sorted(pairs, key=lambda p: -p[1])[:max_terms]
+            n = len(pairs)
+            if n:
+                tids[row, :n] = [t for t, _ in pairs]
+                tfs[row, :n] = [tf for _, tf in pairs]
+        self._dm_tids = jnp.asarray(tids)
+        self._dm_tfs = jnp.asarray(tfs)
+        self._dm_rows = num_docs
+        self._dm_width = max_terms
+        self._dm_dirty = False
+
+    def make_query_terms(self, queries: Sequence[str], max_terms: Optional[int] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, T) query term ids (-1 pad) + idfs for exact rescoring."""
+        t = max_terms or self.max_query_terms
+        q_tids = np.full((len(queries), t), -1, np.int32)
+        q_idfs = np.zeros((len(queries), t), np.float32)
+        for qi, q in enumerate(queries):
+            terms = tokenize(q)[: self.max_query_terms]
+            uniq = [self.vocab[w] for w in dict.fromkeys(terms) if w in self.vocab][:t]
+            for j, tid in enumerate(uniq):
+                q_tids[qi, j] = tid
+                q_idfs[qi, j] = self._idf(tid)
+        return q_tids, q_idfs
 
     def make_query_indicator(self, queries: Sequence[str]) -> np.ndarray:
         """(B, S) int8 indicator over each query's unique terms' bins."""

@@ -27,7 +27,9 @@ from radiant_rag_tpu.index.bm25 import BM25Index
 from radiant_rag_tpu.index.engine import DeviceVectorIndex
 from radiant_rag_tpu.ops import quantize as qz
 from radiant_rag_tpu.ops import similarity as sim
-from radiant_rag_tpu.ops.bm25 import bm25_pages_scores, bm25_sketch_scores
+from radiant_rag_tpu.ops.bm25 import (
+    bm25_candidate_rescore, bm25_pages_scores, bm25_sketch_scores,
+)
 from radiant_rag_tpu.ops.fusion import rrf_fuse
 
 
@@ -57,14 +59,18 @@ def _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i):
     ], axis=1)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b"))
 def _hybrid_program_sketch(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     sketch, sketch_scale, qind,
+    dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
     queries, qvalid, level_code, lang_code,
-    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
+    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
+    mode: str, k1: float = 1.5, b: float = 0.75,
 ):
-    """Hybrid program with impact-sketch BM25: both scans are MXU matmuls."""
+    """Hybrid with impact-sketch BM25 stage-1 (MXU matmul) + EXACT BM25
+    candidate rescore — the sparse leg mirrors the dense two-stage design:
+    approximate full-corpus scan, exact scoring of the survivors."""
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
     mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
@@ -73,8 +79,17 @@ def _hybrid_program_sketch(
         vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc, mode)
 
     bm_scores = bm25_sketch_scores(sketch, sketch_scale, qind, mask)
-    bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
-    bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
+    if bm_kc > bm25_k:  # exact rescore of sketch candidates
+        s1, cand = sim.full_topk(bm_scores, bm_kc)
+        cand = jnp.where(s1 > 0.0, cand, -1).astype(jnp.int32)
+        exact = bm25_candidate_rescore(dm_tids, dm_tfs, doc_lens, avgdl,
+                                       cand, q_tids, q_idfs, k1, b)
+        bm_s, sel = jax.lax.top_k(exact, bm25_k)
+        bm_i = jnp.take_along_axis(cand, sel, axis=1)
+        bm_i = jnp.where(bm_s > 0.0, bm_i, -1)
+    else:
+        bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
+        bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
     fused_s, fused_i = rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
@@ -169,14 +184,25 @@ class HybridSearcher:
 
         if bm25_mode == "sketch":
             self.bm25.ensure_sketch(num_docs)
+            self.bm25.ensure_doc_major(num_docs)
+            self.bm25._device_doc_lens(num_docs)
             qind = self.bm25.make_query_indicator(queries_text)
+            q_tids, q_idfs = self.bm25.make_query_terms(queries_text)
             if qind.shape[0] < bq:
-                qind = np.pad(qind, ((0, bq - qind.shape[0]), (0, 0)))
+                pad = bq - qind.shape[0]
+                qind = np.pad(qind, ((0, pad), (0, 0)))
+                q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
+                q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
+            bm_kc = min(max(bk, int(round(bk * rescore_multiplier))), num_docs)
             packed = _hybrid_program_sketch(
                 *common,
                 self.bm25._sketch, self.bm25._sketch_scale, jnp.asarray(qind),
+                self.bm25._dm_tids, self.bm25._dm_tfs,
+                self.bm25._dl_dev, jnp.asarray(self.bm25.avgdl, jnp.float32),
+                jnp.asarray(q_tids), jnp.asarray(q_idfs),
                 *codes_args,
-                dk, bk, fk, rrf_k, kc, mode,
+                dk, bk, fk, rrf_k, kc, bm_kc, mode,
+                self.bm25.k1, self.bm25.b,
             )
         else:
             self.bm25._device_doc_lens(num_docs)

@@ -175,3 +175,35 @@ def bm25_sketch_scores(sketch, scale, qind, mask):
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
     return scores
+
+
+def bm25_candidate_rescore(
+    doc_tids: jax.Array,  # (N, L) int32 per-doc term ids, -1 pad (doc-major)
+    doc_tfs: jax.Array,  # (N, L) int32 term frequencies
+    doc_lens: jax.Array,  # (N,) f32
+    avgdl: jax.Array,  # () f32
+    cand: jax.Array,  # (B, KC) int32 candidate rows, -1 pad
+    q_tids: jax.Array,  # (B, T) int32 query term ids, -1 pad
+    q_idfs: jax.Array,  # (B, T) f32
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> jax.Array:
+    """EXACT BM25 scores for candidate docs (stage-2 after the sketch scan).
+
+    Doc-major term tables make per-candidate term lookup a dense equality
+    join: (B, KC, L) gathered doc terms vs (B, T) query terms -> tf matrix ->
+    the standard BM25 sum. No scatter, no postings traversal — O(B*KC*L*T)
+    dense compares on the VPU (all dims small)."""
+    safe = jnp.maximum(cand, 0)
+    d_tids = jnp.take(doc_tids, safe, axis=0)  # (B, KC, L)
+    d_tfs = jnp.take(doc_tfs, safe, axis=0).astype(jnp.float32)
+    dl = jnp.take(doc_lens, safe)  # (B, KC)
+    # tf of each query term in each candidate: match term ids
+    eq = (d_tids[:, :, :, None] == q_tids[:, None, None, :]) \
+        & (d_tids[:, :, :, None] >= 0)  # (B, KC, L, T)
+    tf = jnp.sum(jnp.where(eq, d_tfs[:, :, :, None], 0.0), axis=2)  # (B, KC, T)
+    denom = tf + k1 * (1.0 - b + b * dl[:, :, None] / jnp.maximum(avgdl, 1e-6))
+    contrib = q_idfs[:, None, :] * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-6)
+    contrib = jnp.where(q_tids[:, None, :] >= 0, contrib, 0.0)
+    scores = jnp.sum(contrib, axis=-1)  # (B, KC)
+    return jnp.where(cand >= 0, scores, NEG_INF)

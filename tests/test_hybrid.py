@@ -103,3 +103,23 @@ def test_hybrid_respects_validity(setup):
         # restore for other tests (module-scoped fixture)
         import jax.numpy as jnp
         searcher.engine.valid = searcher.engine.valid.at[5].set(True)
+
+
+def test_sketch_with_exact_rescore_matches_pages(setup):
+    """With rescore_multiplier, the sketch leg's returned SCORES are exact
+    BM25 (identical to the pages-exact path) for all shared hits."""
+    vecs, texts, searcher = setup
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    queries = ["alpha bravo charlie", "kilo lima mike november"]
+    exact = searcher.search_rows(q, queries, bm25_k=6, bm25_mode="pages",
+                                 rescore_multiplier=8.0)["bm25"]
+    sketch = searcher.search_rows(q, queries, bm25_k=6, bm25_mode="sketch",
+                                  rescore_multiplier=8.0)["bm25"]
+    for qi in range(2):
+        es = {int(r): float(s) for s, r in zip(exact[0][qi], exact[1][qi]) if r >= 0}
+        ss = {int(r): float(s) for s, r in zip(sketch[0][qi], sketch[1][qi]) if r >= 0}
+        shared = set(es) & set(ss)
+        assert len(shared) >= max(1, int(0.8 * len(es)))
+        for r in shared:
+            np.testing.assert_allclose(ss[r], es[r], rtol=1e-4)
