@@ -132,11 +132,17 @@ def _shard_hybrid_body(
     vecs: jax.Array,  # (rows/shard, D)
     codes: jax.Array,  # (rows/shard, W)
     sketch: jax.Array,  # (rows/shard, S) int8 BM25 impact sketch
+    dm_tids: jax.Array,  # (rows/shard, L) doc-major term ids (exact rescore)
+    dm_tfs: jax.Array,  # (rows/shard, L)
+    doc_lens: jax.Array,  # (rows/shard,)
     valid: jax.Array,  # (rows/shard,)
     queries: jax.Array,  # (B, D) replicated
     qcodes: jax.Array,  # (B, W) replicated
     qind: jax.Array,  # (B, S) int8 replicated
+    q_tids: jax.Array,  # (B, T) replicated
+    q_idfs: jax.Array,  # (B, T) replicated
     sketch_scale: jax.Array,  # () f32
+    avgdl: jax.Array,  # () f32
     dense_k: int,
     bm25_k: int,
     fused_k: int,
@@ -151,7 +157,7 @@ def _shard_hybrid_body(
     per-shard top-k), so RRF sees globally-correct ranks; fusion itself is
     then computed redundantly on every device (k is tiny) — no extra
     communication round."""
-    from radiant_rag_tpu.ops.bm25 import bm25_sketch_scores
+    from radiant_rag_tpu.ops.bm25 import bm25_candidate_rescore, bm25_sketch_scores
     from radiant_rag_tpu.ops.fusion import rrf_fuse
 
     shard = jax.lax.axis_index(("data", "model"))
@@ -164,8 +170,16 @@ def _shard_hybrid_body(
             binary_codes=codes, qbinary=qcodes)
     gdi = jnp.where(ds > sim.NEG_INF / 2, di + shard * rows_per_shard, -1)
 
+    # sparse: local sketch scan -> exact BM25 rescore of local candidates;
+    # exact scores merge correctly across shards by value
     bm_scores = bm25_sketch_scores(sketch, sketch_scale, qind, valid)
-    bs, bi = jax.lax.top_k(bm_scores, bm25_k)
+    bm_kc = min(max(bm25_k * 4, bm25_k), rows_per_shard)
+    s1, cand = sim.full_topk(bm_scores, bm_kc)
+    cand = jnp.where(s1 > 0.0, cand, -1).astype(jnp.int32)
+    exact = bm25_candidate_rescore(dm_tids, dm_tfs, doc_lens, avgdl,
+                                   cand, q_tids, q_idfs)
+    bs, sel = jax.lax.top_k(exact, bm25_k)
+    bi = jnp.take_along_axis(cand, sel, axis=1)
     gbi = jnp.where(bs > 0.0, bi + shard * rows_per_shard, -1)
 
     # global merge of each run over ICI
@@ -192,18 +206,32 @@ class ShardedHybridIndex(ShardedFlatIndex):
     shard_map program, collectives over ICI (the multi-chip form of
     `index/hybrid.py`)."""
 
-    def __init__(self, mesh: Mesh, vecs: np.ndarray,
-                 sketch: np.ndarray,  # (N, S) int8 impact sketch rows
-                 sketch_scale: float,
+    def __init__(self, mesh: Mesh, vecs: np.ndarray, bm25,
                  valid: Optional[np.ndarray] = None) -> None:
+        """bm25: a finalized BM25Index whose rows align with `vecs` rows."""
         super().__init__(mesh, vecs, valid)
-        s = sketch.shape[1]
+        n = vecs.shape[0]
         total = self.rows_per_shard * self._n_shards
-        sp = np.zeros((total, s), np.int8)
-        sp[: sketch.shape[0]] = sketch
+        bm25.ensure_sketch(n)
+        bm25.ensure_doc_major(n)
+        bm25._device_doc_lens(n)
+        self.bm25 = bm25
         mat_sharding = NamedSharding(mesh, P(("data", "model"), None))
-        self.sketch = jax.device_put(sp, mat_sharding)
-        self.sketch_scale = jnp.asarray(sketch_scale, jnp.float32)
+        row_sharding = NamedSharding(mesh, P(("data", "model"),))
+
+        def pad_rows(arr, dtype):
+            a = np.asarray(arr)
+            out = np.zeros((total,) + a.shape[1:], dtype)
+            out[: a.shape[0]] = a[:min(a.shape[0], total)]
+            return out
+
+        self.sketch = jax.device_put(pad_rows(bm25._sketch, np.int8), mat_sharding)
+        self.dm_tids = jax.device_put(pad_rows(bm25._dm_tids, np.int32), mat_sharding)
+        self.dm_tfs = jax.device_put(pad_rows(bm25._dm_tfs, np.int32), mat_sharding)
+        self.doc_lens = jax.device_put(
+            pad_rows(np.asarray(bm25._dl_dev)[:n], np.float32), row_sharding)
+        self.sketch_scale = jnp.asarray(np.asarray(bm25._sketch_scale), jnp.float32)
+        self.avgdl = jnp.asarray(bm25.avgdl, jnp.float32)
         self._hybrid_cache = {}
 
     def _get_hybrid_program(self, dense_k, bm25_k, fused_k, rrf_k, kc, mode):
@@ -217,8 +245,12 @@ class ShardedHybridIndex(ShardedFlatIndex):
                 in_specs=(P(("data", "model"), None),  # vecs
                           P(("data", "model"), None),  # codes
                           P(("data", "model"), None),  # sketch
+                          P(("data", "model"), None),  # dm_tids
+                          P(("data", "model"), None),  # dm_tfs
+                          P(("data", "model"),),  # doc_lens
                           P(("data", "model"),),  # valid
-                          P(), P(), P(), P()),  # queries, qcodes, qind, scale
+                          P(), P(), P(), P(), P(),  # queries, qcodes, qind, q_tids, q_idfs
+                          P(), P()),  # sketch_scale, avgdl
                 out_specs=P(),
                 check_vma=False,
             )
@@ -228,7 +260,7 @@ class ShardedHybridIndex(ShardedFlatIndex):
     def hybrid_search(
         self,
         queries_dense: np.ndarray,  # (B, D)
-        qind: np.ndarray,  # (B, S) int8 query-term indicators
+        queries_text,  # list[str] — tokenized against the bm25 vocab
         dense_k: int = 10,
         bm25_k: int = 10,
         fused_k: int = 15,
@@ -244,9 +276,14 @@ class ShardedHybridIndex(ShardedFlatIndex):
         kc = min(max(dk, int(round(dk * rescore_multiplier))), self.rows_per_shard)
         qdev = jnp.asarray(q)
         qcodes = qz.pack_binary(qdev)
+        qind = self.bm25.make_query_indicator(queries_text)
+        q_tids, q_idfs = self.bm25.make_query_terms(queries_text)
         prog = self._get_hybrid_program(dk, bk, fk, rrf_k, kc, mode)
-        packed = np.asarray(prog(self.vecs, self.codes, self.sketch, self.valid,
-                                 qdev, qcodes, jnp.asarray(qind), self.sketch_scale))
+        packed = np.asarray(prog(
+            self.vecs, self.codes, self.sketch, self.dm_tids, self.dm_tfs,
+            self.doc_lens, self.valid,
+            qdev, qcodes, jnp.asarray(qind), jnp.asarray(q_tids),
+            jnp.asarray(q_idfs), self.sketch_scale, self.avgdl))
         out = {}
         off = 0
         for name, k in (("dense", dk), ("bm25", bk), ("fused", fk)):

@@ -130,14 +130,11 @@ def test_sharded_hybrid_matches_single_device(rng):
     texts = [f"token{i % 37} shared{i % 5} word{i}" for i in range(n)]
     bm25 = BM25Index(sketch_dim=256)
     bm25.bulk_build(list(range(n)), texts)
-    bm25.ensure_sketch(n)
-    sketch = np.asarray(bm25._sketch)
-    scale = float(np.asarray(bm25._sketch_scale))
 
-    idx = ShardedHybridIndex(mesh, vecs, sketch, scale)
+    idx = ShardedHybridIndex(mesh, vecs, bm25)
     queries = vecs[100:104]
-    qind = bm25.make_query_indicator(["token7 shared2", "word5", "token0", "shared4 word9"])
-    res = idx.hybrid_search(queries, qind, dense_k=5, bm25_k=5, fused_k=8, mode="exact")
+    qtexts = ["token7 shared2", "word5", "token0", "shared4 word9"]
+    res = idx.hybrid_search(queries, qtexts, dense_k=5, bm25_k=5, fused_k=8, mode="exact")
 
     # dense run must match a single-device oracle exactly
     oracle = queries @ vecs.T
