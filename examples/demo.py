@@ -52,7 +52,8 @@ def mock_responder(messages):
     if "Context:" in last and "Question:" in last:
         return ("Solar panels convert sunlight into electricity with "
                 "photovoltaic silicon cells at 15-23% efficiency [DOC 1].")
-    if "Rewrite each query" in last or "alternative phrasings" in last             or "JSON array" in last:
+    if ("Rewrite each query" in last or "alternative phrasings" in last
+            or "JSON array" in last):
         return "[]"
     return "{}"
 
