@@ -374,8 +374,12 @@ class RAGOrchestrator:
                 with metrics.track_step("summarization"):
                     sum_res = self.summarization.run(ctx)
                     if sum_res.success and sum_res.data:
-                        ctx.reranked_docs = sum_res.data if ctx.reranked_docs else ctx.reranked_docs
-                        if not ctx.reranked_docs:
+                        # compressed docs replace the best available stage
+                        # (reference swaps in CompressedDocWrappers,
+                        # `orchestrator.py:1360-1378`)
+                        if ctx.reranked_docs:
+                            ctx.reranked_docs = sum_res.data
+                        else:
                             ctx.fused_docs = sum_res.data
 
             # Phase 6: generation
