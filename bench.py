@@ -27,7 +27,7 @@ import numpy as np
 
 N_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 100_000))
 DIM = 384
-N_QUERY_BATCHES = 12
+N_QUERY_BATCHES = 24
 BATCH = 32
 TOP_K = 10
 FUSED_K = 15
