@@ -125,6 +125,7 @@ class DeviceVectorIndex:
         calibration_sample: int = 4096,
         device=None,
         store_fp32: bool = True,
+        vec_dtype: str = "float32",
     ) -> None:
         """store_fp32=False is the memory-tier mode for very large corpora:
         fp32 vectors are NOT kept in HBM (1.5KB/doc saved at 384-dim);
@@ -137,6 +138,9 @@ class DeviceVectorIndex:
         self.capacity = _next_pow2(max(initial_capacity, 256))
         self.device = device
         self.store_fp32 = store_fp32
+        import jax.numpy as _jnp
+
+        self.vec_dtype = _jnp.bfloat16 if vec_dtype == "bfloat16" else _jnp.float32
         self._calibrated = False
         self.calibration_sample = calibration_sample
         self._alloc(self.capacity)
@@ -148,7 +152,7 @@ class DeviceVectorIndex:
 
     # -- allocation --------------------------------------------------------
     def _alloc(self, cap: int) -> None:
-        self.vecs = jnp.zeros((cap if self.store_fp32 else 0, self.dim), jnp.float32)
+        self.vecs = jnp.zeros((cap if self.store_fp32 else 0, self.dim), self.vec_dtype)
         self.codes = jnp.zeros((cap, self.words), jnp.uint32)
         self.i8 = jnp.zeros((cap, self.dim), jnp.int8)
         self.valid = jnp.zeros((cap,), bool)
@@ -206,7 +210,7 @@ class DeviceVectorIndex:
             self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(vdev[:p])
             self._calibrated = True
         if self.store_fp32:
-            self.vecs = _write_slab(self.vecs, vdev, start)
+            self.vecs = _write_slab(self.vecs, vdev.astype(self.vec_dtype), start)
         self.codes = _write_slab(self.codes, qz.pack_binary(vdev), start)
         self.i8 = _write_slab(self.i8, qz.quantize_int8(vdev, self.i8_lo, self.i8_hi), start)
         vmask = np.zeros((pad_p,), bool)
@@ -237,8 +241,8 @@ class DeviceVectorIndex:
         if self.count == 0 or not self.store_fp32:
             return
         n = min(self.count, self.calibration_sample)
-        self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(self.vecs[:n])
-        self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
+        self.i8_lo, self.i8_hi = qz.calibrate_int8_ranges(self.vecs[:n].astype(jnp.float32))
+        self.i8 = qz.quantize_int8(self.vecs.astype(jnp.float32), self.i8_lo, self.i8_hi)
         self._calibrated = True
 
     def set_int8_ranges(self, lo: np.ndarray, hi: np.ndarray) -> None:
@@ -246,7 +250,7 @@ class DeviceVectorIndex:
         self.i8_lo = jnp.asarray(lo, jnp.float32)
         self.i8_hi = jnp.asarray(hi, jnp.float32)
         if self.store_fp32:
-            self.i8 = qz.quantize_int8(self.vecs, self.i8_lo, self.i8_hi)
+            self.i8 = qz.quantize_int8(self.vecs.astype(jnp.float32), self.i8_lo, self.i8_hi)
         self._calibrated = True
 
     # -- graph (HNSW-equivalent) -------------------------------------------
@@ -358,8 +362,9 @@ class DeviceVectorIndex:
 
     # -- stats / persistence ----------------------------------------------
     def memory_bytes(self) -> Dict[str, int]:
+        itemsize = 2 if self.vec_dtype == jnp.bfloat16 else 4
         return {
-            "fp32": (self.capacity * self.dim * 4) if self.store_fp32 else 0,
+            "fp32": (self.capacity * self.dim * itemsize) if self.store_fp32 else 0,
             "binary": self.capacity * self.words * 4,
             "int8": self.capacity * self.dim,
         }
@@ -373,7 +378,7 @@ class DeviceVectorIndex:
             vecs_out = np.asarray(qz.dequantize_int8(
                 self.i8[:n], self.i8_lo, self.i8_hi))
         else:
-            vecs_out = np.asarray(self.vecs[:n])
+            vecs_out = np.asarray(self.vecs[:n].astype(jnp.float32))
         return {
             "vecs": vecs_out,
             "valid": np.asarray(self.valid[:n]),

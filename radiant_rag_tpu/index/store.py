@@ -53,6 +53,7 @@ class TpuVectorStore(BaseVectorStore):
         self.engine = DeviceVectorIndex(
             dim, initial_capacity=self.index_config.initial_capacity,
             store_fp32=self.index_config.store_fp32,
+            vec_dtype=self.index_config.dtype,
         )
         self.lang_codes: Dict[str, int] = {}
         if self.quantization.int8_ranges_path and os.path.isfile(self.quantization.int8_ranges_path):
@@ -223,7 +224,8 @@ class TpuVectorStore(BaseVectorStore):
         self.docstore.clear()
         self.engine = DeviceVectorIndex(
             self.dim, initial_capacity=self.index_config.initial_capacity,
-            store_fp32=self.index_config.store_fp32)
+            store_fp32=self.index_config.store_fp32,
+            vec_dtype=self.index_config.dtype)
         self.lang_codes.clear()
 
     def count_documents(self) -> int:

@@ -219,3 +219,24 @@ def test_oversized_query_batch_chunks(rng):
     assert len(results) == 300
     assert results[0][0][0].content == docs[0][0]
     assert results[299][0][0].content == docs[59][0]
+
+
+def test_bf16_vector_storage(rng):
+    """index.dtype='bfloat16' halves resident fp32 memory; recall holds
+    (rescoring accumulates in f32)."""
+    cfg16 = IndexConfig(dim=64, initial_capacity=256, dtype="bfloat16")
+    s16 = TpuVectorStore(dim=64, index_config=cfg16)
+    s32 = TpuVectorStore(dim=64, index_config=IndexConfig(dim=64, initial_capacity=256))
+    docs = _corpus(rng, 150, 64)
+    s16.upsert_batch(docs)
+    s32.upsert_batch(docs)
+    assert s16.get_index_info()["memory_bytes"]["fp32"] == \
+        s32.get_index_info()["memory_bytes"]["fp32"] // 2
+    q = rng.standard_normal(64)
+    a = [d.doc_id for d, _ in s16.retrieve_by_embedding(q, top_k=10, min_similarity=-1)]
+    b = [d.doc_id for d, _ in s32.retrieve_by_embedding(q, top_k=10, min_similarity=-1)]
+    assert len(set(a) & set(b)) >= 8
+    # exact mode works on bf16 storage too
+    e = [d.doc_id for d, _ in s16.retrieve_by_embedding(q, top_k=10, min_similarity=-1,
+                                                        quantized=False)]
+    assert len(set(e) & set(b)) >= 8
