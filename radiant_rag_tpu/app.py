@@ -276,7 +276,27 @@ class RadiantTPU:
             return self.store.retrieve_by_embedding(emb, top_k=top_k)
         if mode == "bm25":
             return self.bm25_index.search(query, top_k=top_k)
-        # hybrid
+        # hybrid: the fused single-program path when the TPU engine backs the
+        # store; otherwise per-run retrieval + host RRF
+        searcher = getattr(self.orchestrator, "_hybrid", None)
+        if searcher is not None and self.store.count_documents() > 0:
+            searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
+            emb = self.local_models.embed_single(query)
+            res = searcher.search_rows(
+                emb[None, :], [query], dense_k=top_k, bm25_k=top_k,
+                fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
+                mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
+                rescore_multiplier=self.config.quantization.rescore_multiplier)
+            scores, rows = res["fused"]
+            out = []
+            for s, r in zip(scores[0], rows[0]):
+                if r < 0:
+                    continue
+                doc_id = self.store.id_for_row(int(r))
+                doc = self.store.get_doc(doc_id) if doc_id else None
+                if doc is not None:
+                    out.append((doc, float(s)))
+            return out
         emb = self.local_models.embed_single(query)
         dense = self.store.retrieve_by_embedding(emb, top_k=top_k)
         sparse = self.bm25_index.search(query, top_k=top_k)

@@ -578,6 +578,18 @@ class PersistentBM25Index:
         self._loaded = False
         self._dirty_adds = 0
 
+    @property
+    def index(self) -> BM25Index:
+        """The live inner index (loads/auto-builds on first access).
+
+        Always resolve through this property: load and build_from_store
+        REPLACE the inner object, so holding a direct `_index` reference goes
+        stale (e.g. a fused HybridSearcher constructed before the first
+        load)."""
+        with self._lock:
+            self._ensure_loaded()
+            return self._index
+
     # -- lifecycle ---------------------------------------------------------
     def _ensure_loaded(self, auto_build: bool = True) -> None:
         if self._loaded:

@@ -149,7 +149,7 @@ class RAGOrchestrator:
 
         # fused device retrieval path (hybrid fast path)
         self._hybrid = None
-        if hasattr(store, "engine") and hasattr(bm25_index, "_index"):
+        if hasattr(store, "engine") and hasattr(bm25_index, "index"):
             self._hybrid = HybridSearcher(store.engine, bm25_index._index)
 
         self.strategy_memory = (
@@ -540,6 +540,8 @@ class RAGOrchestrator:
     def _run_hybrid_fused(self, ctx: AgentContext, queries: Sequence[str]) -> None:
         """Fused on-device hybrid retrieval: one program for all queries."""
         cfg = self.config.retrieval
+        # re-resolve the live BM25 index: load/rebuild replaces the object
+        self._hybrid.bm25 = self.bm25_index.index
         embeddings = self.local_models.embed(list(queries))
         level = {"leaves": 0, "parents": 1, "all": -1}.get(cfg.search_scope, -1)
         res = self._hybrid.search_rows(

@@ -224,3 +224,13 @@ def test_index_durability_across_restart(tmp_path_factory):
     assert app2.store.count_documents() == n
     hits = app2.search("volcanoes lava", mode="bm25", top_k=3)
     assert hits and "lava" in hits[0][0].content
+
+
+def test_hybrid_search_after_bm25_rebuild(app):
+    """The fused hybrid path must track the live BM25 index across
+    build_from_store/load replacements (staleness regression test)."""
+    app.rebuild_bm25_index()  # REPLACES the inner BM25Index object
+    app.query_cache.clear()
+    hits = app.search("solar panels electricity", mode="hybrid", top_k=5)
+    assert hits
+    assert any("solar" in d.content.lower() for d, _ in hits)
