@@ -137,3 +137,102 @@ def hamming_scores_pallas_t(
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         interpret=interpret,
     )(codes_t, qcodes)
+
+
+# ---------------------------------------------------------------------------
+# Fused scan -> running top-K (no (B, N) score materialization).
+#
+# The XLA scans materialize all corpus scores in HBM before top-k ((B, N) f32
+# = 256MB per 64-query batch at 1M rows). This kernel streams int8 corpus
+# tiles through the MXU and maintains the exact per-query top-K in VMEM
+# scratch across the (sequential) grid: per tile, the running (B, K) and the
+# tile's (B, TILE) scores merge via K unrolled max-and-mask passes
+# (lax.top_k has no Mosaic lowering; iterative max is exact, first-index tie
+# break). HBM traffic = the int8 codes once + (B, K) out.
+# ---------------------------------------------------------------------------
+
+NEG = -3.0e38  # python float: jnp constants would be captured by kernels
+
+
+def _scan_topk_kernel(k: int):
+    def kernel(codes_ref, qi_ref, mask_ref, out_s_ref, out_i_ref,
+               run_s_ref, run_i_ref):
+        step = pl.program_id(0)
+        tile_n = codes_ref.shape[0]
+        b = qi_ref.shape[0]
+
+        @pl.when(step == 0)
+        def _():
+            run_s_ref[:] = jnp.full((b, k), NEG, jnp.float32)
+            run_i_ref[:] = jnp.full((b, k), -1, jnp.int32)
+
+        raw = jax.lax.dot_general(
+            qi_ref[:], codes_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (B, TILE)
+        valid = mask_ref[:].reshape(1, tile_n) != 0
+        scores = jnp.where(valid, raw, NEG)
+        gidx = (step * tile_n
+                + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1))
+
+        comb_s = jnp.concatenate([run_s_ref[:], scores], axis=1)  # (B, K+TILE)
+        comb_i = jnp.concatenate([run_i_ref[:], gidx], axis=1)
+        width = k + tile_n
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+        for j in range(k):  # static unroll; K is small
+            m = jnp.max(comb_s, axis=1, keepdims=True)  # (B, 1)
+            pos = jnp.min(jnp.where(comb_s == m, iota, width), axis=1,
+                          keepdims=True)  # first argmax
+            sel = iota == pos
+            run_s_ref[:, j] = m[:, 0]
+            run_i_ref[:, j] = jnp.sum(jnp.where(sel, comb_i, 0), axis=1)
+            comb_s = jnp.where(sel, NEG, comb_s)
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _():
+            out_s_ref[:] = run_s_ref[:]
+            out_i_ref[:] = jnp.where(run_s_ref[:] > NEG / 2, run_i_ref[:], -1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def int8_scan_topk_pallas(
+    codes: jax.Array,  # (N, D) int8, N % TILE_N == 0
+    qi: jax.Array,  # (B, D) int8 scale-folded query
+    mask: jax.Array,  # (N,) int8/bool validity
+    k: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of the int8 scan without materializing (B, N) scores.
+
+    Returns (scores (B, k) f32 RAW int32 dots, indices (B, k) i32, -1 pad);
+    apply the affine dequant (scale/offset) to the returned scores outside."""
+    n, d = codes.shape
+    b = qi.shape[0]
+    mask_i8 = mask.astype(jnp.int8).reshape(n, 1)
+    grid = (n // TILE_N,)
+    ms = pltpu.VMEM  # the TPU interpreter handles VMEM blocks directly
+    # TPU-flavored interpreter: plain interpret=True rejects TPU memory-space
+    # scratch on the CPU backend
+    interp = pltpu.InterpretParams() if interpret else False
+    out_s, out_i = pl.pallas_call(
+        _scan_topk_kernel(k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=ms),
+        ],
+        out_specs=(pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=ms),
+                   pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=ms)),
+        out_shape=(jax.ShapeDtypeStruct((b, k), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        interpret=interp,
+    )(codes, qi, mask_i8)
+    return out_s, out_i

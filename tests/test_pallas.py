@@ -46,3 +46,22 @@ def test_hamming_t_kernel_matches_numpy(rng):
     for shift in range(32):
         oracle += ((xor >> shift) & 1).sum(-1).astype(np.int32)
     np.testing.assert_array_equal(out, oracle)
+
+
+def test_scan_topk_kernel_exact(rng):
+    from radiant_rag_tpu.ops.pallas_kernels import int8_scan_topk_pallas
+
+    n, d, b, k = 4 * TILE_N, 64, 4, 8
+    codes = rng.integers(-80, 80, (n, d)).astype(np.int8)
+    qi = rng.integers(-80, 80, (b, d)).astype(np.int8)
+    mask = np.ones(n, np.int8)
+    mask[100:200] = 0  # some dead rows
+    s, i = int8_scan_topk_pallas(jnp.asarray(codes), jnp.asarray(qi),
+                                 jnp.asarray(mask), k, interpret=True)
+    s, i = np.asarray(s), np.asarray(i)
+    oracle = qi.astype(np.int64) @ codes.astype(np.int64).T
+    oracle = np.where(mask[None, :] != 0, oracle, -10**15)
+    for qb in range(b):
+        true = np.argsort(-oracle[qb], kind="stable")[:k]
+        assert list(i[qb]) == list(true), (i[qb], true)
+        np.testing.assert_allclose(s[qb], oracle[qb][true].astype(np.float64))
