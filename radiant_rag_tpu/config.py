@@ -46,6 +46,9 @@ class IndexConfig:
     # memory-tier mode: drop fp32 vectors from HBM, rescore via int8 dequant
     # (doubles per-chip corpus capacity; exact mode unavailable)
     store_fp32: bool = True
+    # Pallas fused scan->top-K stage 1 (no (B, N) score materialization);
+    # falls back to the XLA scan when capacity is not tile-aligned
+    use_pallas_scan: bool = False
     data_dir: str = "./data/index"
     # durability (the reference gets this implicitly from Redis): load any
     # saved index from data_dir at startup and save after each ingest

@@ -126,6 +126,7 @@ class DeviceVectorIndex:
         device=None,
         store_fp32: bool = True,
         vec_dtype: str = "float32",
+        use_pallas_scan: bool = False,
     ) -> None:
         """store_fp32=False is the memory-tier mode for very large corpora:
         fp32 vectors are NOT kept in HBM (1.5KB/doc saved at 384-dim);
@@ -141,6 +142,7 @@ class DeviceVectorIndex:
         import jax.numpy as _jnp
 
         self.vec_dtype = _jnp.bfloat16 if vec_dtype == "bfloat16" else _jnp.float32
+        self.use_pallas_scan = use_pallas_scan
         self._calibrated = False
         self.calibration_sample = calibration_sample
         self._alloc(self.capacity)
@@ -343,6 +345,11 @@ class DeviceVectorIndex:
         if ef_runtime:
             kc = max(kc, int(ef_runtime))
         kc = min(max(kc, 1), self.capacity)
+        from radiant_rag_tpu.ops.pallas_kernels import TILE_N
+
+        if (mode == "int8" and self.use_pallas_scan
+                and self.capacity % TILE_N == 0):
+            return self._pallas_search(queries, k_eff, kc, level_code, lang_code, k)
         qdev, qvalid, b = self._bucket_queries(np.asarray(queries, np.float32))
         packed = _search_program(
             self.vecs, self.codes, self.i8,
@@ -355,6 +362,25 @@ class DeviceVectorIndex:
         packed = np.asarray(packed)[:b]  # one fetch
         scores = packed[:, :k_eff]
         rows = packed[:, k_eff:].astype(np.int64)
+        if k_eff < k:
+            scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-1e30)
+            rows = np.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return scores, rows
+
+    def _pallas_search(self, queries: np.ndarray, k_eff: int, kc: int,
+                       level_code: int, lang_code: int, k: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused Pallas stage-1 path (ops/similarity.two_stage_topk_pallas)."""
+        qdev, qvalid, b = self._bucket_queries(np.asarray(queries, np.float32))
+        mask = _mask_program(self.valid, self.level, self.lang,
+                             jnp.asarray(level_code, jnp.int32),
+                             jnp.asarray(lang_code, jnp.int32))
+        top_s, top_i = sim.two_stage_topk_pallas(
+            self.vecs, qdev, mask, k_eff, kc, self.i8,
+            *qz.int8_scale_offset(self.i8_lo, self.i8_hi))
+        top_i = jnp.where(jnp.asarray(qvalid)[:, None], top_i, -1)
+        scores = np.asarray(top_s)[:b]
+        rows = np.asarray(top_i)[:b].astype(np.int64)
         if k_eff < k:
             scores = np.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=-1e30)
             rows = np.pad(rows, ((0, 0), (0, k - k_eff)), constant_values=-1)

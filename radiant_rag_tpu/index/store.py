@@ -54,6 +54,7 @@ class TpuVectorStore(BaseVectorStore):
             dim, initial_capacity=self.index_config.initial_capacity,
             store_fp32=self.index_config.store_fp32,
             vec_dtype=self.index_config.dtype,
+            use_pallas_scan=self.index_config.use_pallas_scan,
         )
         self.lang_codes: Dict[str, int] = {}
         if self.quantization.int8_ranges_path and os.path.isfile(self.quantization.int8_ranges_path):
@@ -225,7 +226,8 @@ class TpuVectorStore(BaseVectorStore):
         self.engine = DeviceVectorIndex(
             self.dim, initial_capacity=self.index_config.initial_capacity,
             store_fp32=self.index_config.store_fp32,
-            vec_dtype=self.index_config.dtype)
+            vec_dtype=self.index_config.dtype,
+            use_pallas_scan=self.index_config.use_pallas_scan)
         self.lang_codes.clear()
 
     def count_documents(self) -> int:

@@ -203,3 +203,41 @@ def two_stage_topk(
     top_s, local_i = jax.lax.top_k(rescored, k)
     top_idx = jnp.take_along_axis(cand, local_i, axis=1)
     return top_s, top_idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "k_candidates"))
+def two_stage_topk_pallas(
+    corpus: jax.Array,  # (N, D) fp32/bf16 (or (0, D) in fp32-free mode)
+    queries: jax.Array,  # (B, D) f32
+    mask: jax.Array,  # (N,) bool
+    k: int,
+    k_candidates: int,
+    int8_codes: jax.Array,  # (N, D) int8
+    int8_scale: jax.Array,
+    int8_offset: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage retrieval with the Pallas fused scan->top-K stage 1.
+
+    Identical semantics to two_stage_topk(stage1="int8") but stage 1 never
+    materializes (B, N) scores in HBM (`ops/pallas_kernels.py`). Requires
+    N % TILE_N == 0 (engine capacities are powers of two >= 1024)."""
+    from radiant_rag_tpu.ops.pallas_kernels import int8_scan_topk_pallas
+
+    qs = queries * int8_scale[None, :]
+    qmax = jnp.max(jnp.abs(qs), axis=1, keepdims=True) + 1e-12
+    sq = qmax / 127.0
+    qi = jnp.clip(jnp.round(qs / sq), -127, 127).astype(jnp.int8)
+    raw_s, cand = int8_scan_topk_pallas(int8_codes, qi, mask, k_candidates)
+    valid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    if corpus.shape[0] > 0:
+        cand_vecs = jnp.take(corpus, safe, axis=0).astype(jnp.float32)
+    else:
+        ci = jnp.take(int8_codes, safe, axis=0).astype(jnp.float32)
+        cand_vecs = ci * int8_scale[None, None, :] + int8_offset[None, None, :]
+    rescored = jnp.einsum("bd,bkd->bk", queries, cand_vecs)
+    rescored = jnp.where(valid, rescored, NEG_INF)
+    top_s, sel = jax.lax.top_k(rescored, k)
+    top_i = jnp.take_along_axis(cand, sel, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i, -1)
+    return top_s, top_i.astype(jnp.int32)

@@ -65,3 +65,21 @@ def test_scan_topk_kernel_exact(rng):
         true = np.argsort(-oracle[qb], kind="stable")[:k]
         assert list(i[qb]) == list(true), (i[qb], true)
         np.testing.assert_allclose(s[qb], oracle[qb][true].astype(np.float64))
+
+
+def test_engine_pallas_scan_mode(rng):
+    """use_pallas_scan engine path matches the XLA int8 path (CPU: interpret
+    is not wired into the engine, so just verify the flag falls back cleanly
+    on non-aligned capacity and the config plumbs through)."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    cfg = IndexConfig(dim=32, initial_capacity=256, use_pallas_scan=True)
+    store = TpuVectorStore(dim=32, index_config=cfg)
+    assert store.engine.use_pallas_scan
+    docs = [(f"d{i}", {}, rng.standard_normal(32)) for i in range(50)]
+    store.upsert_batch(docs)
+    # capacity 256 % TILE_N(1024) != 0 -> falls back to the XLA path
+    hits = store.retrieve_by_embedding(np.asarray(docs[7][2]), top_k=5,
+                                       min_similarity=-1.0)
+    assert hits and hits[0][0].content == "d7"
