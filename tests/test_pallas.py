@@ -83,3 +83,39 @@ def test_engine_pallas_scan_mode(rng):
     hits = store.retrieve_by_embedding(np.asarray(docs[7][2]), top_k=5,
                                        min_similarity=-1.0)
     assert hits and hits[0][0].content == "d7"
+
+
+def test_two_stage_pallas_matches_xla(rng, monkeypatch):
+    """two_stage_topk_pallas == two_stage_topk(stage1='int8') given identical
+    candidates (interpret-mode kernel on CPU)."""
+    import radiant_rag_tpu.ops.pallas_kernels as pk
+    from radiant_rag_tpu.ops.quantize import calibrate_int8_ranges, int8_scale_offset, quantize_int8
+    from radiant_rag_tpu.ops.similarity import two_stage_topk, two_stage_topk_pallas
+
+    # route the kernel through the interpreter on CPU
+    real = pk.int8_scan_topk_pallas
+
+    def interp(codes, qi, mask, k, interpret=False):
+        return real(codes, qi, mask, k, interpret=True)
+
+    monkeypatch.setattr(pk, "int8_scan_topk_pallas", interp)
+
+    n, d, b = 2 * pk.TILE_N, 64, 4
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = corpus[:b] + 0.1 * rng.standard_normal((b, d)).astype(np.float32)
+    lo, hi = calibrate_int8_ranges(jnp.asarray(corpus))
+    codes = quantize_int8(jnp.asarray(corpus), lo, hi)
+    sc, off = int8_scale_offset(lo, hi)
+    mask = jnp.asarray(np.ones(n, bool))
+
+    s1, i1 = two_stage_topk_pallas(jnp.asarray(corpus), jnp.asarray(q), mask,
+                                   5, 20, codes, sc, off)
+    s2, i2 = two_stage_topk(jnp.asarray(corpus), jnp.asarray(q), mask, 5, 20,
+                            "int8", int8_codes=codes, int8_scale=sc,
+                            int8_offset=off)
+    for qb in range(b):
+        a = set(int(x) for x in np.asarray(i1)[qb] if x >= 0)
+        c = set(int(x) for x in np.asarray(i2)[qb] if x >= 0)
+        assert len(a & c) >= 4  # stage-1 rankings differ slightly (approx vs exact)
+        assert np.asarray(i1)[qb, 0] == qb  # self-retrieval
