@@ -94,6 +94,23 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
     qps = BATCH / med
     log(f"tpu hybrid: {med*1000:.1f} ms / {BATCH}-query batch -> {qps:.1f} QPS")
 
+    # per-leg figures (BASELINE configs #1 dense-only, #2 bm25-only)
+    def timed(fn, batches=8):
+        fn(0)  # warm
+        ts = []
+        for bi in range(batches):
+            t0 = time.perf_counter()
+            fn(bi % N_QUERY_BATCHES)
+            ts.append(time.perf_counter() - t0)
+        return BATCH / float(np.median(ts))
+
+    dense_qps = timed(lambda bi: engine.search(
+        queries_dense[bi * BATCH:(bi + 1) * BATCH], TOP_K, mode=DENSE_MODE))
+    bm25_qps = timed(lambda bi: bm25.search_rows_batch(
+        queries_text[bi * BATCH:(bi + 1) * BATCH], TOP_K,
+        valid_mask=engine.valid, num_rows=engine.capacity))
+    log(f"dense-only: {dense_qps:.1f} QPS, bm25-only(exact pages): {bm25_qps:.1f} QPS")
+
     # recall@10 of the quantized dense stage vs the exact scan (on-device oracle)
     qd = queries_dense[:BATCH]
     _, approx_rows = engine.search(qd, TOP_K, mode=DENSE_MODE)
@@ -104,7 +121,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         for i in range(BATCH)
     ])
     log(f"dense recall@{TOP_K} vs exact: {recall:.3f}")
-    return qps, build_s, float(recall)
+    return qps, build_s, float(recall), dense_qps, bm25_qps
 
 
 def bench_cpu_reference(vecs, texts, queries_dense, queries_text):
@@ -172,7 +189,8 @@ def main():
     queries_dense /= np.linalg.norm(queries_dense, axis=1, keepdims=True)
     queries_text = [" ".join(texts[i].split()[:6]) for i in qidx]
 
-    tpu_qps, build_s, recall = bench_tpu(vecs, texts, queries_dense, queries_text)
+    tpu_qps, build_s, recall, dense_qps, bm25_qps = bench_tpu(
+        vecs, texts, queries_dense, queries_text)
     cpu_qps = bench_cpu_reference(vecs, texts, queries_dense, queries_text)
 
     result = {
@@ -187,6 +205,8 @@ def main():
             "top_k": TOP_K,
             "dense_mode": DENSE_MODE + "+fp32_rescore",
             "dense_recall_at_10_vs_exact": round(recall, 4),
+            "dense_only_qps": round(dense_qps, 1),
+            "bm25_only_exact_qps": round(bm25_qps, 1),
         },
     }
     print(json.dumps(result))
