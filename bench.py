@@ -94,7 +94,10 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
     qps = BATCH / med
     log(f"tpu hybrid: {med*1000:.1f} ms / {BATCH}-query batch -> {qps:.1f} QPS")
 
-    # per-leg figures (BASELINE configs #1 dense-only, #2 bm25-only)
+    # per-leg figures (BASELINE configs #1 dense-only, #2 bm25-only);
+    # opt-in: they compile two extra device programs (BENCH_LEGS=1)
+    measure_legs = __import__("os").environ.get("BENCH_LEGS", "0") == "1"
+
     def timed(fn, batches=8):
         fn(0)  # warm
         ts = []
@@ -104,12 +107,14 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
             ts.append(time.perf_counter() - t0)
         return BATCH / float(np.median(ts))
 
-    dense_qps = timed(lambda bi: engine.search(
-        queries_dense[bi * BATCH:(bi + 1) * BATCH], TOP_K, mode=DENSE_MODE))
-    bm25_qps = timed(lambda bi: bm25.search_rows_batch(
-        queries_text[bi * BATCH:(bi + 1) * BATCH], TOP_K,
-        valid_mask=engine.valid, num_rows=engine.capacity))
-    log(f"dense-only: {dense_qps:.1f} QPS, bm25-only(exact pages): {bm25_qps:.1f} QPS")
+    dense_qps = bm25_qps = 0.0
+    if measure_legs:
+        dense_qps = timed(lambda bi: engine.search(
+            queries_dense[bi * BATCH:(bi + 1) * BATCH], TOP_K, mode=DENSE_MODE))
+        bm25_qps = timed(lambda bi: bm25.search_rows_batch(
+            queries_text[bi * BATCH:(bi + 1) * BATCH], TOP_K,
+            valid_mask=engine.valid, num_rows=engine.capacity))
+        log(f"dense-only: {dense_qps:.1f} QPS, bm25-only(exact pages): {bm25_qps:.1f} QPS")
 
     # recall@10 of the quantized dense stage vs the exact scan (on-device oracle)
     qd = queries_dense[:BATCH]
@@ -205,8 +210,8 @@ def main():
             "top_k": TOP_K,
             "dense_mode": DENSE_MODE + "+fp32_rescore",
             "dense_recall_at_10_vs_exact": round(recall, 4),
-            "dense_only_qps": round(dense_qps, 1),
-            "bm25_only_exact_qps": round(bm25_qps, 1),
+            **({"dense_only_qps": round(dense_qps, 1),
+                "bm25_only_exact_qps": round(bm25_qps, 1)} if dense_qps else {}),
         },
     }
     print(json.dumps(result))
