@@ -114,7 +114,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         bm25_qps = timed(lambda bi: bm25.search_rows_batch(
             queries_text[bi * BATCH:(bi + 1) * BATCH], TOP_K,
             valid_mask=engine.valid, num_rows=engine.capacity))
-        log(f"dense-only: {dense_qps:.1f} QPS, bm25-only(exact pages): {bm25_qps:.1f} QPS")
+        log(f"dense-only: {dense_qps:.1f} QPS, bm25-only: {bm25_qps:.1f} QPS")
 
     # recall@10 of the quantized dense stage vs the exact scan (on-device oracle)
     qd = queries_dense[:BATCH]
@@ -211,7 +211,7 @@ def main():
             "dense_mode": DENSE_MODE + "+fp32_rescore",
             "dense_recall_at_10_vs_exact": round(recall, 4),
             **({"dense_only_qps": round(dense_qps, 1),
-                "bm25_only_exact_qps": round(bm25_qps, 1)} if dense_qps else {}),
+                "bm25_only_qps": round(bm25_qps, 1)} if dense_qps else {}),
         },
     }
     print(json.dumps(result))

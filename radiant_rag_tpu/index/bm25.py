@@ -474,8 +474,16 @@ class BM25Index:
         top_k: int = 10,
         valid_mask: Optional[jnp.ndarray] = None,
         num_rows: Optional[int] = None,
+        method: str = "auto",  # auto | sketch | pages
+        rescore_multiplier: float = 4.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched exact BM25 scoring in one device program."""
+        """Batched BM25 scoring in one device program.
+
+        method='pages' traverses every query term's full posting list
+        (exhaustive-exact); 'sketch' scans the int8 impact sketch and EXACTLY
+        rescores the top-(k x rescore_multiplier) candidates — same scores,
+        ~10x faster on common-term queries, recall bounded by the candidate
+        margin; 'auto' picks sketch when built/available."""
         bq = len(queries)
         if self.num_docs == 0:
             return (np.full((bq, top_k), -1e30, np.float32),
@@ -489,12 +497,37 @@ class BM25Index:
         dl = self._dl_dev
 
         self._finalize_csr()
-        pages = self.make_pages(queries)
 
         mask = valid_mask
         if mask is not None and int(mask.shape[0]) < n_rows:
             mask = jnp.concatenate([mask, jnp.zeros((n_rows - int(mask.shape[0]),), bool)])
 
+        if method == "auto":
+            method = "sketch" if self.sketch_dim > 0 else "pages"
+        if method == "sketch":
+            from radiant_rag_tpu.ops.bm25 import bm25_sketch_rescore_topk
+
+            self.ensure_sketch(n_rows)
+            self.ensure_doc_major(n_rows)
+            qind = self.make_query_indicator(queries)
+            q_tids, q_idfs = self.make_query_terms(queries)
+            k_eff = min(top_k, n_rows)
+            kc = min(max(k_eff, int(round(k_eff * rescore_multiplier))), n_rows)
+            top_s, top_i = bm25_sketch_rescore_topk(
+                self._sketch, self._sketch_scale, jnp.asarray(qind),
+                self._dm_tids, self._dm_tfs, dl,
+                jnp.asarray(self.avgdl, jnp.float32),
+                jnp.asarray(q_tids), jnp.asarray(q_idfs), mask,
+                k_eff, kc, self.k1, self.b)
+            scores = np.asarray(top_s)
+            rows_out = np.asarray(top_i).astype(np.int64)
+            if scores.shape[1] < top_k:
+                pad = top_k - scores.shape[1]
+                scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=-1e30)
+                rows_out = np.pad(rows_out, ((0, 0), (0, pad)), constant_values=-1)
+            return scores, rows_out
+
+        pages = self.make_pages(queries)
         top_s, top_i = bm25_pages_score_topk(
             self._dev_post_rows, self._dev_post_tf,
             jnp.asarray(pages["start"]), jnp.asarray(pages["len"]),
