@@ -26,8 +26,12 @@ def _shard_search_body(
     vecs: jax.Array,  # (rows/shard, D) local block
     codes: jax.Array,  # (rows/shard, W) local block
     valid: jax.Array,  # (rows/shard,) local block
+    level: jax.Array,  # (rows/shard,) int8 local block
+    lang: jax.Array,  # (rows/shard,) int32 local block
     queries: jax.Array,  # (B, D) replicated
     qcodes: jax.Array,  # (B, W) replicated
+    level_code: jax.Array,  # () int32, -1 = no filter (replicated)
+    lang_code: jax.Array,  # () int32
     k: int,
     kc: int,
     mode: str,
@@ -36,11 +40,14 @@ def _shard_search_body(
     """Runs on each shard inside shard_map; returns globally-merged top-k."""
     # Rows are sharded over the flattened ('data','model') product axis.
     shard = jax.lax.axis_index(("data", "model"))
+    mask = valid
+    mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
+    mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
     if mode == "exact":
-        s, i = sim.exact_topk(vecs, queries, valid, k)
+        s, i = sim.exact_topk(vecs, queries, mask, k)
     else:
         s, i = sim.two_stage_topk(
-            vecs, queries, valid, k, kc, "hamming",
+            vecs, queries, mask, k, kc, "hamming",
             binary_codes=codes, qbinary=qcodes,
         )
     gi = i + shard * rows_per_shard  # local -> global rows
@@ -62,7 +69,8 @@ class ShardedFlatIndex:
     for immutable device arrays (SURVEY.md §7.4.3).
     """
 
-    def __init__(self, mesh: Mesh, vecs: np.ndarray, valid: Optional[np.ndarray] = None):
+    def __init__(self, mesh: Mesh, vecs: np.ndarray, valid: Optional[np.ndarray] = None,
+                 level: Optional[np.ndarray] = None, lang: Optional[np.ndarray] = None):
         self.mesh = mesh
         n_shards = mesh.devices.shape[0] * (mesh.devices.shape[1] if len(mesh.devices.shape) > 1 else 1)
         # rows padded to a multiple of shard count (and lane alignment)
@@ -77,6 +85,12 @@ class ShardedFlatIndex:
         vp[:n] = vecs
         vmask = np.zeros((total,), bool)
         vmask[:n] = True if valid is None else valid
+        lvl = np.zeros((total,), np.int8)
+        if level is not None:
+            lvl[:n] = level
+        lng = np.zeros((total,), np.int32)
+        if lang is not None:
+            lng[:n] = lang
         codes = np.asarray(qz.pack_binary(jnp.asarray(vp)))
 
         row_sharding = NamedSharding(mesh, P(("data", "model"),))
@@ -84,6 +98,8 @@ class ShardedFlatIndex:
         self.vecs = jax.device_put(vp, mat_sharding)
         self.codes = jax.device_put(codes, mat_sharding)
         self.valid = jax.device_put(vmask, row_sharding)
+        self.level = jax.device_put(lvl, row_sharding)
+        self.lang = jax.device_put(lng, row_sharding)
         self._n_shards = n_shards
         self._search_cache = {}
 
@@ -101,8 +117,12 @@ class ShardedFlatIndex:
                     P(("data", "model"), None),  # vecs
                     P(("data", "model"), None),  # codes
                     P(("data", "model"),),  # valid
+                    P(("data", "model"),),  # level
+                    P(("data", "model"),),  # lang
                     P(),  # queries replicated
                     P(),  # qcodes replicated
+                    P(),  # level_code
+                    P(),  # lang_code
                 ),
                 out_specs=(P(), P()),
                 check_vma=False,
@@ -116,6 +136,8 @@ class ShardedFlatIndex:
         k: int,
         mode: str = "binary",
         rescore_multiplier: float = 4.0,
+        level_code: int = -1,
+        lang_code: int = -1,
     ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries, np.float32)
         queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
@@ -124,7 +146,9 @@ class ShardedFlatIndex:
         qdev = jnp.asarray(queries)
         qcodes = qz.pack_binary(qdev)
         prog = self._get_program(k_eff, kc, mode)
-        s, i = prog(self.vecs, self.codes, self.valid, qdev, qcodes)
+        s, i = prog(self.vecs, self.codes, self.valid, self.level, self.lang,
+                    qdev, qcodes, jnp.asarray(level_code, jnp.int32),
+                    jnp.asarray(lang_code, jnp.int32))
         return np.asarray(s), np.asarray(i).astype(np.int64)
 
 

@@ -174,3 +174,64 @@ def test_contrastive_sampler_and_train_embedder(tmp_path, rng):
     from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
 
     assert TrainCheckpointer(str(tmp_path / "ckpt")).latest_step() == 3
+
+
+def test_sharded_vector_store_serving(rng):
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.parallel.sharded_store import ShardedVectorStore
+
+    source = TpuVectorStore(dim=32, index_config=IndexConfig(dim=32, initial_capacity=256))
+    texts = [f"token{i % 23} shared word{i}" for i in range(200)]
+    embs = rng.standard_normal((200, 32)).astype(np.float32)
+    ids = source.upsert_batch([
+        (texts[i], {"doc_level": "leaf" if i % 4 else "parent",
+                    "source": f"s{i}"}, embs[i])
+        for i in range(200)
+    ])
+    source.delete_doc(ids[7])
+    bm25 = BM25Index(sketch_dim=256)
+    rows, btexts = [], []
+    for i, doc_id in enumerate(ids):
+        row = source.row_of(doc_id)
+        if row is not None:
+            rows.append(row)
+            btexts.append(texts[i])
+    bm25.bulk_build(rows, btexts)
+
+    mesh = create_mesh(data=4, model=2)
+    served = ShardedVectorStore(mesh, source, bm25_index=bm25)
+
+    # dense parity with the single-chip exact scan
+    q = embs[20:23]
+    got = served.retrieve_by_embedding_batch(q, top_k=5, min_similarity=-1.0,
+                                             quantized=False)
+    want = source.retrieve_by_embedding_batch(q, top_k=5, min_similarity=-1.0,
+                                              quantized=False)
+    for qi in range(3):
+        assert [d.doc_id for d, _ in got[qi]] == [d.doc_id for d, _ in want[qi]]
+
+    # deleted doc is absent
+    qdel = embs[7:8]
+    hits = served.retrieve_by_embedding_batch(qdel, top_k=5, min_similarity=-1.0)
+    assert ids[7] not in [d.doc_id for d, _ in hits[0]]
+
+    # doc_level filter
+    leaves = served.retrieve_by_embedding_batch(q[:1], top_k=10, min_similarity=-1.0,
+                                                doc_level_filter="leaf")[0]
+    assert leaves and all(d.doc_level == "leaf" for d, _ in leaves)
+
+    # hybrid serving finds lexical matches
+    hy = served.search_hybrid(q[:1], ["token3 shared"], top_k=5)[0]
+    assert hy and any("token3" in d.content or "shared" in d.content for d, _ in hy)
+
+    # writes rejected; refresh picks up new source docs
+    with pytest.raises(NotImplementedError):
+        served.upsert("x", {}, np.ones(32))
+    source.upsert_batch([("brand new doc about qq17", {"doc_level": "leaf"},
+                          rng.standard_normal(32))])
+    served.refresh()
+    assert served.count_documents() == source.count_documents()
+    info = served.get_index_info()
+    assert info["backend"] == "tpu-sharded" and info["mesh"]["data"] == 4
