@@ -235,3 +235,69 @@ def test_sharded_vector_store_serving(rng):
     assert served.count_documents() == source.count_documents()
     info = served.get_index_info()
     assert info["backend"] == "tpu-sharded" and info["mesh"]["data"] == 4
+
+
+def test_orchestrator_runs_on_sharded_store(rng, tmp_path):
+    """The full agentic pipeline serves from a ShardedVectorStore (pod-scale
+    read replica) unchanged."""
+    import json
+    import jax.numpy as jnp
+    from radiant_rag_tpu.config import (AppConfig, CrossEncoderConfig,
+                                        EmbeddingConfig, IndexConfig,
+                                        StrategyMemoryConfig)
+    from radiant_rag_tpu.index.bm25 import PersistentBM25Index
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.llm.backends import MockLLMBackend
+    from radiant_rag_tpu.llm.client import LLMClient
+    from radiant_rag_tpu.models.bert import BertConfig
+    from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+    from radiant_rag_tpu.models.embedder import Embedder
+    from radiant_rag_tpu.models.registry import LocalNLPModels
+    from radiant_rag_tpu.orchestrator import RAGOrchestrator
+    from radiant_rag_tpu.parallel.sharded_store import ShardedVectorStore
+
+    cfg = AppConfig(
+        index=IndexConfig(dim=32, initial_capacity=256),
+        embedding=EmbeddingConfig(dim=32, num_layers=1, num_heads=2, hidden_dim=64,
+                                  vocab_size=500, max_seq_len=32, batch_size=4),
+        cross_encoder=CrossEncoderConfig(max_seq_len=32, batch_size=4),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp_path / "sm.json.gz")),
+    )
+    source = TpuVectorStore(dim=32, index_config=cfg.index)
+    embedder = Embedder(cfg.embedding)
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=CrossEncoder(
+        cfg.cross_encoder, bert_cfg=BertConfig(vocab_size=500, hidden_size=32,
+                                               num_layers=1, num_heads=2,
+                                               intermediate_size=64,
+                                               dtype=jnp.float32)))
+    docs = ["Comets are icy bodies orbiting the sun.",
+            "Asteroids are rocky objects in the belt.",
+            "Meteor showers occur when earth crosses debris trails."]
+    embs = models.embed(docs)
+    source.upsert_batch([(t, {"source": f"d{i}"}, embs[i]) for i, t in enumerate(docs)])
+    bm25 = PersistentBM25Index(source, path=str(tmp_path / "b.json.gz"))
+    bm25.build_from_store()
+
+    served = ShardedVectorStore(create_mesh(data=4, model=2), source,
+                                bm25_index=bm25.index)
+
+    good = json.dumps({"ok": True, "confidence": 0.9, "relevance": 9,
+                       "faithfulness": 9, "coverage": 8, "issues": [],
+                       "should_retry": False, "issue_type": "none"})
+
+    def responder(messages):
+        last = messages[-1]["content"]
+        if "Evaluate this answer" in last:
+            return good
+        if "atomic factual" in last or "Match each answer" in last:
+            return "[]"
+        if "Context:" in last and "Question:" in last:
+            return "Comets are icy bodies [DOC 1]."
+        return "{}"
+
+    orch = RAGOrchestrator(cfg, served, bm25, models,
+                           LLMClient(backend=MockLLMBackend(responder=responder)))
+    assert orch._hybrid is None  # no single-chip engine -> agent path
+    result = orch.run("What are comets made of?")
+    assert result.success and "icy" in result.answer
+    assert result.docs
