@@ -20,30 +20,39 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "bm25_build.cpp"
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "bm25_build.cpp"
+_TOK_SRC = _NATIVE_DIR / "tokenizer.cpp"
 _CACHE_DIR = Path(os.path.expanduser(os.environ.get(
     "RADIANT_NATIVE_CACHE", "~/.cache/radiant_tpu/native")))
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
+_tok_lib: Optional[ctypes.CDLL] = None
+_tok_failed = False
+
+
+def _compile_unit(src: Path, stem: str) -> Optional[Path]:
+    """g++-compile one shared object, cached by source mtime."""
+    if not src.is_file():
+        return None
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    so = _CACHE_DIR / f"{stem}_{int(src.stat().st_mtime)}.so"
+    if so.is_file():
+        return so
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(so)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        logger.info("compiled native %s -> %s", stem, so)
+        return so
+    except Exception as exc:
+        logger.info("native %s unavailable (%s); using python path", stem, exc)
+        return None
 
 
 def _compile() -> Optional[Path]:
-    if not _SRC.is_file():
-        return None
-    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    so = _CACHE_DIR / f"bm25_build_{int(_SRC.stat().st_mtime)}.so"
-    if so.is_file():
-        return so
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(so)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        logger.info("compiled native bm25 builder -> %s", so)
-        return so
-    except Exception as exc:
-        logger.info("native bm25 builder unavailable (%s); using python path", exc)
-        return None
+    return _compile_unit(_SRC, "bm25_build")
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -153,3 +162,116 @@ def bulk_build(texts: Sequence[str], rows: Sequence[int]) -> Optional[NativeBM25
         )
     finally:
         lib.bm25_build_free(handle)
+
+
+# --------------------------------------------------------------------------- #
+# Native tokenizer bridge (native/tokenizer.cpp)
+# --------------------------------------------------------------------------- #
+
+def get_tok_lib() -> Optional[ctypes.CDLL]:
+    """Load (compiling on first use) the native tokenizer; None if unavailable."""
+    global _tok_lib, _tok_failed
+    with _lock:
+        if _tok_lib is not None or _tok_failed:
+            return _tok_lib
+        if os.environ.get("RADIANT_NO_NATIVE_TOKENIZER"):
+            _tok_failed = True
+            return None
+        so = _compile_unit(_TOK_SRC, "tokenizer")
+        if so is None:
+            _tok_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError as exc:
+            logger.info("failed to load native tokenizer: %s", exc)
+            _tok_failed = True
+            return None
+        lib.tok_hash_batch.restype = None
+        lib.tok_hash_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.wp_new.restype = ctypes.c_void_p
+        lib.wp_new.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.wp_free.restype = None
+        lib.wp_free.argtypes = [ctypes.c_void_p]
+        lib.wp_tokenize_batch.restype = None
+        lib.wp_tokenize_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+        _tok_lib = lib
+        return _tok_lib
+
+
+def _pack_blobs(texts: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    blobs = [t.encode("utf-8", errors="replace") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    return b"".join(blobs), offsets
+
+
+def hash_tokenize_batch(texts: Sequence[str], vocab_size: int, reserved: int,
+                        max_ids: int) -> Optional[List[List[int]]]:
+    """Native FNV-1a hash tokenization; None if the native path is unavailable.
+
+    Callers must pre-filter to ASCII texts (Python-fallback otherwise)."""
+    lib = get_tok_lib()
+    if lib is None or not texts:
+        return None
+    buf, offsets = _pack_blobs(texts)
+    n = len(texts)
+    out_ids = np.empty((n, max_ids), np.int32)
+    out_lens = np.empty((n,), np.int32)
+    lib.tok_hash_batch(
+        ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p), n,
+        vocab_size, reserved, max_ids,
+        out_ids.ctypes.data_as(ctypes.c_void_p),
+        out_lens.ctypes.data_as(ctypes.c_void_p))
+    return [out_ids[i, : out_lens[i]].tolist() for i in range(n)]
+
+
+class NativeWordPiece:
+    """Owned handle over the native WordPiece vocab (built once, reused)."""
+
+    def __init__(self, vocab, unk_id: int, lowercase: bool,
+                 max_chars_per_word: int) -> None:
+        lib = get_tok_lib()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib = lib
+        terms = list(vocab.keys())
+        ids = np.asarray([vocab[t] for t in terms], np.int32)
+        buf, offsets = _pack_blobs(terms)
+        self._handle = lib.wp_new(
+            ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p), len(terms),
+            ids.ctypes.data_as(ctypes.c_void_p),
+            unk_id, 1 if lowercase else 0, max_chars_per_word)
+
+    def tokenize_batch(self, texts: Sequence[str], max_ids: int) -> List[List[int]]:
+        if not texts:
+            return []
+        buf, offsets = _pack_blobs(texts)
+        n = len(texts)
+        out_ids = np.empty((n, max_ids), np.int32)
+        out_lens = np.empty((n,), np.int32)
+        self._lib.wp_tokenize_batch(
+            self._handle,
+            ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p), n, max_ids,
+            out_ids.ctypes.data_as(ctypes.c_void_p),
+            out_lens.ctypes.data_as(ctypes.c_void_p))
+        return [out_ids[i, : out_lens[i]].tolist() for i in range(n)]
+
+    def __del__(self) -> None:
+        handle = getattr(self, "_handle", None)
+        if handle:
+            try:
+                self._lib.wp_free(handle)
+            except Exception:
+                pass
+            self._handle = None

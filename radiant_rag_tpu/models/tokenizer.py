@@ -49,6 +49,12 @@ class _BaseTokenizer:
     def tokenize_ids(self, text: str) -> List[int]:  # without special tokens
         raise NotImplementedError
 
+    def tokenize_ids_batch(self, texts: Sequence[str], cap: int) -> List[List[int]]:
+        """Batched tokenize, each result truncated to `cap` ids. Subclasses
+        override with the native (C++) fast path; the cap is safe for
+        encode_batch because every downstream truncation is < max_len."""
+        return [self.tokenize_ids(t)[:cap] for t in texts]
+
     def encode_batch(
         self,
         texts: Sequence[str],
@@ -58,10 +64,12 @@ class _BaseTokenizer:
         """Returns (input_ids, attention_mask, token_type_ids), padded to one
         shared bucketed length. Pair encoding: [CLS] a [SEP] b [SEP]."""
         encoded: List[Tuple[List[int], List[int]]] = []
+        a_ids = self.tokenize_ids_batch(texts, cap=max_len)
+        b_ids = self.tokenize_ids_batch(pairs, cap=max_len) if pairs is not None else None
         for i, t in enumerate(texts):
-            a = self.tokenize_ids(t)
+            a = a_ids[i]
             if pairs is not None:
-                b = self.tokenize_ids(pairs[i])
+                b = b_ids[i]
                 # truncate proportionally, reserve 3 special tokens
                 budget = max_len - 3
                 if len(a) + len(b) > budget:
@@ -110,6 +118,26 @@ class HashTokenizer(_BaseTokenizer):
         span = self.vocab_size - self._reserved
         return [self._reserved + (stable_hash32(w) % span) for w in words]
 
+    def tokenize_ids_batch(self, texts: Sequence[str], cap: int) -> List[List[int]]:
+        """Native C++ fast path for ASCII texts (byte-identical to
+        tokenize_ids there); per-text Python fallback for the rest."""
+        from radiant_rag_tpu.index import native
+
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        if not ascii_idx or native.get_tok_lib() is None:
+            return super().tokenize_ids_batch(texts, cap)
+        res = native.hash_tokenize_batch(
+            [texts[i] for i in ascii_idx], self.vocab_size, self._reserved, cap)
+        if res is None:
+            return super().tokenize_ids_batch(texts, cap)
+        out: List[Optional[List[int]]] = [None] * len(texts)
+        for j, i in enumerate(ascii_idx):
+            out[i] = res[j]
+        for i, t in enumerate(texts):
+            if out[i] is None:
+                out[i] = self.tokenize_ids(t)[:cap]
+        return out  # type: ignore[return-value]
+
 
 class WordPieceTokenizer(_BaseTokenizer):
     """Greedy longest-match-first WordPiece (BERT uncased semantics)."""
@@ -120,6 +148,34 @@ class WordPieceTokenizer(_BaseTokenizer):
         self.lowercase = lowercase
         self.max_chars_per_word = max_chars_per_word
         self.unk_id = vocab.get("[UNK]", UNK_ID)
+        self._native = None  # lazily-built native handle (or False if unavailable)
+
+    def tokenize_ids_batch(self, texts: Sequence[str], cap: int) -> List[List[int]]:
+        """Native greedy WordPiece for ASCII texts; Python fallback otherwise."""
+        if self._native is None:
+            from radiant_rag_tpu.index import native
+
+            try:
+                if native.get_tok_lib() is not None:
+                    self._native = native.NativeWordPiece(
+                        self.vocab, self.unk_id, self.lowercase,
+                        self.max_chars_per_word)
+                else:
+                    self._native = False
+            except Exception:
+                self._native = False
+        if self._native is False:
+            return super().tokenize_ids_batch(texts, cap)
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        out: List[Optional[List[int]]] = [None] * len(texts)
+        if ascii_idx:
+            res = self._native.tokenize_batch([texts[i] for i in ascii_idx], cap)
+            for j, i in enumerate(ascii_idx):
+                out[i] = res[j]
+        for i, t in enumerate(texts):
+            if out[i] is None:
+                out[i] = self.tokenize_ids(t)[:cap]
+        return out  # type: ignore[return-value]
 
     @classmethod
     def from_vocab_file(cls, path: str) -> "WordPieceTokenizer":
