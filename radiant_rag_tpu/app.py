@@ -270,40 +270,71 @@ class RadiantTPU:
             self.query_cache.put("search", query, hits, mode=mode, top_k=top_k)
         return hits
 
+    def search_batch(self, queries: List[str], mode: str = "hybrid",
+                     top_k: int = 10, use_cache: bool = True) -> List[List[Tuple[Any, float]]]:
+        """Batched retrieval: ONE device program for the whole batch (the
+        serving layer coalesces concurrent requests into this — server.py)."""
+        out: List[Any] = [None] * len(queries)
+        miss = list(range(len(queries)))
+        if use_cache:
+            miss = []
+            for i, q in enumerate(queries):
+                cached = self.query_cache.get("search", q, mode=mode, top_k=top_k)
+                if cached is not None:
+                    out[i] = list(cached)
+                else:
+                    miss.append(i)
+        if miss:
+            res = self._search_uncached_batch([queries[i] for i in miss], mode, top_k)
+            for j, i in enumerate(miss):
+                out[i] = res[j]
+                if use_cache:
+                    self.query_cache.put("search", queries[i], res[j],
+                                         mode=mode, top_k=top_k)
+        return out
+
     def _search_uncached(self, query: str, mode: str, top_k: int) -> List[Tuple[Any, float]]:
+        return self._search_uncached_batch([query], mode, top_k)[0]
+
+    def _search_uncached_batch(self, queries: List[str], mode: str,
+                               top_k: int) -> List[List[Tuple[Any, float]]]:
         if mode == "dense":
-            emb = self.local_models.embed_single(query)
-            return self.store.retrieve_by_embedding(emb, top_k=top_k)
+            embs = self.local_models.embed(queries)
+            return self.store.retrieve_by_embedding_batch(embs, top_k=top_k)
         if mode == "bm25":
-            return self.bm25_index.search(query, top_k=top_k)
+            return self.bm25_index.search_batch(queries, top_k=top_k)
         # hybrid: the fused single-program path when the TPU engine backs the
         # store; otherwise per-run retrieval + host RRF
         searcher = getattr(self.orchestrator, "_hybrid", None)
         if searcher is not None and self.store.count_documents() > 0:
             searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
-            emb = self.local_models.embed_single(query)
+            embs = self.local_models.embed(queries)
             res = searcher.search_rows(
-                emb[None, :], [query], dense_k=top_k, bm25_k=top_k,
+                embs, list(queries), dense_k=top_k, bm25_k=top_k,
                 fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
                 mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
                 rescore_multiplier=self.config.quantization.rescore_multiplier)
             scores, rows = res["fused"]
-            out = []
-            for s, r in zip(scores[0], rows[0]):
-                if r < 0:
-                    continue
-                doc_id = self.store.id_for_row(int(r))
-                doc = self.store.get_doc(doc_id) if doc_id else None
-                if doc is not None:
-                    out.append((doc, float(s)))
-            return out
-        emb = self.local_models.embed_single(query)
-        dense = self.store.retrieve_by_embedding(emb, top_k=top_k)
-        sparse = self.bm25_index.search(query, top_k=top_k)
+            batched = []
+            for qi in range(len(queries)):
+                hits = []
+                for s, r in zip(scores[qi], rows[qi]):
+                    if r < 0:
+                        continue
+                    doc_id = self.store.id_for_row(int(r))
+                    doc = self.store.get_doc(doc_id) if doc_id else None
+                    if doc is not None:
+                        hits.append((doc, float(s)))
+                batched.append(hits)
+            return batched
+        embs = self.local_models.embed(queries)
+        dense = self.store.retrieve_by_embedding_batch(embs, top_k=top_k)
+        sparse = self.bm25_index.search_batch(queries, top_k=top_k)
         from radiant_rag_tpu.agents.fusion import RRFAgent
 
-        return RRFAgent(rrf_k=self.config.retrieval.rrf_k).fuse(
-            [dense, sparse], top_k=top_k)
+        rrf = RRFAgent(rrf_k=self.config.retrieval.rrf_k)
+        return [rrf.fuse([dense[i], sparse[i]], top_k=top_k)
+                for i in range(len(queries))]
 
     def start_conversation(self) -> str:
         if self.conversations is None:

@@ -382,6 +382,21 @@ class ReportConfig:
     include_metrics: bool = True
 
 
+@dataclass(frozen=True)
+class ServerConfig:
+    """HTTP serving (no reference analog — the reference is CLI/TUI-only).
+
+    Coalescing: concurrent /search requests arriving within `max_wait_ms` of
+    each other are merged into ONE batched device program (the engine is
+    batched-first), multiplying serving throughput under load."""
+
+    host: str = "0.0.0.0"
+    port: int = 8080
+    coalesce: bool = True
+    max_batch: int = 32
+    max_wait_ms: float = 4.0
+
+
 # ---------------------------------------------------------------------------
 # Aggregate
 # ---------------------------------------------------------------------------
@@ -419,6 +434,7 @@ _SECTIONS: Dict[str, Type] = {
     "strategy_memory": StrategyMemoryConfig,
     "tools": ToolsConfig,
     "report": ReportConfig,
+    "server": ServerConfig,
 }
 
 
@@ -458,6 +474,7 @@ class AppConfig:
     strategy_memory: StrategyMemoryConfig = field(default_factory=StrategyMemoryConfig)
     tools: ToolsConfig = field(default_factory=ToolsConfig)
     report: ReportConfig = field(default_factory=ReportConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
 
 
 # ---------------------------------------------------------------------------

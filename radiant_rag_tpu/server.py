@@ -15,8 +15,10 @@ deployment serves queries over the network. Endpoints:
 
 Implementation: stdlib ThreadingHTTPServer (no framework dependency). Device
 work is serialized through a lock — JAX dispatch is not thread-safe across
-concurrent host threads mutating the same engine; batching across requests is
-the intended scaling path (see index/hybrid.py batched-first design).
+concurrent host threads mutating the same engine. /search scales past the
+lock via cross-request coalescing (`utils/batching.py`): concurrent searches
+with the same (mode, top_k) merge into ONE batched device program, so N
+simultaneous clients cost ~one search (the engine is batched-first).
 """
 
 from __future__ import annotations
@@ -27,15 +29,43 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
 
+from radiant_rag_tpu.utils.batching import RequestCoalescer
+
 logger = logging.getLogger(__name__)
+
+_SEARCH_MODES = ("hybrid", "dense", "bm25")
 
 
 class RagAPI:
     """Transport-independent request handlers (unit-testable)."""
 
-    def __init__(self, app) -> None:
+    def __init__(self, app, coalesce: Optional[bool] = None,
+                 max_batch: Optional[int] = None,
+                 max_wait_ms: Optional[float] = None) -> None:
         self.app = app
         self._lock = threading.Lock()
+        scfg = getattr(getattr(app, "config", None), "server", None)
+        if coalesce is None:
+            coalesce = scfg.coalesce if scfg is not None else True
+        self._coalescer: Optional[RequestCoalescer] = None
+        if coalesce and hasattr(app, "search_batch"):
+            self._coalescer = RequestCoalescer(
+                self._run_search_batch,
+                max_batch=max_batch if max_batch is not None else
+                (scfg.max_batch if scfg is not None else 32),
+                max_wait_ms=max_wait_ms if max_wait_ms is not None else
+                (scfg.max_wait_ms if scfg is not None else 4.0),
+                name="search")
+
+    def _run_search_batch(self, key, queries):
+        mode, top_k = key
+        with self._lock:
+            return self.app.search_batch(list(queries), mode=mode, top_k=top_k)
+
+    def close(self) -> None:
+        if self._coalescer is not None:
+            self._coalescer.stop()
+            self._coalescer = None
 
     def handle(self, method: str, path: str, body: Dict[str, Any]) -> Tuple[int, Dict[str, Any]]:
         try:
@@ -56,9 +86,15 @@ class RagAPI:
                 query = body.get("query", "")
                 if not query:
                     return 400, {"error": "missing 'query'"}
-                with self._lock:
-                    hits = self.app.search(query, mode=body.get("mode", "hybrid"),
-                                           top_k=int(body.get("top_k", 10)))
+                mode = body.get("mode", "hybrid")
+                if mode not in _SEARCH_MODES:
+                    return 400, {"error": f"mode must be one of {_SEARCH_MODES}"}
+                top_k = int(body.get("top_k", 10))
+                if self._coalescer is not None:
+                    hits = self._coalescer.submit((mode, top_k), query, timeout=120.0)
+                else:
+                    with self._lock:
+                        hits = self.app.search(query, mode=mode, top_k=top_k)
                 return 200, {"hits": [
                     {"doc_id": d.doc_id, "score": s, "source": d.source,
                      "content": d.content[:1000], "meta": d.meta}
@@ -127,7 +163,9 @@ def make_server(app, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPSe
         def log_message(self, fmt, *args):  # route through logging
             logger.info("%s %s", self.address_string(), fmt % args)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.api = api  # type: ignore[attr-defined] — for tests / clean close
+    return server
 
 
 def serve(app, host: str = "0.0.0.0", port: int = 8080) -> None:
@@ -137,3 +175,5 @@ def serve(app, host: str = "0.0.0.0", port: int = 8080) -> None:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        server.api.close()  # type: ignore[attr-defined]

@@ -123,3 +123,110 @@ def test_api_handler_exception_to_500(served_app):
     api.app = Boom()
     status, body = api.handle("POST", "/search", {"query": "x"})
     assert status == 500 and "kaput" in body["error"]
+
+
+# ------------------------------------------------------------- coalescing ---
+def test_request_coalescer_unit():
+    from radiant_rag_tpu.utils.batching import RequestCoalescer
+
+    batches = []
+
+    def run_batch(key, items):
+        batches.append((key, list(items)))
+        if key == "bad":
+            raise ValueError("boom")
+        return [f"{key}:{i}" for i in items]
+
+    c = RequestCoalescer(run_batch, max_batch=8, max_wait_ms=30.0)
+    barrier = threading.Barrier(6)
+    results, errors = {}, {}
+
+    def worker(key, item):
+        barrier.wait()
+        try:
+            results[(key, item)] = c.submit(key, item, timeout=10.0)
+        except Exception as exc:
+            errors[(key, item)] = exc
+
+    threads = [threading.Thread(target=worker, args=("a", i)) for i in range(4)]
+    threads += [threading.Thread(target=worker, args=("b", 9)),
+                threading.Thread(target=worker, args=("bad", 0))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # per-item results routed correctly, keys never mixed
+    for i in range(4):
+        assert results[("a", i)] == f"a:{i}"
+    assert results[("b", 9)] == "b:9"
+    assert isinstance(errors[("bad", 0)], ValueError)
+    for key, items in batches:
+        assert len(set(items)) == len(items)
+    assert c.stats["requests"] == 6
+    assert c.stats["max_batch"] >= 2  # the 4 "a" submits coalesced
+    c.stop()
+    with pytest.raises(RuntimeError):
+        c.submit("a", 1)
+
+
+def test_search_requests_coalesce_into_one_device_batch(served_app):
+    app, _port = served_app
+    calls = []
+    orig = app.search_batch
+
+    def spy(queries, mode="hybrid", top_k=10, use_cache=True):
+        calls.append(len(queries))
+        return orig(queries, mode=mode, top_k=top_k, use_cache=use_cache)
+
+    app.search_batch = spy
+    api = RagAPI(app, coalesce=True, max_wait_ms=60.0)
+    try:
+        n = 6
+        barrier = threading.Barrier(n)
+        out = [None] * n
+
+        def worker(i):
+            barrier.wait()
+            out[i] = api.handle("POST", "/search", {
+                "query": f"stimulated emission variant {i}",
+                "mode": "bm25", "top_k": 3})
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, body in out:
+            assert status == 200 and body["hits"]
+        assert api._coalescer.stats["max_batch"] >= 2
+        assert max(calls) >= 2  # at least one real multi-query device batch
+    finally:
+        api.close()
+        app.search_batch = orig
+
+
+def test_search_batch_modes_match_single(served_app):
+    app, _port = served_app
+    queries = ["coherent light", "stimulated emission"]
+    for mode in ("hybrid", "dense", "bm25"):
+        batched = app.search_batch(queries, mode=mode, top_k=3, use_cache=False)
+        for q, hits in zip(queries, batched):
+            single = app.search(q, mode=mode, top_k=3, use_cache=False)
+            # corpus chunks are exact duplicates (one repeated sentence), so
+            # top-k membership among equal scores is tie-broken arbitrarily;
+            # compare what matters: same count, contents, and scores
+            assert sorted(d.content for d, _ in hits) == \
+                   sorted(d.content for d, _ in single)
+            np.testing.assert_allclose(sorted(s for _, s in hits),
+                                       sorted(s for _, s in single), atol=5e-2)
+    # cache round-trip: second call hits the query cache
+    first = app.search_batch(queries, mode="bm25", top_k=3)
+    again = app.search_batch(queries, mode="bm25", top_k=3)
+    assert [[d.doc_id for d, _ in h] for h in first] == \
+           [[d.doc_id for d, _ in h] for h in again]
+
+
+def test_search_invalid_mode_rejected(served_app):
+    _app, port = served_app
+    status, body = _req(port, "POST", "/search", {"query": "x", "mode": "nope"})
+    assert status == 400 and "mode" in body["error"]
