@@ -254,6 +254,55 @@ class RadiantTPU:
     def query_raw(self, question: str) -> Dict[str, Any]:
         return self.query(question).to_dict()
 
+    def query_stream(self, question: str, conversation_id: str = ""):
+        """Streaming query: yields progress events as phases complete, then a
+        final result event (server /query/stream). Event dicts:
+          {"event": "step_start"|"step_end", "step": str, ...info}
+          {"event": "result", ...PipelineResult.to_dict(), "answer": str}
+        Cache hits yield the result immediately with no progress events."""
+        cached = None
+        if not conversation_id:
+            cached = self.query_cache.get("query", question)
+        if cached is not None:
+            yield {"event": "result", "cached": True,
+                   **cached.to_dict(), "answer": cached.answer}
+            return
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue()
+
+        def progress(event, step, info):
+            q.put({"event": event, "step": step, **info})
+
+        history = []
+        if conversation_id and self.conversations is not None:
+            history = self.conversations.get_history_for_synthesis(conversation_id)
+
+        def runner():
+            try:
+                result = self.orchestrator.run(
+                    question, conversation_id=conversation_id,
+                    conversation_history=history, progress=progress)
+                if (not conversation_id and result.success
+                        and not result.low_confidence):
+                    self.query_cache.put("query", question, result)
+                q.put({"event": "result", **result.to_dict(),
+                       "answer": result.answer})
+            except Exception as exc:  # surface as a terminal error event
+                q.put({"event": "error", "error": f"{type(exc).__name__}: {exc}"})
+            finally:
+                q.put(None)
+
+        t = _threading.Thread(target=runner, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join(timeout=5.0)
+
     def simple_query(self, question: str) -> str:
         """Minimal RAG path (reference `app.py:1159`)."""
         return self._simple.run(question)

@@ -252,7 +252,10 @@ class RAGOrchestrator:
 
     # ------------------------------------------------------------------
     def run(self, query: str, conversation_id: str = "",
-            conversation_history: Optional[List[Dict[str, str]]] = None) -> PipelineResult:
+            conversation_history: Optional[List[Dict[str, str]]] = None,
+            progress: Optional[Any] = None) -> PipelineResult:
+        """`progress(event, step_name, info)` — optional live observer called
+        at every phase boundary (drives server.py /query/stream)."""
         ctx = new_agent_context(query)
         if conversation_history:
             # compress long histories, keeping recent turns verbatim
@@ -266,6 +269,7 @@ class RAGOrchestrator:
                     pass
             ctx.conversation_history = conversation_history
         metrics = RunMetrics(run_id=ctx.run_id)
+        metrics.observer = progress
         result = PipelineResult(query=query, answer="", run_id=ctx.run_id,
                                 conversation_id=conversation_id)
         cfg = self.config

@@ -6,6 +6,8 @@ deployment serves queries over the network. Endpoints:
   GET  /health            component health (503 when degraded)
   GET  /stats             index + pipeline statistics
   POST /query             {"question": str, "conversation_id"?: str}
+  POST /query/stream      same body; Server-Sent Events: per-phase progress
+                          events then a final {"event": "result"} event
   POST /search            {"query": str, "mode"?: "hybrid|dense|bm25", "top_k"?: int}
   POST /simple_query      {"question": str}
   POST /ingest/documents  {"paths": [str], "recursive"?: bool}
@@ -66,6 +68,12 @@ class RagAPI:
         if self._coalescer is not None:
             self._coalescer.stop()
             self._coalescer = None
+
+    def stream_query(self, question: str, conversation_id: str = ""):
+        """Generator of event dicts for SSE (holds the device lock for the
+        run — progress events flow from the orchestrator's observer hook)."""
+        with self._lock:
+            yield from self.app.query_stream(question, conversation_id)
 
     def handle(self, method: str, path: str, body: Dict[str, Any]) -> Tuple[int, Dict[str, Any]]:
         try:
@@ -158,7 +166,38 @@ def make_server(app, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPSe
             self._respond("GET")
 
         def do_POST(self):  # noqa: N802
+            if (self.path.rstrip("/") or "/") == "/query/stream":
+                self._stream_query()
+                return
             self._respond("POST")
+
+        def _stream_query(self) -> None:
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            try:
+                body = json.loads(self.rfile.read(length)) if length else {}
+            except json.JSONDecodeError:
+                body = None
+            question = (body or {}).get("question", "")
+            if body is None or not question:
+                data = json.dumps({"error": "missing 'question'"}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                for ev in api.stream_query(question,
+                                           body.get("conversation_id", "")):
+                    payload = json.dumps(ev, default=str)
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                logger.info("stream client disconnected")
 
         def log_message(self, fmt, *args):  # route through logging
             logger.info("%s %s", self.address_string(), fmt % args)

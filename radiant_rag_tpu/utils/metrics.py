@@ -9,10 +9,13 @@ timing + exceptions (`metrics.py:108-126`), degraded-feature marking
 
 from __future__ import annotations
 
+import logging
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any, Dict, Iterator, List, Optional
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -46,6 +49,17 @@ class RunMetrics:
         self.started = time.time()
         self.steps: List[StepMetric] = []
         self.degraded: Dict[str, str] = {}
+        # optional live observer: called (event, step_name, info) at phase
+        # boundaries — the hook behind streaming progress (server /query/stream)
+        self.observer: Any = None
+
+    def _notify(self, event: str, name: str, info: Dict[str, Any]) -> None:
+        if self.observer is None:
+            return
+        try:
+            self.observer(event, name, info)
+        except Exception:  # observers must never break the pipeline
+            logger.debug("metrics observer failed", exc_info=True)
 
     @contextmanager
     def track_step(self, name: str, **extra: Any) -> Iterator[StepMetric]:
@@ -53,6 +67,7 @@ class RunMetrics:
         (reference `metrics.py:108-126`). Exceptions propagate."""
         step = StepMetric(name=name, started=time.time(), extra=dict(extra))
         self.steps.append(step)
+        self._notify("step_start", name, dict(extra))
         try:
             yield step
         except Exception as exc:
@@ -61,6 +76,9 @@ class RunMetrics:
             raise
         finally:
             step.ended = time.time()
+            self._notify("step_end", name, {
+                "ok": step.ok, "error": step.error,
+                "duration_ms": (step.ended - step.started) * 1000.0})
 
     def mark_degraded(self, feature: str, reason: str) -> None:
         """Record that a feature ran degraded (reference `metrics.py:133-136`)."""

@@ -230,3 +230,44 @@ def test_search_invalid_mode_rejected(served_app):
     _app, port = served_app
     status, body = _req(port, "POST", "/search", {"query": "x", "mode": "nope"})
     assert status == 400 and "mode" in body["error"]
+
+
+# -------------------------------------------------------------- streaming ---
+def test_query_stream_endpoint(served_app):
+    _app, port = served_app
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query/stream",
+        data=json.dumps({"question": "How do lasers produce light beams?"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        for raw in resp:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    kinds = [e["event"] for e in events]
+    assert kinds[-1] == "result"
+    assert kinds.count("step_start") >= 3  # planning, retrieval, generation...
+    steps = {e.get("step") for e in events if e["event"] == "step_start"}
+    assert {"planning", "generation"} <= steps
+    result = events[-1]
+    assert "coherent" in result["answer"]
+    # step_end events carry timing + status
+    ends = [e for e in events if e["event"] == "step_end"]
+    assert ends and all("duration_ms" in e and "ok" in e for e in ends)
+
+
+def test_query_stream_cached_short_circuit(served_app):
+    app, port = served_app
+    q = "How do lasers produce light beams?"  # cached by the previous test
+    events = list(app.query_stream(q))
+    assert len(events) == 1 and events[0]["event"] == "result"
+    assert events[0].get("cached") is True
+
+
+def test_query_stream_missing_question(served_app):
+    _app, port = served_app
+    status, body = _req(port, "POST", "/query/stream", {})
+    assert status == 400
