@@ -47,6 +47,24 @@ def initialize_multihost(
         return False
 
 
+def host_shard_bounds(n_rows: int, process_id: Optional[int] = None,
+                      num_processes: Optional[int] = None) -> tuple:
+    """[start, end) corpus rows THIS host loads under the multihost mesh's
+    per-host 'data' sharding (each host materializes only its slice — the
+    full corpus never exists on one host). Defaults read jax.distributed
+    state; single-process returns the full range. Remainder rows go to the
+    leading hosts (matches jax even-sharding over a padded row space when
+    callers pad to a multiple of num_processes, as the index engine's pow2
+    capacities always are)."""
+    import jax
+
+    p = jax.process_index() if process_id is None else process_id
+    n = max(jax.process_count() if num_processes is None else num_processes, 1)
+    base, rem = divmod(n_rows, n)
+    start = p * base + min(p, rem)
+    return start, start + base + (1 if p < rem else 0)
+
+
 def create_multihost_mesh(corpus_axis_per_host: bool = True):
     """Mesh with the corpus ('data') dimension inside each host's ICI domain
     and a 'replica' dimension across hosts (DCN): per-host index shards never

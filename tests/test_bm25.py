@@ -164,3 +164,42 @@ def test_persistence_skipped_above_cap(rng, tmp_path):
     assert pidx.search("quick dog", top_k=2)
     pidx2 = PersistentBM25Index(store, path=str(path), persist_max_docs=2)
     assert pidx2.search("quick dog", top_k=2)
+
+
+def test_sketch_sparse_build_matches_dense_reference():
+    """ensure_sketch aggregates only occupied cells; verify against a
+    brute-force dense accumulation (small sketch_dim forces bin collisions)."""
+    import numpy as np
+
+    from radiant_rag_tpu.index.bm25 import BM25Index
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{rng.integers(0, 40)}" for _ in range(25))
+             for _ in range(64)]
+    idx = BM25Index(sketch_dim=16)
+    idx.bulk_build(list(range(64)), texts)
+    idx._finalize_csr()
+    idx.ensure_sketch(64)
+    got = np.asarray(idx._sketch)
+    scale = float(idx._sketch_scale)
+
+    dense = np.zeros((64, 16))
+    for row, pairs in idx.doc_terms.items():
+        dl = idx.doc_lens[row]
+        for tid, tf in pairs:
+            w = idx._idf(tid) * tf * (idx.k1 + 1) / (
+                tf + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl))
+            dense[row, idx._bin_of(tid)] += w
+    ref_scale = dense.max() / 127.0
+    assert abs(scale - ref_scale) / ref_scale < 1e-6
+    ref = np.clip(np.round(dense / ref_scale), 0, 127).astype(np.int8)
+    assert np.array_equal(got, ref)
+
+
+def test_sketch_empty_index():
+    from radiant_rag_tpu.index.bm25 import BM25Index
+
+    idx = BM25Index(sketch_dim=16)
+    idx._finalize_csr()
+    idx.ensure_sketch(0)  # must not raise
+    assert idx._sketch.shape == (0, 16)

@@ -301,3 +301,21 @@ def test_orchestrator_runs_on_sharded_store(rng, tmp_path):
     result = orch.run("What are comets made of?")
     assert result.success and "icy" in result.answer
     assert result.docs
+
+
+def test_multihost_shard_bounds():
+    from radiant_rag_tpu.parallel.multihost import (create_multihost_mesh,
+                                                    host_shard_bounds,
+                                                    initialize_multihost)
+    # single-process: full range, distributed init reports inactive
+    assert initialize_multihost() is False or True  # must not raise
+    s, e = host_shard_bounds(1000)
+    assert (s, e) == (0, 1000)
+    # explicit process grid: a partition with remainder spread to leaders
+    spans = [host_shard_bounds(1003, p, 4) for p in range(4)]
+    assert spans[0] == (0, 251) and spans[-1] == (753, 1003)
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(3))
+    assert sum(e - s for s, e in spans) == 1003
+    mesh = create_multihost_mesh()
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape[0] == 1  # single process -> one replica
