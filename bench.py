@@ -29,10 +29,10 @@ N_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 100_000))
 DIM = 384
 N_QUERY_BATCHES = 24
 # Throughput batch: the per-call cost is dominated by a fixed tunnel+fetch
-# component (~27 ms), so QPS scales with batch (tools/bench_batch_sweep.py:
-# 864 QPS at B=32 -> 4556 at B=256, 56 ms latency). Serving reaches large
-# batches via request coalescing (server.py).
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", 256))
+# component (~27 ms), so QPS scales with batch (tools/bench_batch_sweep.py at
+# 1M docs: 4105 QPS at B=256 -> 7156 at 512 -> 10374 at 1024, 99 ms batch
+# latency). Serving reaches large batches via request coalescing (server.py).
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 1024))
 TOP_K = 10
 FUSED_K = 15
 BASELINE_QUERIES = 6

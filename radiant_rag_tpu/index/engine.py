@@ -116,7 +116,11 @@ def _search_program(
 class DeviceVectorIndex:
     """Append-only device-resident dense index over one row space."""
 
-    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256)
+    # Query-batch padding buckets: one compiled program per (bucket, k, mode).
+    # Throughput keeps scaling past 256 (fixed dispatch+fetch amortizes —
+    # BENCH_NOTES.md batch sweep); 1024 x 1M f32 stage-1 scores = 4 GB HBM,
+    # still comfortable next to a bf16+int8 1M-row corpus (~1.2 GB).
+    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
     def __init__(
         self,

@@ -214,11 +214,11 @@ def test_oversized_query_batch_chunks(rng):
     store = _mk_store(dim=32)
     docs = _corpus(rng, 60, 32)
     store.upsert_batch(docs)
-    q = np.stack([np.asarray(d[2]) for d in docs] * 5)  # 300 queries > 256 bucket
+    q = np.stack([np.asarray(d[2]) for d in docs] * 25)  # 1500 queries > 1024 max bucket
     results = store.retrieve_by_embedding_batch(q, top_k=3, min_similarity=-1.0)
-    assert len(results) == 300
+    assert len(results) == 1500
     assert results[0][0][0].content == docs[0][0]
-    assert results[299][0][0].content == docs[59][0]
+    assert results[1499][0][0].content == docs[59][0]
 
 
 def test_bf16_vector_storage(rng):
