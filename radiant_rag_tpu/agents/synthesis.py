@@ -51,7 +51,11 @@ class AnswerSynthesisAgent(LLMAgent):
             messages.extend(ctx.conversation_history[-6:])
         user = f"Context:\n{context}{tool_notes}\n\nQuestion: {ctx.query}"
         messages.append({"role": "user", "content": user})
-        answer = self._chat(messages)
+        sink = ctx.extras.get("token_sink")
+        if sink is not None:  # live token streaming (server /query/stream)
+            answer = self.llm.chat_stream(messages, on_token=sink)
+        else:
+            answer = self._chat(messages)
         ctx.final_answer = answer.strip()
         return ctx.final_answer
 

@@ -283,7 +283,9 @@ class RadiantTPU:
             try:
                 result = self.orchestrator.run(
                     question, conversation_id=conversation_id,
-                    conversation_history=history, progress=progress)
+                    conversation_history=history, progress=progress,
+                    token_sink=lambda chunk: q.put(
+                        {"event": "token", "text": chunk}))
                 if (not conversation_id and result.success
                         and not result.low_confidence):
                     self.query_cache.put("query", question, result)

@@ -44,6 +44,13 @@ class BaseLLMBackend(abc.ABC):
              max_tokens: int = 2048) -> str:
         ...
 
+    def chat_stream(self, messages: Sequence[Message], temperature: float = 0.2,
+                    max_tokens: int = 2048):
+        """Yield response text chunks. Default: non-streaming fallback that
+        yields the full chat() response once — backends override with true
+        token streaming."""
+        yield self.chat(messages, temperature=temperature, max_tokens=max_tokens)
+
     def generate(self, prompt: str, **kwargs: Any) -> str:
         return self.chat([{"role": "user", "content": prompt}], **kwargs)
 
@@ -91,6 +98,50 @@ class OpenAICompatibleLLMBackend(BaseLLMBackend):
         except (KeyError, IndexError) as exc:
             raise LLMError(f"malformed LLM response: {body}") from exc
 
+    def chat_stream(self, messages: Sequence[Message], temperature: float = 0.2,
+                    max_tokens: int = 2048):
+        """SSE token stream (`"stream": true` — same wire format for OpenAI,
+        vLLM, and ollama's OpenAI-compatible endpoint)."""
+        cfg = self.config
+        url = cfg.base_url.rstrip("/") + "/chat/completions"
+        payload = {
+            "model": cfg.model,
+            "messages": list(messages),
+            "temperature": temperature,
+            "max_tokens": max_tokens,
+            "stream": True,
+        }
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {cfg.api_key}",
+            },
+        )
+        try:
+            resp = urllib.request.urlopen(req, timeout=cfg.timeout_s)
+        except urllib.error.HTTPError as exc:
+            raise LLMError(f"LLM HTTP {exc.code}: {exc.reason}", status=exc.code) from exc
+        except Exception as exc:
+            raise LLMError(f"LLM request failed: {exc}") from exc
+        with resp:
+            for raw in resp:
+                line = raw.decode("utf-8", errors="replace").strip()
+                if not line.startswith("data:"):
+                    continue
+                data = line[len("data:"):].strip()
+                if data == "[DONE]":
+                    return
+                try:
+                    chunk = json.loads(data)
+                    delta = chunk["choices"][0].get("delta", {})
+                except (json.JSONDecodeError, KeyError, IndexError):
+                    continue  # keep-alives / malformed chunks are skipped
+                piece = delta.get("content")
+                if piece:
+                    yield piece
+
 
 class MockLLMBackend(BaseLLMBackend):
     """Deterministic scripted backend for tests and offline runs.
@@ -120,6 +171,14 @@ class MockLLMBackend(BaseLLMBackend):
             if key in last_user:
                 return resp
         return self.default
+
+    def chat_stream(self, messages: Sequence[Message], temperature: float = 0.2,
+                    max_tokens: int = 2048):
+        """Stream the scripted response word-by-word (tests the token path)."""
+        text = self.chat(messages, temperature=temperature, max_tokens=max_tokens)
+        words = text.split(" ")
+        for i, w in enumerate(words):
+            yield w if i == len(words) - 1 else w + " "
 
     @property
     def call_count(self) -> int:

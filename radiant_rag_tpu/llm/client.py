@@ -50,6 +50,42 @@ class LLMClient:
                     time.sleep(delay)
         raise last_exc  # type: ignore[misc]
 
+    def chat_stream(self, messages: Sequence[Message],
+                    on_token: Optional[Any] = None,
+                    temperature: Optional[float] = None,
+                    max_tokens: Optional[int] = None) -> str:
+        """Streamed chat: `on_token(chunk)` fires per text chunk; returns the
+        full concatenated response. Retries apply only before the first chunk
+        arrives (a mid-stream failure would duplicate emitted tokens)."""
+        cfg = self.config
+        temperature = cfg.temperature if temperature is None else temperature
+        max_tokens = cfg.max_tokens if max_tokens is None else max_tokens
+        last_exc: Optional[Exception] = None
+        for attempt in range(cfg.max_retries + 1):
+            parts: List[str] = []
+            try:
+                self.call_count += 1
+                for chunk in self.backend.chat_stream(
+                        messages, temperature=temperature, max_tokens=max_tokens):
+                    parts.append(chunk)
+                    if on_token is not None:
+                        try:
+                            on_token(chunk)
+                        except Exception:
+                            logger.debug("token sink failed", exc_info=True)
+                return "".join(parts)
+            except LLMError as exc:
+                self.error_count += 1
+                last_exc = exc
+                if parts or not exc.retryable:
+                    raise  # tokens already emitted, or permanent error
+                if attempt < cfg.max_retries:
+                    delay = cfg.retry_backoff_s * (attempt + 1)
+                    logger.warning("LLM stream error (attempt %d/%d), retrying in "
+                                   "%.1fs: %s", attempt + 1, cfg.max_retries, delay, exc)
+                    time.sleep(delay)
+        raise last_exc  # type: ignore[misc]
+
     def generate(self, prompt: str, system: Optional[str] = None, **kwargs: Any) -> str:
         messages: List[Message] = []
         if system:

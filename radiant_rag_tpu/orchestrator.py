@@ -253,10 +253,14 @@ class RAGOrchestrator:
     # ------------------------------------------------------------------
     def run(self, query: str, conversation_id: str = "",
             conversation_history: Optional[List[Dict[str, str]]] = None,
-            progress: Optional[Any] = None) -> PipelineResult:
+            progress: Optional[Any] = None,
+            token_sink: Optional[Any] = None) -> PipelineResult:
         """`progress(event, step_name, info)` — optional live observer called
-        at every phase boundary (drives server.py /query/stream)."""
+        at every phase boundary; `token_sink(chunk)` — optional live
+        generation-token callback (both drive server.py /query/stream)."""
         ctx = new_agent_context(query)
+        if token_sink is not None:
+            ctx.extras["token_sink"] = token_sink
         if conversation_history:
             # compress long histories, keeping recent turns verbatim
             # (reference `summarization.py` conversation compression)

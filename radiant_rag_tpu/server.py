@@ -7,7 +7,8 @@ deployment serves queries over the network. Endpoints:
   GET  /stats             index + pipeline statistics
   POST /query             {"question": str, "conversation_id"?: str}
   POST /query/stream      same body; Server-Sent Events: per-phase progress
-                          events then a final {"event": "result"} event
+                          events, live generation tokens ({"event": "token"}),
+                          then a final {"event": "result"} event
   POST /search            {"query": str, "mode"?: "hybrid|dense|bm25", "top_k"?: int}
   POST /simple_query      {"question": str}
   POST /ingest/documents  {"paths": [str], "recursive"?: bool}

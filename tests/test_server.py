@@ -271,3 +271,58 @@ def test_query_stream_missing_question(served_app):
     _app, port = served_app
     status, body = _req(port, "POST", "/query/stream", {})
     assert status == 400
+
+
+def test_query_stream_emits_generation_tokens(served_app):
+    app, _port = served_app
+    q = "Why do lasers stay coherent over distance?"
+    events = list(app.query_stream(q))
+    tokens = [e["text"] for e in events if e["event"] == "token"]
+    assert len(tokens) >= 2  # mock backend streams word-by-word
+    result = events[-1]
+    assert result["event"] == "result"
+    # the citation phase appends a Sources section AFTER generation, so the
+    # streamed tokens form the leading (generated) part of the final answer
+    assert result["answer"].startswith("".join(tokens).strip())
+    # tokens arrive during the generation phase, before the final result
+    kinds = [e["event"] for e in events]
+    assert kinds.index("token") < len(kinds) - 1
+
+
+def test_llm_client_chat_stream_retry_and_midstream():
+    from radiant_rag_tpu.config import LLMConfig
+    from radiant_rag_tpu.llm.backends import BaseLLMBackend, LLMError
+    from radiant_rag_tpu.llm.client import LLMClient
+
+    class Flaky(BaseLLMBackend):
+        def __init__(self):
+            self.attempts = 0
+
+        def chat(self, messages, temperature=0.2, max_tokens=2048):
+            return "unused"
+
+        def chat_stream(self, messages, temperature=0.2, max_tokens=2048):
+            self.attempts += 1
+            if self.attempts == 1:
+                raise LLMError("cold start", status=503)  # before any token
+            yield "hello "
+            yield "world"
+
+    got = []
+    client = LLMClient(LLMConfig(max_retries=2, retry_backoff_s=0.0), backend=Flaky())
+    out = client.chat_stream([{"role": "user", "content": "x"}], on_token=got.append)
+    assert out == "hello world" and got == ["hello ", "world"]
+
+    class MidStream(BaseLLMBackend):
+        def chat(self, messages, temperature=0.2, max_tokens=2048):
+            return "unused"
+
+        def chat_stream(self, messages, temperature=0.2, max_tokens=2048):
+            yield "partial "
+            raise LLMError("connection dropped", status=None)
+
+    client2 = LLMClient(LLMConfig(max_retries=3, retry_backoff_s=0.0),
+                        backend=MidStream())
+    with pytest.raises(LLMError):  # mid-stream failure must NOT retry
+        client2.chat_stream([{"role": "user", "content": "x"}])
+    assert client2.call_count == 1
