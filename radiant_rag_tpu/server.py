@@ -82,7 +82,10 @@ class RagAPI:
                 health = self.app.check_health()
                 return (200 if health.get("ok") else 503), health
             if method == "GET" and path == "/stats":
-                return 200, self.app.get_stats()
+                stats = dict(self.app.get_stats())
+                if self._coalescer is not None:
+                    stats["serving"] = dict(self._coalescer.stats)
+                return 200, stats
             if method == "POST" and path == "/query":
                 question = body.get("question", "")
                 if not question:

@@ -110,6 +110,7 @@ def test_error_paths(served_app):
     assert status == 404
     status, body = _req(port, "GET", "/stats")
     assert status == 200 and body["index"]["num_embedded"] > 0
+    assert "requests" in body.get("serving", {})  # coalescer counters
 
 
 def test_api_handler_exception_to_500(served_app):
