@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -61,10 +62,12 @@ void* bm25_build(const uint8_t* text, const int64_t* doc_offsets,
   // postings collected per term in growable vectors-of-pairs
   std::vector<std::vector<std::pair<int32_t, float>>> postings;
   postings.reserve(1 << 16);
-  // term string storage: we need stable string_views — collect term copies in
-  // a deque-like chunked arena via term_bytes + per-term temporary strings.
-  std::vector<std::string> term_store;
-  term_store.reserve(1 << 16);
+  // term string storage: the vocab map keys are string_views into these
+  // strings, so element addresses MUST be stable across growth. A
+  // std::vector<std::string> reallocates and moves SSO strings (dangling
+  // every view once unique terms exceed the reserve); std::deque never
+  // moves existing elements on push_back.
+  std::deque<std::string> term_store;
 
   b->doc_lens.resize(n_docs);
   b->doc_term_start.resize(n_docs + 1, 0);

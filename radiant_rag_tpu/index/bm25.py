@@ -101,6 +101,11 @@ class BM25Index:
         self.doc_lens: Dict[int, int] = {}
         self.total_len = 0
         self.removed: set = set()
+        # rows re-added since the last finalize: their OLD base postings must
+        # be filtered at finalize even though the row is live again (the new
+        # postings live in the delta). Without this a document update leaves
+        # both generations of postings in the CSR and doubles its BM25 score.
+        self._stale_base: set = set()
         # device caches
         self._dl_dev: Optional[jnp.ndarray] = None
         self._dl_size = 0
@@ -157,6 +162,11 @@ class BM25Index:
         """Add from (term, tf) pairs + token count (the canonical statistics —
         BM25 needs nothing else)."""
         if row in self.doc_lens:
+            # document update: eagerly purge the old delta postings (they are
+            # indistinguishable from the new ones by row id alone) and mark
+            # the row so finalize drops its old BASE postings too.
+            self._purge_delta_row(row)
+            self._stale_base.add(row)
             self.remove_document(row)
         pairs: List[Tuple[int, int]] = []
         for term, tf in term_counts:
@@ -167,8 +177,22 @@ class BM25Index:
         self.doc_terms[row] = pairs
         self.doc_lens[row] = int(length)
         self.total_len += int(length)
-        self.removed.discard(row)
+        if row in self.removed:
+            # row reuse: the previous occupant's base postings are still dead
+            # even though the row itself is live again.
+            self._stale_base.add(row)
+            self.removed.discard(row)
         self._mark_dirty()
+
+    def _purge_delta_row(self, row: int) -> None:
+        """Drop the row's current delta postings (document-update path)."""
+        for tid, _tf in self.doc_terms.get(row, ()):
+            d = self.delta.get(tid)
+            if d is None or row not in d.rows:
+                continue
+            keep = [i for i, r in enumerate(d.rows) if r != row]
+            d.rows = [d.rows[i] for i in keep]
+            d.tfs = [d.tfs[i] for i in keep]
 
     def bulk_build(self, rows: Sequence[int], texts: Sequence[str]) -> bool:
         """Bulk (re)index: native C++ single pass when available, python loop
@@ -221,6 +245,7 @@ class BM25Index:
         self.doc_lens = {}
         self.total_len = 0
         self.removed = set()
+        self._stale_base = set()
         self._mark_dirty()
 
     def remove_document(self, row: int) -> bool:
@@ -271,8 +296,14 @@ class BM25Index:
             return
         t = len(self.terms)
         n_base_terms = len(self._base_start) - 1
+        # Base postings of a removed OR re-added (stale) row are dead; delta
+        # postings are only dead for removed rows (re-adds purge their delta
+        # eagerly, so a live row's delta entries are all current).
         removed_arr = (np.fromiter(self.removed, np.int32, len(self.removed))
                        if self.removed else None)
+        base_dead = self.removed | self._stale_base
+        base_dead_arr = (np.fromiter(base_dead, np.int32, len(base_dead))
+                         if base_dead else None)
         starts = np.zeros((t + 1,), np.int64)
         rows_parts: List[np.ndarray] = []
         tfs_parts: List[np.ndarray] = []
@@ -282,18 +313,26 @@ class BM25Index:
             if tid < n_base_terms:
                 s, e = self._base_start[tid], self._base_start[tid + 1]
                 if e > s:
-                    parts_r.append(self._base_rows[s:e])
-                    parts_f.append(self._base_tfs[s:e])
+                    br, bf = self._base_rows[s:e], self._base_tfs[s:e]
+                    if base_dead_arr is not None:
+                        keep = ~np.isin(br, base_dead_arr)
+                        br, bf = br[keep], bf[keep]
+                    if len(br):
+                        parts_r.append(br)
+                        parts_f.append(bf)
             d = self.delta.get(tid)
             if d is not None and len(d):
-                parts_r.append(np.asarray(d.rows, np.int32))
-                parts_f.append(np.asarray(d.tfs, np.float32))
+                dr = np.asarray(d.rows, np.int32)
+                df_ = np.asarray(d.tfs, np.float32)
+                if removed_arr is not None:
+                    keep = ~np.isin(dr, removed_arr)
+                    dr, df_ = dr[keep], df_[keep]
+                if len(dr):
+                    parts_r.append(dr)
+                    parts_f.append(df_)
             if parts_r:
                 pr = parts_r[0] if len(parts_r) == 1 else np.concatenate(parts_r)
                 pf = parts_f[0] if len(parts_f) == 1 else np.concatenate(parts_f)
-                if removed_arr is not None:
-                    keep = ~np.isin(pr, removed_arr)
-                    pr, pf = pr[keep], pf[keep]
             else:
                 pr, pf = _EMPTY_I32, _EMPTY_F32
             rows_parts.append(pr)
@@ -306,11 +345,13 @@ class BM25Index:
         for tid in range(t):
             rows[starts[tid]: starts[tid + 1]] = rows_parts[tid]
             tfs[starts[tid]: starts[tid + 1]] = tfs_parts[tid]
-        # fold the merged CSR back into the base; deltas are absorbed
+        # fold the merged CSR back into the base; deltas are absorbed and the
+        # stale-row filter has been applied, so the stale set is spent
         self._base_start = starts.copy()
         self._base_rows = rows[:total].copy()
         self._base_tfs = tfs[:total].copy()
         self.delta = {}
+        self._stale_base = set()
         self._term_start = starts
         self._term_idf = np.asarray([self._idf(tid) for tid in range(t)], np.float32)
         self._host_post_rows = rows
@@ -681,6 +722,12 @@ class PersistentBM25Index:
             with gzip.open(p, "rt", encoding="utf-8") as fh:
                 data = json.load(fh)
             docs = data.get("docs", {})
+            if not docs and "doc_ids" in data:
+                # Reference v1/v2 format: parallel doc_ids/doc_tokens lists
+                # (`bm25_index.py:275-327`). Migrate by zipping into the
+                # doc_id-keyed shape; saved back out as v3 on next save().
+                docs = dict(zip(data.get("doc_ids", []),
+                                data.get("doc_tokens", [])))
             idx = BM25Index(k1=float(data.get("k1", self._index.k1)),
                             b=float(data.get("b", self._index.b)),
                             max_query_terms=self._index.max_query_terms,
@@ -701,6 +748,17 @@ class PersistentBM25Index:
             self._index = idx
             logger.info("loaded BM25 index from %s (%d/%d docs resolved)",
                         p, resolved, len(docs))
+            if resolved == 0 and auto_build and self.auto_build:
+                # Nothing in the file resolved against this store (foreign or
+                # empty index file) — don't let it mask the rebuild path.
+                try:
+                    ids = self.store.list_doc_ids_with_embeddings()
+                except Exception:
+                    ids = []
+                if ids:
+                    logger.info("BM25 file resolved 0 docs against a non-empty "
+                                "store; rebuilding from store")
+                    self._build_from_store_locked()
         except Exception as exc:
             logger.warning("failed to load BM25 index %s: %s (starting empty)", p, exc)
 

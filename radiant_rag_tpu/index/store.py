@@ -109,6 +109,7 @@ class TpuVectorStore(BaseVectorStore):
     def upsert_batch(self, docs: Sequence[Tuple[str, Optional[Dict[str, Any]], Optional[np.ndarray]]]) -> List[str]:
         ids: List[str] = []
         emb_rows: List[Tuple[StoredDoc, np.ndarray]] = []
+        batch_seen: set = set()  # doc ids scheduled for append in THIS batch
         for content, meta, embedding in docs:
             meta = dict(meta or {})
             doc_id = self.make_doc_id(content, meta)
@@ -122,6 +123,13 @@ class TpuVectorStore(BaseVectorStore):
                 # same content hash => same vector; nothing to update
                 self.docstore.put(doc, row=old_row)
                 continue
+            if doc_id in batch_seen:
+                # duplicate within the batch: one engine row is enough; a
+                # second append would be displaced at put() time and leak a
+                # forever-valid orphan row (consuming top-k slots whose hits
+                # are silently dropped).
+                continue
+            batch_seen.add(doc_id)
             emb_rows.append((doc, np.asarray(embedding, np.float32)))
         if emb_rows:
             vecs = _normalize(np.stack([e for _, e in emb_rows]))
@@ -130,6 +138,10 @@ class TpuVectorStore(BaseVectorStore):
             doc_lens = np.asarray([len(d.content.split()) for d, _ in emb_rows], np.float32)
             rows = self.engine.append(vecs, levels, langs, doc_lens)
             for (doc, _), row in zip(emb_rows, rows):
+                displaced = self.docstore.row_of(doc.doc_id)
+                if displaced is not None and displaced != int(row):
+                    # defensive: never leave an unmapped-but-valid engine row
+                    self.engine.invalidate(np.asarray([displaced]))
                 self.docstore.put(doc, row=int(row))
         return ids
 

@@ -203,3 +203,99 @@ def test_sketch_empty_index():
     idx._finalize_csr()
     idx.ensure_sketch(0)  # must not raise
     assert idx._sketch.shape == (0, 16)
+
+
+def test_document_update_does_not_double_score():
+    """Regression (ADVICE r1 medium): re-adding an existing row must purge the
+    old postings — score after an identity update must equal a fresh index."""
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    s_before, _ = idx.search_rows("lazy dog", top_k=5)
+    # finalize happened inside search; now update row 1 with identical content
+    idx.add_document(1, DOCS[1])
+    s_after, r_after = idx.search_rows("lazy dog", top_k=5)
+    fresh = BM25Index()
+    for row, text in enumerate(DOCS):
+        fresh.add_document(row, text)
+    s_fresh, r_fresh = fresh.search_rows("lazy dog", top_k=5)
+    h_after = {int(r): float(s) for r, s in zip(r_after, s_after) if r >= 0}
+    h_fresh = {int(r): float(s) for r, s in zip(r_fresh, s_fresh) if r >= 0}
+    assert set(h_after) == set(h_fresh)
+    for r in h_fresh:
+        np.testing.assert_allclose(h_after[r], h_fresh[r], rtol=1e-5)
+
+
+def test_document_update_changes_content():
+    """Update must replace content: old terms gone, new terms searchable."""
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    _ = idx.search_rows("turnips", top_k=3)  # force a finalize w/ old content
+    idx.add_document(3, "fresh content about zebras")
+    _, rows = idx.search_rows("turnips", top_k=3)
+    assert 3 not in {int(r) for r in rows if r >= 0}
+    _, rows = idx.search_rows("zebras", top_k=3)
+    assert 3 in {int(r) for r in rows if r >= 0}
+
+
+def test_row_reuse_after_remove_purges_old_postings():
+    """A removed row re-added with new content must not resurrect the old
+    occupant's base postings."""
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    _ = idx.search_rows("lazy", top_k=5)  # finalize: postings in base
+    idx.remove_document(1)
+    idx.add_document(1, "replacement text about glaciers")
+    _, rows = idx.search_rows("sleeps", top_k=5)
+    assert 1 not in {int(r) for r in rows if r >= 0}
+    s, rows = idx.search_rows("glaciers", top_k=3)
+    assert 1 in {int(r) for r in rows if r >= 0}
+    # doubled-update after reuse stays exact vs oracle
+    toks = [tokenize(d) if i != 1 else tokenize("replacement text about glaciers")
+            for i, d in enumerate(DOCS)]
+    oracle = _python_bm25(toks, tokenize("lazy dog"))
+    s, rows = idx.search_rows("lazy dog", top_k=5)
+    hits = {int(r): float(s_) for r, s_ in zip(rows, s) if r >= 0 and s_ > 0}
+    for d, val in hits.items():
+        np.testing.assert_allclose(val, oracle[d], rtol=1e-4)
+
+
+def test_legacy_reference_v2_format_loads(rng, tmp_path):
+    """Reference v1/v2 files ({doc_ids: [...], doc_tokens: [...]}) must load
+    (ADVICE r1 medium: they silently loaded empty and masked the rebuild)."""
+    import gzip
+    import json
+
+    store = _store_with_docs(rng, DOCS)
+    ids = store.list_doc_ids_with_embeddings()
+    payload = {
+        "version": 2,
+        "k1": 1.5,
+        "b": 0.75,
+        "doc_ids": ids,
+        "doc_tokens": [tokenize(store.get_doc(i).content) for i in ids],
+    }
+    path = tmp_path / "bm25.json.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+    pidx = PersistentBM25Index(store, path=str(path))
+    assert pidx.get_stats()["num_docs"] == len(DOCS)
+    hits = pidx.search("quick dog", top_k=3)
+    assert hits and all(s > 0 for _, s in hits)
+
+
+def test_foreign_index_file_triggers_store_rebuild(rng, tmp_path):
+    """A file whose doc ids resolve to nothing against this store must not
+    mask the auto-rebuild-from-store path."""
+    import gzip
+    import json
+
+    store = _store_with_docs(rng, DOCS)
+    path = tmp_path / "bm25.json.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        json.dump({"version": 3, "k1": 1.5, "b": 0.75,
+                   "docs": {"nonexistent-id": {"l": 2, "t": [["zz", 1]]}}}, fh)
+    pidx = PersistentBM25Index(store, path=str(path))
+    assert pidx.get_stats()["num_docs"] == len(DOCS)

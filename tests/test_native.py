@@ -85,3 +85,27 @@ def test_bulk_build_python_fallback(monkeypatch):
     assert idx.num_docs == 2
     s, r = idx.search_rows("beta", top_k=2)
     assert len([x for x in r if x >= 0]) == 2
+
+
+def test_native_build_vocab_past_reserve():
+    """Regression: >65536 unique terms must not dangle vocab string_views.
+
+    The vocab map keys are string_views into the term store; a vector-backed
+    store reallocated past its reserve(1<<16) and moved SSO strings, which
+    segfaulted the whole process (ADVICE.md r1, high). The store is now a
+    deque with stable element addresses.
+    """
+    from radiant_rag_tpu.index import native
+
+    n_docs, per_doc = 1500, 100  # 150k unique terms, > 2x the reserve
+    texts = [" ".join(f"t{d}q{i}" for i in range(per_doc)) + " shared"
+             for d in range(n_docs)]
+    b = native.bulk_build(texts, list(range(n_docs)))
+    if b is None:
+        import pytest
+        pytest.skip("native builder unavailable")
+    assert len(b.terms) == n_docs * per_doc + 1
+    assert int(b.df[b.terms.index("shared")]) == n_docs
+    assert (b.doc_lens == per_doc + 1).all()
+    # postings CSR is consistent
+    assert int(b.term_start[-1]) == len(b.post_rows)

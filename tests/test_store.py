@@ -240,3 +240,28 @@ def test_bf16_vector_storage(rng):
     e = [d.doc_id for d, _ in s16.retrieve_by_embedding(q, top_k=10, min_similarity=-1,
                                                         quantized=False)]
     assert len(set(e) & set(b)) >= 8
+
+
+def test_upsert_batch_duplicate_ids_single_row(rng):
+    """Regression (ADVICE r1 low): duplicate content-hash ids within one
+    batch must map to ONE engine row, with no orphaned valid rows."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=64))
+    emb = rng.standard_normal(16)
+    ids = store.upsert_batch([
+        ("same content", {"m": 1}, emb),
+        ("same content", {"m": 1}, emb),   # exact dup (content+meta hash)
+        ("other content", {"m": 2}, rng.standard_normal(16)),
+    ])
+    assert ids[0] == ids[1]
+    assert store.engine.count == 2  # not 3
+    import numpy as np
+    valid = np.asarray(store.engine.valid)[: store.engine.count]
+    assert valid.all()
+    # every valid row must be mapped to an id (no orphan slots in top-k)
+    for row in range(store.engine.count):
+        assert store.docstore.row_to_id.get(row) is not None
+    res = store.retrieve_by_embedding_batch(emb, top_k=3, min_similarity=-1.0)[0]
+    assert len(res) == 2  # both live docs, no silently dropped slots
