@@ -80,12 +80,17 @@ class BM25Index:
 
     def __init__(self, k1: float = 1.5, b: float = 0.75,
                  max_query_terms: int = 32, max_postings: int = 1 << 18,
-                 sketch_dim: int = 1024) -> None:
+                 sketch_dim: int = 1024, pages_route_threshold: int = 1 << 15) -> None:
         self.k1 = k1
         self.b = b
         self.max_query_terms = max_query_terms
         self.max_postings = max_postings
         self.sketch_dim = sketch_dim
+        # method='auto' routes a batch to the exact pages path when every
+        # query's total posting volume is at most this many postings (rare
+        # terms: exact AND cheap; also where hashed-sketch stage-1 is weakest
+        # because a singleton term's signal drowns in bin collisions)
+        self.pages_route_threshold = pages_route_threshold
         # vocabulary
         self.terms: List[str] = []  # tid -> term
         self.vocab: Dict[str, int] = {}
@@ -480,6 +485,18 @@ class BM25Index:
                 q_idfs[qi, j] = self._idf(tid)
         return q_tids, q_idfs
 
+    def query_posting_volume(self, queries: Sequence[str]) -> int:
+        """Max total posting count any one query's terms touch (requires a
+        finalized CSR). The routing signal for auto method selection."""
+        self._finalize_csr()
+        vol = 0
+        for q in queries:
+            terms = tokenize(q)[: self.max_query_terms]
+            tids = {self.vocab[t] for t in terms if t in self.vocab}
+            vol = max(vol, sum(int(self._term_start[tid + 1] - self._term_start[tid])
+                               for tid in tids))
+        return vol
+
     def make_query_indicator(self, queries: Sequence[str]) -> np.ndarray:
         """(B, S) int8 indicator over each query's unique terms' bins."""
         out = np.zeros((len(queries), self.sketch_dim), np.int8)
@@ -578,7 +595,15 @@ class BM25Index:
             mask = jnp.concatenate([mask, jnp.zeros((n_rows - int(mask.shape[0]),), bool)])
 
         if method == "auto":
-            method = "sketch" if self.sketch_dim > 0 else "pages"
+            if self.sketch_dim <= 0:
+                method = "pages"
+            else:
+                # exact pages path when posting volume is small (rare-term
+                # queries): cheap there, and immune to the sketch's hash-bin
+                # collisions which can drown a singleton term's signal
+                method = ("pages"
+                          if self.query_posting_volume(queries) <= self.pages_route_threshold
+                          else "sketch")
         if method == "sketch":
             from radiant_rag_tpu.ops.bm25 import bm25_sketch_rescore_topk
 

@@ -142,7 +142,7 @@ class HybridSearcher:
         rescore_multiplier: float = 4.0,
         level_code: int = -1,
         lang_code: int = -1,
-        bm25_mode: str = "sketch",  # sketch (MXU stage-1) | pages (exact)
+        bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
@@ -164,6 +164,15 @@ class HybridSearcher:
 
         if self.bm25.sketch_dim <= 0:
             bm25_mode = "pages"
+        elif bm25_mode == "auto":
+            # same routing as BM25Index.search_rows_batch: rare-term queries
+            # take the exact pages program (cheap at low posting volume, and
+            # immune to sketch hash-bin collisions); common-term queries take
+            # the sketch MXU program. Both jit programs are compiled once.
+            bm25_mode = ("pages"
+                         if self.bm25.query_posting_volume(queries_text)
+                         <= self.bm25.pages_route_threshold
+                         else "sketch")
         self.bm25._finalize_csr()
         num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
 

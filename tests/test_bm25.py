@@ -299,3 +299,20 @@ def test_foreign_index_file_triggers_store_rebuild(rng, tmp_path):
                    "docs": {"nonexistent-id": {"l": 2, "t": [["zz", 1]]}}}, fh)
     pidx = PersistentBM25Index(store, path=str(path))
     assert pidx.get_stats()["num_docs"] == len(DOCS)
+
+
+def test_auto_routes_rare_term_queries_to_exact_pages():
+    """A singleton term on a huge unique-vocab corpus must be found with
+    method='auto' (the sketch's hashed bins drown it; routing by posting
+    volume sends rare-term queries down the exact path)."""
+    idx = BM25Index()
+    n, per = 1500, 100
+    texts = [" ".join(f"t{d}q{i}" for i in range(per)) + " shared"
+             for d in range(n)]
+    idx.bulk_build(list(range(n)), texts)
+    s, r = idx.search_rows("shared t3q7", top_k=5)  # method defaults to auto
+    assert int(r[0]) == 3, r[:5].tolist()
+    # a high-volume query must still route to sketch
+    assert idx.query_posting_volume(["shared"]) == n
+    big_vol_q = ["shared " + " ".join(f"t{d}q0" for d in range(30))]
+    assert idx.query_posting_volume(big_vol_q) <= idx.pages_route_threshold
