@@ -359,12 +359,15 @@ class RadiantTPU:
         searcher = getattr(self.orchestrator, "_hybrid", None)
         if searcher is not None and self.store.count_documents() > 0:
             searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
+            if hasattr(self.orchestrator, "_ensure_fusion_calibration"):
+                self.orchestrator._ensure_fusion_calibration()
             embs = self.local_models.embed(queries)
             res = searcher.search_rows(
                 embs, list(queries), dense_k=top_k, bm25_k=top_k,
                 fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
                 mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
-                rescore_multiplier=self.config.quantization.rescore_multiplier)
+                rescore_multiplier=self.config.quantization.rescore_multiplier,
+                fusion=getattr(self.config.retrieval, "fusion_weighting", "confidence"))
             scores, rows = res["fused"]
             batched = []
             for qi in range(len(queries)):

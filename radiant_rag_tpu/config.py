@@ -102,6 +102,11 @@ class RetrievalConfig:
     min_similarity: float = 0.0
     search_scope: str = "leaves"  # leaves | parents | all
     retrieval_mode: str = "hybrid"  # hybrid | dense | bm25
+    # "confidence": per-query per-leg weighted RRF (an uninformative leg is
+    # down-weighted by its own score dispersion — keeps hybrid MRR at or
+    # above the better single leg). "equal": reference parity
+    # (`agents/fusion.py:79-102`).
+    fusion_weighting: str = "confidence"
 
 
 @dataclass(frozen=True)

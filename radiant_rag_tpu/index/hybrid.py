@@ -30,7 +30,19 @@ from radiant_rag_tpu.ops import similarity as sim
 from radiant_rag_tpu.ops.bm25 import (
     bm25_candidate_rescore, bm25_pages_scores, bm25_sketch_scores,
 )
-from radiant_rag_tpu.ops.fusion import rrf_fuse
+from radiant_rag_tpu.ops.fusion import rrf_fuse, weighted_rrf_fuse
+
+
+def _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion):
+    """Equal-weight RRF (reference parity) or calibration-weighted RRF (the
+    quality-aware default: a leg measured to be unreliable — e.g. an
+    untrained dense encoder — is down-weighted to a tiebreaker instead of
+    dragging fused MRR below the better single leg). leg_w: (2,) f32."""
+    if fusion == "equal":
+        return rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
+    b = dense_i.shape[0]
+    w = jnp.broadcast_to(leg_w[None, :], (b, 2))
+    return weighted_rrf_fuse((dense_i, bm_i), w, k=fused_k, rrf_k=rrf_k)
 
 
 def _dense_stage(vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid,
@@ -59,14 +71,14 @@ def _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i):
     ], axis=1)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b", "fusion"))
 def _hybrid_program_sketch(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     sketch, sketch_scale, qind,
     dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
-    queries, qvalid, level_code, lang_code,
+    queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
-    mode: str, k1: float = 1.5, b: float = 0.75,
+    mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
 ):
     """Hybrid with impact-sketch BM25 stage-1 (MXU matmul) + EXACT BM25
     candidate rescore — the sparse leg mirrors the dense two-stage design:
@@ -92,17 +104,17 @@ def _hybrid_program_sketch(
         bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
-    fused_s, fused_i = rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
+    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion"))
 def _hybrid_program(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     post_rows, post_tf, page_start, page_len, page_qidx, page_idf, doc_lens, avgdl,
-    queries, qvalid, level_code, lang_code,
+    queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
-    bq: int, num_docs: int, k1: float, b: float,
+    bq: int, num_docs: int, k1: float, b: float, fusion: str = "confidence",
 ):
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
@@ -119,7 +131,7 @@ def _hybrid_program(
     bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
-    fused_s, fused_i = rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
+    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
 
 
@@ -129,6 +141,81 @@ class HybridSearcher:
     def __init__(self, engine: DeviceVectorIndex, bm25: BM25Index) -> None:
         self.engine = engine
         self.bm25 = bm25
+        # per-leg RRF weights (dense, bm25); set by calibrate_fusion(). The
+        # default is equal mass = reference behavior until calibrated.
+        self.leg_weights = np.asarray([0.5, 0.5], np.float32)
+        self._calibrated_at = -1  # engine.count when last calibrated
+        self.last_calibration = None
+
+    def calibrate_fusion(self, embed_fn, texts_of_rows, n_probes: int = 128,
+                         seed: int = 0, top_k: int = 10) -> np.ndarray:
+        """Unsupervised per-leg quality calibration (no labels needed).
+
+        Samples indexed docs, makes ICT pseudo-queries (`parallel/data.py`),
+        measures each leg's self-retrieval MRR (target = the source doc), and
+        sets RRF leg weights ~ mrr^2 (`ops/fusion.calibrated_leg_weights`).
+        A leg that cannot find a doc from its own words is unreliable, full
+        stop — this catches a random-init/degraded encoder, a stale BM25
+        index, or a corpus whose lexical surface defeats one leg.
+
+        embed_fn: texts -> (B, D) L2-normalized embeddings (the query path's
+        own embedder). texts_of_rows: row -> doc text (None to skip rows).
+        """
+        from radiant_rag_tpu.ops.fusion import calibrated_leg_weights
+        from radiant_rag_tpu.parallel.data import make_pseudo_query
+
+        rng = np.random.default_rng(seed)
+        rows = [r for r in self.bm25.doc_lens.keys()]
+        if not rows:
+            return self.leg_weights
+        rng.shuffle(rows)
+        probes: List[Tuple[int, str]] = []
+        for r in rows:
+            text = texts_of_rows(r)
+            if text:
+                probes.append((r, make_pseudo_query(text, rng, max_words=8)))
+            if len(probes) >= n_probes:
+                break
+        if len(probes) < 4:
+            # corpus too small for even a noisy probe: keep equal weights but
+            # mark calibrated so tiny corpora don't re-probe on every query
+            # (the >20% growth check re-triggers when the corpus fills in)
+            self._calibrated_at = self.engine.count
+            self.last_calibration = {"skipped": "corpus too small",
+                                     "n_probes": len(probes),
+                                     "weights": self.leg_weights.tolist()}
+            return self.leg_weights
+        q_texts = [q for _, q in probes]
+        q_embs = embed_fn(q_texts)
+        res = self.search_rows(np.asarray(q_embs, np.float32), q_texts,
+                               dense_k=top_k, bm25_k=top_k, fused_k=top_k,
+                               fusion="equal")
+
+        def leg_mrr(rows_out: np.ndarray) -> float:
+            rr = 0.0
+            for qi, (target, _q) in enumerate(probes):
+                hits = [int(r) for r in rows_out[qi] if r >= 0]
+                if target in hits:
+                    rr += 1.0 / (hits.index(target) + 1)
+            return rr / len(probes)
+
+        mrr_d = leg_mrr(res["dense"][1])
+        mrr_b = leg_mrr(res["bm25"][1])
+        self.leg_weights = np.asarray(
+            calibrated_leg_weights([mrr_d, mrr_b]), np.float32)
+        self._calibrated_at = self.engine.count
+        self.last_calibration = {"dense_mrr": round(mrr_d, 4),
+                                 "bm25_mrr": round(mrr_b, 4),
+                                 "weights": self.leg_weights.tolist(),
+                                 "n_probes": len(probes)}
+        return self.leg_weights
+
+    def needs_calibration(self, growth: float = 0.2) -> bool:
+        """True until calibrated, and again after the corpus grows > 20%."""
+        if self._calibrated_at < 0:
+            return True
+        base = max(self._calibrated_at, 1)
+        return (self.engine.count - self._calibrated_at) > growth * base
 
     def search_rows(
         self,
@@ -143,6 +230,7 @@ class HybridSearcher:
         level_code: int = -1,
         lang_code: int = -1,
         bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
+        fusion: str = "confidence",  # confidence (quality-weighted) | equal
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
@@ -156,7 +244,7 @@ class HybridSearcher:
                                       list(queries_text[s : s + max_b]),
                                       dense_k, bm25_k, fused_k, rrf_k, mode,
                                       rescore_multiplier, level_code, lang_code,
-                                      bm25_mode)
+                                      bm25_mode, fusion)
                      for s in range(0, b, max_b)]
             return {name: (np.concatenate([p[name][0] for p in parts]),
                            np.concatenate([p[name][1] for p in parts]))
@@ -189,6 +277,7 @@ class HybridSearcher:
         codes_args = (
             qdev, qvalid,
             jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
+            jnp.asarray(self.leg_weights, jnp.float32),
         )
 
         if bm25_mode == "sketch":
@@ -211,7 +300,7 @@ class HybridSearcher:
                 jnp.asarray(q_tids), jnp.asarray(q_idfs),
                 *codes_args,
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
-                self.bm25.k1, self.bm25.b,
+                self.bm25.k1, self.bm25.b, fusion,
             )
         else:
             self.bm25._device_doc_lens(num_docs)
@@ -226,7 +315,7 @@ class HybridSearcher:
                 dl, jnp.asarray(self.bm25.avgdl, jnp.float32),
                 *codes_args,
                 dk, bk, fk, rrf_k, kc, mode, bq, num_docs,
-                self.bm25.k1, self.bm25.b,
+                self.bm25.k1, self.bm25.b, fusion,
             )
         packed = np.asarray(packed)[:b]  # ONE device->host fetch
 

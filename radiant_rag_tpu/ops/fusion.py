@@ -20,6 +20,37 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)
 
 
+def _rrf_scores(runs, cand, rrf_k, run_weights=None):
+    """Per-candidate RRF mass: sum over runs of w_r / (rrf_k + rank)."""
+    b, k_total = cand.shape
+    score = jnp.zeros((b, k_total), jnp.float32)
+    for ri, ids in enumerate(runs):
+        kr = ids.shape[1]
+        ranks = jnp.arange(1, kr + 1, dtype=jnp.float32)
+        weights = 1.0 / (rrf_k + ranks)  # (K_r,)
+        match = (cand[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0)
+        contrib = jnp.sum(match * weights[None, None, :], axis=-1)
+        if run_weights is not None:
+            contrib = contrib * run_weights[:, ri][:, None]
+        score = score + contrib
+    return score
+
+
+def _dedup_topk(cand, score, k):
+    """Keep first occurrence of each row, top-k by score."""
+    k_total = cand.shape[1]
+    eq_prior = cand[:, :, None] == cand[:, None, :]  # (B, K, K)
+    idx = jnp.arange(k_total)
+    lower = idx[None, :, None] > idx[None, None, :]  # j < i
+    is_dup = jnp.any(eq_prior & lower, axis=-1)
+    valid = (cand >= 0) & ~is_dup
+    score = jnp.where(valid, score, NEG_INF)
+    top_s, top_i = jax.lax.top_k(score, k)
+    top_rows = jnp.take_along_axis(cand, top_i, axis=1)
+    top_rows = jnp.where(top_s > NEG_INF / 2, top_rows, -1)
+    return top_s, top_rows.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k"))
 def rrf_fuse(
     runs: Tuple[jax.Array, ...],  # each (B, K_r) int32 doc rows, -1 = pad
@@ -32,27 +63,51 @@ def rrf_fuse(
     matching the reference's formula (`agents/fusion.py:79-102`).
     """
     cand = jnp.concatenate(runs, axis=1)  # (B, K_total)
-    b, k_total = cand.shape
+    score = _rrf_scores(runs, cand, rrf_k)
+    return _dedup_topk(cand, score, k)
 
-    # RRF contributions: for each candidate slot, sum 1/(rrf_k + rank) over
-    # every run position holding the same doc row.
-    score = jnp.zeros((b, k_total), jnp.float32)
-    for ids in runs:
-        kr = ids.shape[1]
-        ranks = jnp.arange(1, kr + 1, dtype=jnp.float32)
-        weights = 1.0 / (rrf_k + ranks)  # (K_r,)
-        match = (cand[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0)
-        score = score + jnp.sum(match * weights[None, None, :], axis=-1)
 
-    # Keep only first occurrence of each doc row (dedup across runs).
-    eq_prior = cand[:, :, None] == cand[:, None, :]  # (B, K, K)
-    idx = jnp.arange(k_total)
-    lower = idx[None, :, None] > idx[None, None, :]  # j < i
-    is_dup = jnp.any(eq_prior & lower, axis=-1)
-    valid = (cand >= 0) & ~is_dup
+@partial(jax.jit, static_argnames=("k", "rrf_k"))
+def weighted_rrf_fuse(
+    runs: Tuple[jax.Array, ...],  # each (B, K_r) int32 doc rows, -1 = pad
+    run_weights: jax.Array,       # (B, n_runs) f32, per-query per-run weight
+    k: int,
+    rrf_k: int = 60,
+) -> Tuple[jax.Array, jax.Array]:
+    """RRF with per-(query, run) weights: a leg whose score distribution says
+    it is uninformative contributes less mass. The reference fuses with equal
+    weights only (`agents/fusion.py:79-102`) — which halves hybrid MRR when
+    one leg is garbage (a known failure mode this rebuild must beat)."""
+    cand = jnp.concatenate(runs, axis=1)
+    score = _rrf_scores(runs, cand, rrf_k, run_weights)
+    return _dedup_topk(cand, score, k)
 
-    score = jnp.where(valid, score, NEG_INF)
-    top_s, top_i = jax.lax.top_k(score, k)
-    top_rows = jnp.take_along_axis(cand, top_i, axis=1)
-    top_rows = jnp.where(top_s > NEG_INF / 2, top_rows, -1)
-    return top_s, top_rows.astype(jnp.int32)
+
+def calibrated_leg_weights(leg_mrrs, floor: float = 0.002, gamma: float = 2.0,
+                           gate: float = 0.5, tiebreak: float = 0.005):
+    """Measured per-leg quality -> RRF weights (host-side; plain python).
+
+    `leg_mrrs` are unsupervised self-retrieval MRRs measured by probing each
+    leg with ICT pseudo-queries of sampled corpus docs (target = source doc —
+    no labels needed). Two mechanisms:
+
+    * smooth: weights go as mrr**gamma, so comparable legs fuse near-equally
+      and a weaker-but-useful leg is subordinated;
+    * gate: a leg below `gate` x the best leg's MRR is demoted to `tiebreak`
+      x the best weight — under RRF's smallest within-top-10 rank-gap ratio
+      ((1/69-1/70)/(1/61) ~ 1.3%), so it can only order docs the good leg
+      did not rank at all. Measured twice on the quality harness: a leg at
+      <=0.2x the other's MRR net-LOSES fused MRR at any rank-disturbing
+      weight, so there is no useful weight between tiebreak and ~0.15.
+
+    The reference has no such mechanism (equal weights always,
+    `agents/fusion.py:79-102`) and measurably loses half its hybrid MRR when
+    one leg is bad."""
+    ws = [max(float(m), 0.0) ** gamma + floor for m in leg_mrrs]
+    best_m = max(leg_mrrs)
+    best_w = max(ws)
+    if best_m > 0.0:
+        ws = [tiebreak * best_w if m < gate * best_m else w
+              for m, w in zip(leg_mrrs, ws)]
+    total = sum(ws)
+    return [w / total for w in ws]

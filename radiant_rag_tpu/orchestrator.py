@@ -545,11 +545,33 @@ class RAGOrchestrator:
                     [ctx.fused_docs, res.data],
                     top_k=self.config.retrieval.fused_top_k)
 
+    def _ensure_fusion_calibration(self) -> None:
+        """Lazily calibrate per-leg RRF weights against the live corpus
+        (unsupervised ICT probes; `index/hybrid.py:calibrate_fusion`). Re-runs
+        after >20% corpus growth. Skipped under fusion_weighting='equal'."""
+        hy = self._hybrid
+        if hy is None or not hy.needs_calibration():
+            return
+        if getattr(self.config.retrieval, "fusion_weighting", "confidence") == "equal":
+            return
+
+        def text_of(row: int):
+            doc_id = self.store.id_for_row(row)
+            doc = self.store.get_doc(doc_id) if doc_id else None
+            return doc.content if doc is not None else None
+
+        try:
+            hy.calibrate_fusion(self.local_models.embed, text_of)
+            logger.info("fusion calibration: %s", hy.last_calibration)
+        except Exception as exc:  # never block retrieval on calibration
+            logger.warning("fusion calibration failed (%s); equal weights", exc)
+
     def _run_hybrid_fused(self, ctx: AgentContext, queries: Sequence[str]) -> None:
         """Fused on-device hybrid retrieval: one program for all queries."""
         cfg = self.config.retrieval
         # re-resolve the live BM25 index: load/rebuild replaces the object
         self._hybrid.bm25 = self.bm25_index.index
+        self._ensure_fusion_calibration()
         embeddings = self.local_models.embed(list(queries))
         level = {"leaves": 0, "parents": 1, "all": -1}.get(cfg.search_scope, -1)
         res = self._hybrid.search_rows(
@@ -559,6 +581,7 @@ class RAGOrchestrator:
             mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "binary",
             rescore_multiplier=self.config.quantization.rescore_multiplier,
             level_code=level,
+            fusion=getattr(cfg, "fusion_weighting", "confidence"),
         )
 
         def hydrate(scores: np.ndarray, rows: np.ndarray, min_sim: float = -1e30) -> List[DocScore]:

@@ -123,3 +123,77 @@ def test_sketch_with_exact_rescore_matches_pages(setup):
         assert len(shared) >= max(1, int(0.8 * len(es)))
         for r in shared:
             np.testing.assert_allclose(ss[r], es[r], rtol=1e-4)
+
+
+def test_calibrated_leg_weights_math():
+    from radiant_rag_tpu.ops.fusion import calibrated_leg_weights
+
+    # garbage dense vs good bm25 -> tiebreak mass only (< 1.3% rank-gap line)
+    w = calibrated_leg_weights([0.05, 0.72])
+    assert w[0] / w[1] < 0.013
+    # comparable legs -> near-equal
+    w = calibrated_leg_weights([0.65, 0.72])
+    assert 0.5 < w[0] / w[1] <= 1.0
+    # both dead -> exactly equal (reference behavior)
+    w = calibrated_leg_weights([0.0, 0.0])
+    assert abs(w[0] - w[1]) < 1e-9
+    # symmetric
+    w = calibrated_leg_weights([0.72, 0.05])
+    assert w[1] / w[0] < 0.013
+
+
+def test_weighted_rrf_downweights_bad_leg():
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.ops.fusion import rrf_fuse, weighted_rrf_fuse
+
+    # leg A ranks docs 1,2,3; leg B (garbage) ranks 9,8,7
+    a = jnp.asarray([[1, 2, 3]], jnp.int32)
+    bb = jnp.asarray([[9, 8, 2]], jnp.int32)
+    w = jnp.asarray([[0.99, 0.01]], jnp.float32)
+    s, rows = weighted_rrf_fuse((a, bb), w, k=4)
+    # leg A's order survives intact; garbage leg only appends
+    assert rows[0][:3].tolist() == [1, 2, 3]
+    # with equal weights doc 2 (ranked by both) jumps doc 1
+    s2, rows2 = rrf_fuse((a, bb), k=4)
+    assert rows2[0][0].tolist() == 2
+
+
+def test_searcher_calibration_sets_weights(rng):
+    """End-to-end: random embeddings (garbage dense) + real texts (good bm25)
+    -> calibration demotes the dense leg and fused order follows bm25."""
+    import numpy as np
+
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    texts = [f"unique{i} subject{i % 7} verb{i % 11} object{i}" for i in range(64)]
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=64))
+    embs = rng.standard_normal((64, 16)).astype(np.float32)
+    store.upsert_batch([(t, {}, embs[i]) for i, t in enumerate(texts)])
+    bm25 = BM25Index(sketch_dim=128)
+    rows = [store.row_of(store.make_doc_id(t, {})) for t in texts]
+    bm25.bulk_build(rows, texts)
+    searcher = HybridSearcher(store.engine, bm25)
+    assert searcher.needs_calibration()
+
+    def text_of(row):
+        doc_id = store.id_for_row(row)
+        doc = store.get_doc(doc_id) if doc_id else None
+        return doc.content if doc else None
+
+    def embed(qs):  # garbage encoder: random unit vectors
+        e = rng.standard_normal((len(qs), 16)).astype(np.float32)
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    w = searcher.calibrate_fusion(embed, text_of, n_probes=32)
+    assert not searcher.needs_calibration()
+    assert w[1] > 0.9 and w[0] < 0.05, w  # bm25 leg dominates
+    assert searcher.last_calibration["bm25_mrr"] > 0.5
+
+    # fused results now track the bm25 leg
+    q = embed(["probe"])
+    res = searcher.search_rows(q, ["unique5 subject5"], dense_k=5, bm25_k=5, fused_k=5)
+    assert res["fused"][1][0][0] == res["bm25"][1][0][0]

@@ -117,16 +117,28 @@ def main(argv=None) -> int:
                                        valid_mask=store.valid_mask(),
                                        num_rows=store.row_capacity())
     bm25_res = evaluate(lambda qi: [store.id_for_row(int(r)) for r in brows[qi] if r >= 0])
+    def _text_of(row):
+        doc_id = store.id_for_row(row)
+        doc = store.get_doc(doc_id) if doc_id else None
+        return doc.content if doc is not None else None
+
+    searcher.calibrate_fusion(embedder.embed, _text_of)
     hy = searcher.search_rows(q_embs, q_texts, dense_k=k, bm25_k=k, fused_k=k)
     hybrid_res = evaluate(lambda qi: [store.id_for_row(int(r))
                                       for r in hy["fused"][1][qi] if r >= 0])
+    hy_eq = searcher.search_rows(q_embs, q_texts, dense_k=k, bm25_k=k,
+                                 fused_k=k, fusion="equal")
+    hybrid_equal = evaluate(lambda qi: [store.id_for_row(int(r))
+                                        for r in hy_eq["fused"][1][qi] if r >= 0])
 
     report = {
         "docs": args.docs, "queries": args.queries, "top_k": k,
         "dense_exact": dense_exact,
         "dense_quantized": dense_quant,
         "bm25": bm25_res,
-        "hybrid": hybrid_res,
+        "hybrid": hybrid_res,          # calibration-weighted RRF (default)
+        "hybrid_equal_rrf": hybrid_equal,  # reference-parity equal weights
+        "fusion_calibration": searcher.last_calibration,
     }
 
     if args.train_steps > 0:
@@ -168,9 +180,21 @@ def main(argv=None) -> int:
         report["dense_after_training"] = evaluate2(
             lambda qi: [d.doc_id for d, _ in per_q2[qi]])
         searcher2 = HybridSearcher(store2.engine, bm25)
+
+        def _text_of2(row):
+            doc_id = store2.id_for_row(row)
+            doc = store2.get_doc(doc_id) if doc_id else None
+            return doc.content if doc is not None else None
+
+        searcher2.calibrate_fusion(trained.embed, _text_of2)
+        report["fusion_calibration_after_training"] = searcher2.last_calibration
         hy2 = searcher2.search_rows(q_embs2, q_texts, dense_k=k, bm25_k=k, fused_k=k)
         report["hybrid_after_training"] = evaluate2(
             lambda qi: [store2.id_for_row(int(r)) for r in hy2["fused"][1][qi] if r >= 0])
+        hy2_eq = searcher2.search_rows(q_embs2, q_texts, dense_k=k, bm25_k=k,
+                                       fused_k=k, fusion="equal")
+        report["hybrid_after_training_equal_rrf"] = evaluate2(
+            lambda qi: [store2.id_for_row(int(r)) for r in hy2_eq["fused"][1][qi] if r >= 0])
         print(json.dumps(report, indent=2))
         return 0
 
