@@ -598,9 +598,27 @@ class RAGOrchestrator:
 
         ctx.dense_docs = hydrate(*res["dense"], min_sim=cfg.min_similarity)
         ctx.bm25_docs = hydrate(*res["bm25"], min_sim=0.0)
-        # Fused rows are per-query; re-fuse across queries on host (k tiny).
-        per_query_fused = hydrate(*res["fused"])
-        ctx.fused_docs = per_query_fused[: cfg.fused_top_k]
+        # Cross-query rank aggregation (reference `orchestrator.py:1147-1196`):
+        # each effective query's fused list is one RRF run, so a doc ranked
+        # well by SEVERAL decomposed/expanded queries beats a doc ranked first
+        # by only one. Host-side — k is tiny.
+        fs, fr = res["fused"]
+        per_query_runs: List[List[DocScore]] = []
+        for qi in range(fr.shape[0]):
+            run: List[DocScore] = []
+            for s, r in zip(fs[qi], fr[qi]):
+                if r < 0:
+                    continue
+                doc_id = self.store.id_for_row(int(r))
+                doc = self.store.get_doc(doc_id) if doc_id else None
+                if doc is not None:
+                    run.append((doc, float(s)))
+            if run:
+                per_query_runs.append(run)
+        if len(per_query_runs) > 1:
+            ctx.fused_docs = self.fusion.fuse(per_query_runs, top_k=cfg.fused_top_k)
+        else:
+            ctx.fused_docs = (per_query_runs[0] if per_query_runs else [])[: cfg.fused_top_k]
 
     def _run_post_retrieval(self, ctx: AgentContext, metrics: RunMetrics) -> None:
         if ctx.plan.get("use_automerge", True) and self.automerge.enabled:
