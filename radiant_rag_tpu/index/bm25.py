@@ -128,6 +128,7 @@ class BM25Index:
         self._sketch_rows = 0
         self._sketch_dirty = True
         self._term_bin: Dict[int, int] = {}
+        self._bins_per_term: Optional[np.ndarray] = None  # tid -> bin (ensure_sketch)
 
     # -- build -------------------------------------------------------------
     @property
@@ -217,6 +218,10 @@ class BM25Index:
             return False
         self.terms = built.terms
         self.vocab = {t: i for i, t in enumerate(built.terms)}
+        # term ids were REMAPPED: tid-keyed bin caches are now wrong, not
+        # merely stale (incremental adds never remap, so only rebuilds clear)
+        self._term_bin = {}
+        self._bins_per_term = None
         self.df = built.df.astype(np.int64).tolist()
         self._base_start = built.term_start
         self._base_rows = built.post_rows
@@ -251,6 +256,8 @@ class BM25Index:
         self.total_len = 0
         self.removed = set()
         self._stale_base = set()
+        self._term_bin = {}
+        self._bins_per_term = None
         self._mark_dirty()
 
     def remove_document(self, row: int) -> bool:
@@ -401,6 +408,7 @@ class BM25Index:
         lengths = np.diff(self._term_start)
         idf_per_post = np.repeat(self._term_idf, lengths)
         bins_per_term = np.asarray([self._bin_of(tid) for tid in range(t)], np.int32)
+        self._bins_per_term = bins_per_term
         bin_per_post = np.repeat(bins_per_term, lengths)
         dl = dl_arr[np.minimum(rows, num_docs - 1)]
         denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
@@ -471,55 +479,95 @@ class BM25Index:
         self._dm_width = max_terms
         self._dm_dirty = False
 
-    def make_query_terms(self, queries: Sequence[str], max_terms: Optional[int] = None
+    def query_tids(self, queries: Sequence[str]) -> List[List[int]]:
+        """One-pass host query prep: unique in-vocab term ids per query.
+
+        The batched query path needs term ids for three things (indicator,
+        exact-rescore terms, routing volume); at B=1024 tokenizing the texts
+        once here instead of once per consumer removes ~2/3 of the host-side
+        batch latency (measured in tools/bench_stage_breakdown.py)."""
+        vocab_get = self.vocab.get
+        out: List[List[int]] = []
+        for q in queries:
+            terms = tokenize(q)[: self.max_query_terms]
+            tids = []
+            seen = set()
+            for w in terms:
+                tid = vocab_get(w)
+                if tid is not None and tid not in seen:
+                    seen.add(tid)
+                    tids.append(tid)
+            out.append(tids)
+        return out
+
+    def make_query_terms(self, queries: Sequence[str], max_terms: Optional[int] = None,
+                         tids: Optional[List[List[int]]] = None,
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, T) query term ids (-1 pad) + idfs for exact rescoring."""
         t = max_terms or self.max_query_terms
-        q_tids = np.full((len(queries), t), -1, np.int32)
-        q_idfs = np.zeros((len(queries), t), np.float32)
-        for qi, q in enumerate(queries):
-            terms = tokenize(q)[: self.max_query_terms]
-            uniq = [self.vocab[w] for w in dict.fromkeys(terms) if w in self.vocab][:t]
-            for j, tid in enumerate(uniq):
-                q_tids[qi, j] = tid
-                q_idfs[qi, j] = self._idf(tid)
+        if tids is None:
+            tids = self.query_tids(queries)
+        self._finalize_csr()  # builds _term_idf
+        q_tids = np.full((len(tids), t), -1, np.int32)
+        q_idfs = np.zeros((len(tids), t), np.float32)
+        idf_arr = self._term_idf
+        for qi, uniq in enumerate(tids):
+            uniq = uniq[:t]
+            n = len(uniq)
+            if n:
+                q_tids[qi, :n] = uniq
+                q_idfs[qi, :n] = idf_arr[uniq] if idf_arr is not None else [
+                    self._idf(tid) for tid in uniq]
         return q_tids, q_idfs
 
-    def query_posting_volume(self, queries: Sequence[str]) -> int:
+    def query_posting_volume(self, queries: Sequence[str],
+                             tids: Optional[List[List[int]]] = None) -> int:
         """Max total posting count any one query's terms touch (requires a
         finalized CSR). The routing signal for auto method selection."""
         self._finalize_csr()
+        if tids is None:
+            tids = self.query_tids(queries)
+        lengths = np.diff(self._term_start)
         vol = 0
-        for q in queries:
-            terms = tokenize(q)[: self.max_query_terms]
-            tids = {self.vocab[t] for t in terms if t in self.vocab}
-            vol = max(vol, sum(int(self._term_start[tid + 1] - self._term_start[tid])
-                               for tid in tids))
+        for uniq in tids:
+            if uniq:
+                vol = max(vol, int(lengths[uniq].sum()))
         return vol
 
-    def make_query_indicator(self, queries: Sequence[str]) -> np.ndarray:
+    def make_query_indicator(self, queries: Sequence[str],
+                             tids: Optional[List[List[int]]] = None) -> np.ndarray:
         """(B, S) int8 indicator over each query's unique terms' bins."""
-        out = np.zeros((len(queries), self.sketch_dim), np.int8)
-        for qi, q in enumerate(queries):
-            terms = tokenize(q)[: self.max_query_terms]
-            for term in dict.fromkeys(terms):
-                tid = self.vocab.get(term)
-                if tid is not None:
+        if tids is None:
+            tids = self.query_tids(queries)
+        out = np.zeros((len(tids), self.sketch_dim), np.int8)
+        # vocab may have grown since the sketch build; stale entries are
+        # impossible (term ids are append-only) but new tids fall back to
+        # _bin_of until the next ensure_sketch
+        bins = self._bins_per_term
+        for qi, uniq in enumerate(tids):
+            if not uniq:
+                continue
+            if bins is not None and len(bins) > max(uniq):
+                np.add.at(out[qi], bins[uniq], 1)
+            else:
+                for tid in uniq:
                     out[qi, self._bin_of(tid)] += 1
         return out
 
     # -- page table --------------------------------------------------------
-    def make_pages(self, queries: Sequence[str]) -> Dict[str, np.ndarray]:
+    def make_pages(self, queries: Sequence[str],
+                   tids_per_q: Optional[List[List[int]]] = None) -> Dict[str, np.ndarray]:
         """Build the per-batch page table (host; KBs). Each page covers
         PAGE_SIZE consecutive postings of one (query, term); the per-query
         posting budget favors rare (high-idf) terms first."""
+        if tids_per_q is None:
+            tids_per_q = self.query_tids(queries)
         starts_l: List[int] = []
         lens_l: List[int] = []
         qidx_l: List[int] = []
         idf_l: List[float] = []
-        for qi, q in enumerate(queries):
-            terms = tokenize(q)[: self.max_query_terms]
-            tids = [self.vocab[t] for t in dict.fromkeys(terms) if t in self.vocab]
+        for qi, uniq in enumerate(tids_per_q):
+            tids = list(uniq)
             tids.sort(key=lambda tid: self._term_start[tid + 1] - self._term_start[tid])
             budget = self.max_postings
             for tid in tids:
@@ -589,6 +637,7 @@ class BM25Index:
         dl = self._dl_dev
 
         self._finalize_csr()
+        tids_list = self.query_tids(queries)  # tokenize ONCE per batch
 
         mask = valid_mask
         if mask is not None and int(mask.shape[0]) < n_rows:
@@ -602,15 +651,16 @@ class BM25Index:
                 # queries): cheap there, and immune to the sketch's hash-bin
                 # collisions which can drown a singleton term's signal
                 method = ("pages"
-                          if self.query_posting_volume(queries) <= self.pages_route_threshold
+                          if self.query_posting_volume(queries, tids_list)
+                          <= self.pages_route_threshold
                           else "sketch")
         if method == "sketch":
             from radiant_rag_tpu.ops.bm25 import bm25_sketch_rescore_topk
 
             self.ensure_sketch(n_rows)
             self.ensure_doc_major(n_rows)
-            qind = self.make_query_indicator(queries)
-            q_tids, q_idfs = self.make_query_terms(queries)
+            qind = self.make_query_indicator(queries, tids_list)
+            q_tids, q_idfs = self.make_query_terms(queries, tids=tids_list)
             k_eff = min(top_k, n_rows)
             kc = min(max(k_eff, int(round(k_eff * rescore_multiplier))), n_rows)
             top_s, top_i = bm25_sketch_rescore_topk(
@@ -627,7 +677,7 @@ class BM25Index:
                 rows_out = np.pad(rows_out, ((0, 0), (0, pad)), constant_values=-1)
             return scores, rows_out
 
-        pages = self.make_pages(queries)
+        pages = self.make_pages(queries, tids_list)
         top_s, top_i = bm25_pages_score_topk(
             self._dev_post_rows, self._dev_post_tf,
             jnp.asarray(pages["start"]), jnp.asarray(pages["len"]),

@@ -28,7 +28,7 @@ from radiant_rag_tpu.index.engine import DeviceVectorIndex
 from radiant_rag_tpu.ops import quantize as qz
 from radiant_rag_tpu.ops import similarity as sim
 from radiant_rag_tpu.ops.bm25 import (
-    bm25_candidate_rescore, bm25_pages_scores, bm25_sketch_scores,
+    bm25_candidate_rescore, bm25_pages_scores, bm25_sketch_select,
 )
 from radiant_rag_tpu.ops.fusion import rrf_fuse, weighted_rrf_fuse
 
@@ -46,18 +46,20 @@ def _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion):
 
 
 def _dense_stage(vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid,
-                 dense_k, kc, mode):
+                 dense_k, kc, mode, select=""):
     if mode == "exact":
         dense_s, dense_i = sim.exact_topk(vecs, queries, mask, dense_k)
     elif mode == "binary":
         qbin = qz.pack_binary(queries)
         dense_s, dense_i = sim.two_stage_topk(
             vecs, queries, mask, dense_k, kc, "hamming", binary_codes=codes,
-            qbinary=qbin, int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset)
+            qbinary=qbin, int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
+            select=select)
     else:
         dense_s, dense_i = sim.two_stage_topk(
             vecs, queries, mask, dense_k, kc, "int8",
-            int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset)
+            int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
+            select=select)
     dense_i = jnp.where(dense_s > sim.NEG_INF / 2, dense_i, -1)
     dense_i = jnp.where(qvalid[:, None], dense_i, -1)
     return dense_s, dense_i
@@ -71,7 +73,7 @@ def _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i):
     ], axis=1)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b", "fusion"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b", "fusion", "select"))
 def _hybrid_program_sketch(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     sketch, sketch_scale, qind,
@@ -79,6 +81,7 @@ def _hybrid_program_sketch(
     queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
     mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
+    select: str = "",
 ):
     """Hybrid with impact-sketch BM25 stage-1 (MXU matmul) + EXACT BM25
     candidate rescore — the sparse leg mirrors the dense two-stage design:
@@ -88,40 +91,41 @@ def _hybrid_program_sketch(
     mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
 
     dense_s, dense_i = _dense_stage(
-        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc, mode)
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc,
+        mode, select)
 
-    bm_scores = bm25_sketch_scores(sketch, sketch_scale, qind, mask)
     if bm_kc > bm25_k:  # exact rescore of sketch candidates
-        s1, cand = sim.full_topk(bm_scores, bm_kc)
-        cand = jnp.where(s1 > 0.0, cand, -1).astype(jnp.int32)
+        _s1, cand = bm25_sketch_select(sketch, sketch_scale, qind, mask, bm_kc, select)
+        cand = sim.sort_candidates_by_row(cand)  # exact-path tie-break parity
         exact = bm25_candidate_rescore(dm_tids, dm_tfs, doc_lens, avgdl,
                                        cand, q_tids, q_idfs, k1, b)
         bm_s, sel = jax.lax.top_k(exact, bm25_k)
         bm_i = jnp.take_along_axis(cand, sel, axis=1)
         bm_i = jnp.where(bm_s > 0.0, bm_i, -1)
     else:
-        bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
-        bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
+        bm_s, bm_i = bm25_sketch_select(sketch, sketch_scale, qind, mask, bm25_k, select)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
     fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion", "select"))
 def _hybrid_program(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     post_rows, post_tf, page_start, page_len, page_qidx, page_idf, doc_lens, avgdl,
     queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
     bq: int, num_docs: int, k1: float, b: float, fusion: str = "confidence",
+    select: str = "",
 ):
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
     mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
 
     dense_s, dense_i = _dense_stage(
-        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc, mode)
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc,
+        mode, select)
 
     # exact sparse stage (shares the same mask/row space)
     bm_scores = bm25_pages_scores(
@@ -231,6 +235,7 @@ class HybridSearcher:
         lang_code: int = -1,
         bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
         fusion: str = "confidence",  # confidence (quality-weighted) | equal
+        select: str = "",  # stage-1 selection policy ("" = env default)
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
@@ -244,12 +249,14 @@ class HybridSearcher:
                                       list(queries_text[s : s + max_b]),
                                       dense_k, bm25_k, fused_k, rrf_k, mode,
                                       rescore_multiplier, level_code, lang_code,
-                                      bm25_mode, fusion)
+                                      bm25_mode, fusion, select)
                      for s in range(0, b, max_b)]
             return {name: (np.concatenate([p[name][0] for p in parts]),
                            np.concatenate([p[name][1] for p in parts]))
                     for name in ("dense", "bm25", "fused")}
 
+        self.bm25._finalize_csr()
+        q_tids_list = self.bm25.query_tids(queries_text)  # tokenize ONCE per batch
         if self.bm25.sketch_dim <= 0:
             bm25_mode = "pages"
         elif bm25_mode == "auto":
@@ -258,10 +265,9 @@ class HybridSearcher:
             # immune to sketch hash-bin collisions); common-term queries take
             # the sketch MXU program. Both jit programs are compiled once.
             bm25_mode = ("pages"
-                         if self.bm25.query_posting_volume(queries_text)
+                         if self.bm25.query_posting_volume(queries_text, q_tids_list)
                          <= self.bm25.pages_route_threshold
                          else "sketch")
-        self.bm25._finalize_csr()
         num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
 
         qdev, qvalid, _ = eng._bucket_queries(np.asarray(queries_dense, np.float32))
@@ -284,8 +290,8 @@ class HybridSearcher:
             self.bm25.ensure_sketch(num_docs)
             self.bm25.ensure_doc_major(num_docs)
             self.bm25._device_doc_lens(num_docs)
-            qind = self.bm25.make_query_indicator(queries_text)
-            q_tids, q_idfs = self.bm25.make_query_terms(queries_text)
+            qind = self.bm25.make_query_indicator(queries_text, q_tids_list)
+            q_tids, q_idfs = self.bm25.make_query_terms(queries_text, tids=q_tids_list)
             if qind.shape[0] < bq:
                 pad = bq - qind.shape[0]
                 qind = np.pad(qind, ((0, pad), (0, 0)))
@@ -300,13 +306,13 @@ class HybridSearcher:
                 jnp.asarray(q_tids), jnp.asarray(q_idfs),
                 *codes_args,
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
-                self.bm25.k1, self.bm25.b, fusion,
+                self.bm25.k1, self.bm25.b, fusion, select,
             )
         else:
             self.bm25._device_doc_lens(num_docs)
             assert self.bm25._dl_size == num_docs, (self.bm25._dl_size, num_docs)
             dl = self.bm25._dl_dev
-            pages = self.bm25.make_pages(queries_text)
+            pages = self.bm25.make_pages(queries_text, q_tids_list)
             packed = _hybrid_program(
                 *common,
                 self.bm25._dev_post_rows, self.bm25._dev_post_tf,
@@ -315,7 +321,7 @@ class HybridSearcher:
                 dl, jnp.asarray(self.bm25.avgdl, jnp.float32),
                 *codes_args,
                 dk, bk, fk, rrf_k, kc, mode, bq, num_docs,
-                self.bm25.k1, self.bm25.b, fusion,
+                self.bm25.k1, self.bm25.b, fusion, select,
             )
         packed = np.asarray(packed)[:b]  # ONE device->host fetch
 

@@ -143,25 +143,55 @@ def bm25_pages_score_topk(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k",))
+def bm25_sketch_select(
+    sketch: jax.Array,  # (N, S) int8 quantized impact sketches
+    scale: jax.Array,  # () f32 dequant scale
+    qind: jax.Array,  # (B, S) int8 query bin indicators
+    mask: jax.Array,  # (N,) bool or None
+    k: int,
+    select: str = "",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sketch-scan candidate selection under the stage-1 selection policy
+    (`ops/similarity.select_topk`): the int32 accumulator is selected in bf16
+    (scale > 0 makes ordering invariant), or chunked so the (B, N) buffer
+    never materializes. Returns (scores f32, rows i32); rows are -1 where the
+    doc shares no query bin (raw <= 0) or was masked."""
+    from radiant_rag_tpu.ops.similarity import (
+        _default_select, _sel_valid, blockmax_select, chunked_scan_select,
+        select_topk,
+    )
+
+    select = select or _default_select()
+
+    def score_chunk(c):  # (C, S) int8 -> (B, C) int32
+        return jax.lax.dot_general(
+            qind, c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    if select == "blockmax":
+        raw_s, cand = blockmax_select(sketch, qind.astype(jnp.int8), mask, k)
+    elif select == "bf16_chunked":
+        raw_s, cand = chunked_scan_select(sketch, mask, k, score_chunk)
+    else:
+        raw_s, cand = select_topk(score_chunk(sketch), mask, k, select)
+    valid = _sel_valid(raw_s) & (raw_s > 0)
+    top_s = jnp.where(valid, raw_s.astype(jnp.float32) * scale, NEG_INF)
+    cand = jnp.where(valid, cand, -1)
+    return top_s, cand.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "select"))
 def bm25_sketch_topk(
     sketch: jax.Array,  # (N, S) int8 quantized impact sketches
     scale: jax.Array,  # () f32 dequant scale
     qind: jax.Array,  # (B, S) int8 query bin indicators
     mask: jax.Array,  # (N,) bool or None
     k: int,
+    select: str = "",
 ) -> Tuple[jax.Array, jax.Array]:
-    raw = jax.lax.dot_general(
-        qind, sketch,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (B, N)
-    scores = raw.astype(jnp.float32) * scale
-    if mask is not None:
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
-    top_s, top_i = full_topk(scores, k)
-    top_i = jnp.where(top_s > 0.0, top_i, -1)
-    return top_s, top_i.astype(jnp.int32)
+    return bm25_sketch_select(sketch, scale, qind, mask, k, select)
 
 
 def bm25_sketch_scores(sketch, scale, qind, mask):
@@ -209,7 +239,7 @@ def bm25_candidate_rescore(
     return jnp.where(cand >= 0, scores, NEG_INF)
 
 
-@partial(jax.jit, static_argnames=("k", "kc", "k1", "b"))
+@partial(jax.jit, static_argnames=("k", "kc", "k1", "b", "select"))
 def bm25_sketch_rescore_topk(
     sketch: jax.Array,  # (N, S) int8
     scale: jax.Array,  # () f32
@@ -225,6 +255,7 @@ def bm25_sketch_rescore_topk(
     kc: int,
     k1: float = 1.5,
     b: float = 0.75,
+    select: str = "",
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage BM25: sketch matmul scan -> EXACT candidate rescore -> top-k.
 
@@ -232,9 +263,10 @@ def bm25_sketch_rescore_topk(
     affects recall at the candidate margin (mitigated by kc = k x multiplier).
     ~10x faster than the exact page-table path on common-term queries because
     no posting scatter happens at query time."""
-    scores = bm25_sketch_scores(sketch, scale, qind, mask)
-    s1, cand = full_topk(scores, kc)
-    cand = jnp.where(s1 > 0.0, cand, -1).astype(jnp.int32)
+    from radiant_rag_tpu.ops.similarity import sort_candidates_by_row
+
+    _s1, cand = bm25_sketch_select(sketch, scale, qind, mask, kc, select)
+    cand = sort_candidates_by_row(cand)  # exact-path tie-break parity
     exact = bm25_candidate_rescore(dm_tids, dm_tfs, doc_lens, avgdl,
                                    cand, q_tids, q_idfs, k1, b)
     top_s, sel = jax.lax.top_k(exact, k)

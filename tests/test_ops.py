@@ -245,3 +245,66 @@ def test_bm25_device_op_matches_oracle():
     assert [r for r, _ in hits] == [d for d in order if oracle[d] > 0][: len(hits)]
     for r, v in hits:
         np.testing.assert_allclose(v, oracle[r], rtol=1e-4)
+
+
+def test_select_policies_agree_int8(rng):
+    """f32 / bf16 / bf16_chunked stage-1 selection pick (nearly) the same
+    candidates; the f32 path is the exact-ordering oracle (bf16 rounding may
+    swap near-ties, absorbed downstream by the rescore multiplier)."""
+    corpus = _normed(rng, 3000, 128)  # odd size: exercises chunk padding
+    queries = _normed(rng, 4, 128)
+    lo, hi = calibrate_int8_ranges(jnp.asarray(corpus))
+    codes = quantize_int8(jnp.asarray(corpus), lo, hi)
+    s, o = int8_scale_offset(lo, hi)
+    mask = np.ones(3000, bool)
+    mask[5] = False  # masked rows must never surface
+    outs = {}
+    for sel in ("f32", "bf16", "bf16_chunked"):
+        sc, ix = int8_scan_topk(codes, jnp.asarray(queries), s, o,
+                                jnp.asarray(mask), 20, sel)
+        outs[sel] = (np.asarray(sc), np.asarray(ix))
+        assert 5 not in set(np.asarray(ix).ravel().tolist())
+    ref_s, ref_i = outs["f32"]
+    for sel in ("bf16", "bf16_chunked"):
+        sc, ix = outs[sel]
+        for qi in range(4):
+            overlap = len(set(ix[qi]) & set(ref_i[qi])) / 20.0
+            assert overlap >= 0.9, (sel, qi, overlap)
+            # dequantized scores of shared rows match the f32 path closely
+            shared = sorted(set(ix[qi]) & set(ref_i[qi]))
+            a = {r: v for r, v in zip(ix[qi], sc[qi])}
+            b = {r: v for r, v in zip(ref_i[qi], ref_s[qi])}
+            for r in shared:
+                assert abs(a[r] - b[r]) < 0.02, (sel, r, a[r], b[r])
+
+
+def test_select_policies_agree_hamming(rng):
+    corpus = _normed(rng, 2500, 128)
+    queries = _normed(rng, 3, 128)
+    codes = pack_binary(jnp.asarray(corpus))
+    qcodes = pack_binary(jnp.asarray(queries))
+    ref_s, ref_i = map(np.asarray, hamming_scan_topk(codes, qcodes, None, 15, "f32"))
+    for sel in ("bf16", "bf16_chunked"):
+        sc, ix = map(np.asarray, hamming_scan_topk(codes, qcodes, None, 15, sel))
+        for qi in range(3):
+            # hamming raw scores are small ints: bf16 is exact, so the
+            # selected SCORE multiset must match exactly (ties may reorder)
+            np.testing.assert_allclose(np.sort(sc[qi]), np.sort(ref_s[qi]), rtol=1e-6)
+
+
+def test_two_stage_chunked_matches_monolithic(rng):
+    corpus = _normed(rng, 1500, 64)
+    queries = _normed(rng, 4, 64)
+    lo, hi = calibrate_int8_ranges(jnp.asarray(corpus))
+    codes = quantize_int8(jnp.asarray(corpus), lo, hi)
+    s, o = int8_scale_offset(lo, hi)
+    res = {}
+    for sel in ("f32", "bf16", "bf16_chunked"):
+        ts, ti = two_stage_topk(jnp.asarray(corpus), jnp.asarray(queries), None,
+                                10, 40, "int8", int8_codes=codes, int8_scale=s,
+                                int8_offset=o, select=sel)
+        res[sel] = (np.asarray(ts), np.asarray(ti))
+    # after fp32 rescore over a 4x candidate pool, all policies agree exactly
+    # on this well-separated corpus
+    for sel in ("bf16", "bf16_chunked"):
+        np.testing.assert_allclose(res[sel][0], res["f32"][0], rtol=1e-5)

@@ -119,3 +119,67 @@ def test_two_stage_pallas_matches_xla(rng, monkeypatch):
         c = set(int(x) for x in np.asarray(i2)[qb] if x >= 0)
         assert len(a & c) >= 4  # stage-1 rankings differ slightly (approx vs exact)
         assert np.asarray(i1)[qb, 0] == qb  # self-retrieval
+
+
+def test_blockmax2_kernel_matches_oracle():
+    """Per-tile top-2 == numpy oracle on every tile (interpret mode)."""
+    import numpy as np
+    from radiant_rag_tpu.ops.pallas_kernels import BLOCKMAX_TILE, blockmax2_pallas
+
+    rng = np.random.default_rng(11)
+    n, d, b = 4 * BLOCKMAX_TILE, 64, 8
+    codes = rng.integers(-127, 128, (n, d), dtype=np.int8)
+    qi = rng.integers(-127, 128, (b, d), dtype=np.int8)
+    mask = np.ones(n, bool)
+    mask[7] = False
+    mask[BLOCKMAX_TILE:2 * BLOCKMAX_TILE] = False  # a fully dead tile
+    s, rows = blockmax2_pallas(jnp.asarray(codes), jnp.asarray(qi),
+                               jnp.asarray(mask), interpret=True)
+    s, rows = np.asarray(s), np.asarray(rows)
+    nt = n // BLOCKMAX_TILE
+    oracle = qi.astype(np.int64) @ codes.astype(np.int64).T  # (B, N)
+    oracle_m = np.where(mask[None, :], oracle, -(2**62))  # -int64.min overflows argsort
+    for q in range(b):
+        for t in range(nt):
+            seg = oracle_m[q, t * BLOCKMAX_TILE:(t + 1) * BLOCKMAX_TILE]
+            order = np.argsort(-seg, kind="stable")
+            got = [(s[q, t], rows[q, t]), (s[q, nt + t], rows[q, nt + t])]
+            if t == 1:  # dead tile: both slots invalid
+                assert got[0][1] == -1 and got[1][1] == -1
+                continue
+            for rank, (gs, gr) in enumerate(got):
+                exp_row = t * BLOCKMAX_TILE + order[rank]
+                assert gr == exp_row, (q, t, rank, gr, exp_row)
+                assert gs == seg[order[rank]]
+
+
+def test_blockmax_select_two_stage_parity():
+    """two_stage_topk(select='blockmax') rows match the f32 policy on a
+    planted corpus (after fp32 rescore both are exact)."""
+    import numpy as np
+    from radiant_rag_tpu.ops.pallas_kernels import BLOCKMAX_TILE
+    from radiant_rag_tpu.ops.quantize import (
+        calibrate_int8_ranges, int8_scale_offset, quantize_int8,
+    )
+    from radiant_rag_tpu.ops.similarity import two_stage_topk
+
+    rng = np.random.default_rng(12)
+    n, d = 4 * BLOCKMAX_TILE, 64
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[::BLOCKMAX_TILE][:4] + 0.05 * rng.standard_normal((4, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    lo, hi = calibrate_int8_ranges(jnp.asarray(corpus))
+    codes = quantize_int8(jnp.asarray(corpus), lo, hi)
+    sc, of = int8_scale_offset(lo, hi)
+    res = {}
+    for sel in ("f32", "blockmax"):
+        ts, ti = two_stage_topk(jnp.asarray(corpus), jnp.asarray(queries), None,
+                                5, 40, "int8", int8_codes=codes, int8_scale=sc,
+                                int8_offset=of, select=sel)
+        res[sel] = (np.asarray(ts), np.asarray(ti))
+    # top-1 must be the planted source row either way; full top-5 overlap high
+    for q in range(4):
+        assert res["blockmax"][1][q][0] == res["f32"][1][q][0]
+        overlap = len(set(res["blockmax"][1][q]) & set(res["f32"][1][q]))
+        assert overlap >= 4, (q, res["blockmax"][1][q], res["f32"][1][q])
