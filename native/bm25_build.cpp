@@ -184,4 +184,80 @@ const int32_t* bm25_doc_term_tfs(void* h) {
   return static_cast<Build*>(h)->doc_term_tfs.data();
 }
 
+// ---------------------------------------------------------------------------
+// Query tokenize-to-term-ids: the per-batch host cost of the device BM25 path
+// is dominated by Python regex tokenization of the query texts (~31 ms for a
+// 1024x48-token batch). This context holds a hash of the index vocabulary
+// (rebuilt only when the vocab grows); bm25_query_tids then turns a
+// concatenated query batch into unique in-vocab term ids per query in one C
+// pass — queries never materialize as Python strings.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct QueryCtx {
+  std::string bytes;  // owned copy of concatenated term bytes
+  std::unordered_map<std::string_view, int32_t> vocab;
+};
+}  // namespace
+
+void* bm25_query_ctx_new(const uint8_t* term_bytes, const int64_t* term_offsets,
+                         int64_t n_terms) {
+  auto* c = new QueryCtx();
+  c->bytes.assign(reinterpret_cast<const char*>(term_bytes),
+                  static_cast<size_t>(term_offsets[n_terms]));
+  c->vocab.reserve(static_cast<size_t>(n_terms) * 2);
+  for (int64_t t = 0; t < n_terms; ++t) {
+    c->vocab.emplace(
+        std::string_view(c->bytes.data() + term_offsets[t],
+                         static_cast<size_t>(term_offsets[t + 1] - term_offsets[t])),
+        static_cast<int32_t>(t));
+  }
+  return c;
+}
+
+void bm25_query_ctx_free(void* h) { delete static_cast<QueryCtx*>(h); }
+
+// Tokenize n_q concatenated queries (q_offsets: n_q+1) and write each query's
+// UNIQUE in-vocab term ids (first-seen order, tokenizer semantics identical
+// to bm25_build) into out_tids (n_q x max_terms, -1 padded). Token scanning
+// stops contributing after cap_tokens tokens per query (mirrors the Python
+// tokenize(q)[:max_query_terms] cap, which truncates the TOKEN stream before
+// dedup). Returns total tids written.
+int64_t bm25_query_tids(void* h, const uint8_t* text, const int64_t* q_offsets,
+                        int64_t n_q, int64_t cap_tokens, int64_t max_terms,
+                        int32_t* out_tids) {
+  auto* c = static_cast<QueryCtx*>(h);
+  std::string token;
+  token.reserve(64);
+  int64_t written = 0;
+  for (int64_t q = 0; q < n_q; ++q) {
+    const uint8_t* p = text + q_offsets[q];
+    const uint8_t* end = text + q_offsets[q + 1];
+    int32_t* out = out_tids + q * max_terms;
+    int64_t n_out = 0, n_tok = 0;
+    while (p < end && n_tok < cap_tokens) {
+      token.clear();
+      while (p < end) {
+        uint8_t ch = lower(*p);
+        if (is_alnum(ch)) { token.push_back(static_cast<char>(ch)); ++p; }
+        else break;
+      }
+      if (token.empty()) { ++p; continue; }
+      if (token.size() > 1) {
+        ++n_tok;
+        auto it = c->vocab.find(std::string_view(token));
+        if (it != c->vocab.end()) {
+          const int32_t tid = it->second;
+          bool dup = false;  // linear dedup: n_out <= max_terms (tiny)
+          for (int64_t j = 0; j < n_out; ++j) {
+            if (out[j] == tid) { dup = true; break; }
+          }
+          if (!dup && n_out < max_terms) { out[n_out++] = tid; ++written; }
+        }
+      }
+    }
+  }
+  return written;
+}
+
 }  // extern "C"

@@ -129,6 +129,9 @@ class BM25Index:
         self._sketch_dirty = True
         self._term_bin: Dict[int, int] = {}
         self._bins_per_term: Optional[np.ndarray] = None  # tid -> bin (ensure_sketch)
+        # native query tokenizer (vocab snapshot; rebuilt when vocab grows)
+        self._qtok = None
+        self._qtok_nterms = -1
 
     # -- build -------------------------------------------------------------
     @property
@@ -479,79 +482,91 @@ class BM25Index:
         self._dm_width = max_terms
         self._dm_dirty = False
 
-    def query_tids(self, queries: Sequence[str]) -> List[List[int]]:
-        """One-pass host query prep: unique in-vocab term ids per query.
+    def query_tids(self, queries: Sequence[str]) -> np.ndarray:
+        """One-pass host query prep: (B, max_query_terms) int32 array of each
+        query's unique in-vocab term ids, -1 padded.
 
-        The batched query path needs term ids for three things (indicator,
-        exact-rescore terms, routing volume); at B=1024 tokenizing the texts
-        once here instead of once per consumer removes ~2/3 of the host-side
-        batch latency (measured in tools/bench_stage_breakdown.py)."""
+        The batched query path needs term ids for four things (indicator,
+        exact-rescore terms, routing volume, page tables); tokenizing the
+        texts once here instead of once per consumer removes ~2/3 of the
+        host-side batch latency, and the native C tokenizer (`index/native.py
+        QueryTokenizer`) removes the Python-regex rest — queries never
+        materialize as Python token strings (tools/bench_stage_breakdown.py)."""
+        t = self.max_query_terms
+        qtok = self._query_tokenizer()
+        if qtok is not None:
+            return qtok.tids_batch(queries, t, t)
         vocab_get = self.vocab.get
-        out: List[List[int]] = []
-        for q in queries:
-            terms = tokenize(q)[: self.max_query_terms]
-            tids = []
+        out = np.full((len(queries), t), -1, np.int32)
+        for qi, q in enumerate(queries):
+            terms = tokenize(q)[:t]
+            n = 0
             seen = set()
             for w in terms:
                 tid = vocab_get(w)
                 if tid is not None and tid not in seen:
                     seen.add(tid)
-                    tids.append(tid)
-            out.append(tids)
+                    out[qi, n] = tid
+                    n += 1
         return out
 
+    def _query_tokenizer(self):
+        """Native vocab-snapshot tokenizer, rebuilt when the vocab grows."""
+        if self._qtok_nterms != len(self.terms):
+            from radiant_rag_tpu.index.native import make_query_tokenizer
+
+            self._qtok = make_query_tokenizer(self.terms)
+            self._qtok_nterms = len(self.terms)
+        return self._qtok
+
     def make_query_terms(self, queries: Sequence[str], max_terms: Optional[int] = None,
-                         tids: Optional[List[List[int]]] = None,
+                         tids: Optional[np.ndarray] = None,
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """(B, T) query term ids (-1 pad) + idfs for exact rescoring."""
         t = max_terms or self.max_query_terms
         if tids is None:
             tids = self.query_tids(queries)
         self._finalize_csr()  # builds _term_idf
-        q_tids = np.full((len(tids), t), -1, np.int32)
-        q_idfs = np.zeros((len(tids), t), np.float32)
+        q_tids = np.full((tids.shape[0], t), -1, np.int32)
+        width = min(t, tids.shape[1])
+        q_tids[:, :width] = tids[:, :width]
+        valid = q_tids >= 0
         idf_arr = self._term_idf
-        for qi, uniq in enumerate(tids):
-            uniq = uniq[:t]
-            n = len(uniq)
-            if n:
-                q_tids[qi, :n] = uniq
-                q_idfs[qi, :n] = idf_arr[uniq] if idf_arr is not None else [
-                    self._idf(tid) for tid in uniq]
+        q_idfs = np.where(valid, idf_arr[np.maximum(q_tids, 0)], 0.0).astype(np.float32)
         return q_tids, q_idfs
 
     def query_posting_volume(self, queries: Sequence[str],
-                             tids: Optional[List[List[int]]] = None) -> int:
+                             tids: Optional[np.ndarray] = None) -> int:
         """Max total posting count any one query's terms touch (requires a
         finalized CSR). The routing signal for auto method selection."""
         self._finalize_csr()
         if tids is None:
             tids = self.query_tids(queries)
+        if tids.size == 0:
+            return 0
         lengths = np.diff(self._term_start)
-        vol = 0
-        for uniq in tids:
-            if uniq:
-                vol = max(vol, int(lengths[uniq].sum()))
-        return vol
+        per_tid = np.where(tids >= 0, lengths[np.maximum(tids, 0)], 0)
+        return int(per_tid.sum(axis=1).max(initial=0))
 
     def make_query_indicator(self, queries: Sequence[str],
-                             tids: Optional[List[List[int]]] = None) -> np.ndarray:
+                             tids: Optional[np.ndarray] = None) -> np.ndarray:
         """(B, S) int8 indicator over each query's unique terms' bins."""
         if tids is None:
             tids = self.query_tids(queries)
-        out = np.zeros((len(tids), self.sketch_dim), np.int8)
-        # vocab may have grown since the sketch build; stale entries are
-        # impossible (term ids are append-only) but new tids fall back to
-        # _bin_of until the next ensure_sketch
+        out = np.zeros((tids.shape[0], self.sketch_dim), np.int8)
+        # vocab may have grown since the sketch build; term ids are append-only
+        # (only full rebuilds remap, and those clear _bins_per_term), so new
+        # tids fall back to _bin_of until the next ensure_sketch
         bins = self._bins_per_term
-        for qi, uniq in enumerate(tids):
-            if not uniq:
-                continue
-            if bins is not None and len(bins) > max(uniq):
-                np.add.at(out[qi], bins[uniq], 1)
-            else:
-                for tid in uniq:
-                    out[qi, self._bin_of(tid)] += 1
+        qidx, pos = np.nonzero(tids >= 0)
+        if len(qidx) == 0:
+            return out
+        flat_tids = tids[qidx, pos]
+        if bins is not None and len(bins) > int(flat_tids.max(initial=-1)):
+            np.add.at(out, (qidx, bins[flat_tids]), 1)
+        else:
+            for q, tid in zip(qidx, flat_tids):
+                out[q, self._bin_of(int(tid))] += 1
         return out
 
     # -- page table --------------------------------------------------------

@@ -92,8 +92,69 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ):
             getattr(lib, name).restype = restype
             getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.bm25_query_ctx_new.restype = ctypes.c_void_p
+        lib.bm25_query_ctx_new.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_int64]
+        lib.bm25_query_ctx_free.argtypes = [ctypes.c_void_p]
+        lib.bm25_query_tids.restype = ctypes.c_int64
+        lib.bm25_query_tids.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+class QueryTokenizer:
+    """Native query tokenize-to-term-ids over a frozen vocab snapshot.
+
+    Owns a C-side hash of the vocabulary; `tids_batch` turns a query batch
+    into a (B, max_terms) int32 array of unique in-vocab term ids (-1 pad)
+    with byte-identical tokenizer semantics to `index/bm25.tokenize` —
+    without materializing any Python token strings (~20x faster at B=1024)."""
+
+    def __init__(self, lib: ctypes.CDLL, terms: Sequence[str]) -> None:
+        self._lib = lib
+        # contiguous term bytes + offsets (no separators in the C layout)
+        encoded = [t.encode("utf-8", errors="replace") for t in terms]
+        offsets = np.zeros(len(encoded) + 1, np.int64)
+        if encoded:
+            np.cumsum([len(b) for b in encoded], out=offsets[1:])
+        blob = b"".join(encoded)
+        self.n_terms = len(encoded)
+        self._handle = lib.bm25_query_ctx_new(
+            ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            self.n_terms)
+
+    def tids_batch(self, texts: Sequence[str], cap_tokens: int,
+                   max_terms: int) -> np.ndarray:
+        blob, offsets = _pack_blobs(texts)
+        out = np.full((len(texts), max_terms), -1, np.int32)
+        self._lib.bm25_query_tids(
+            self._handle,
+            ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            len(texts), cap_tokens, max_terms,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
+    def __del__(self) -> None:
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.bm25_query_ctx_free(self._handle)
+        except Exception:
+            pass
+
+
+def make_query_tokenizer(terms: Sequence[str]) -> Optional["QueryTokenizer"]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        return QueryTokenizer(lib, terms)
+    except Exception as exc:  # pragma: no cover - defensive
+        logger.info("native query tokenizer unavailable: %s", exc)
+        return None
 
 
 class NativeBM25Build:

@@ -230,17 +230,22 @@ def _blockmax2_kernel(group, codes_ref, qi_ref, mask_ref, s1_ref, i1_ref, s2_ref
     col = jax.lax.rem(step, group)
     tile_n = codes_ref.shape[0]
     b = qi_ref.shape[0]
+    # bf16 MXU matmul with f32 accumulation is EXACT here: int8 inputs are
+    # integers <= 127 (exact in bf16), products <= 16129 are exact in the f32
+    # accumulator, and sums over D <= 1040 dims stay < 2^24. Mosaic lowers an
+    # int8xint8->int32 dot to VPU multiply-adds (~25x slower than the MXU),
+    # so the cast is what makes this kernel win.
     raw = jax.lax.dot_general(
-        qi_ref[:], codes_ref[:],
+        qi_ref[:].astype(jnp.bfloat16), codes_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (B, TILE)
+        preferred_element_type=jnp.float32,
+    )  # (B, TILE) f32, exact integers
     valid = mask_ref[:].reshape(1, tile_n) != 0
-    scores = jnp.where(valid, raw, INT_NEG)
+    scores = jnp.where(valid, raw, NEG)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     m1 = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
     p1 = jnp.min(jnp.where(scores == m1, iota, tile_n), axis=1, keepdims=True)
-    rest = jnp.where(iota == p1, INT_NEG, scores)
+    rest = jnp.where(iota == p1, NEG, scores)
     m2 = jnp.max(rest, axis=1, keepdims=True)
     p2 = jnp.min(jnp.where(rest == m2, iota, tile_n), axis=1, keepdims=True)
     # Masked full-block RMW: Mosaic cannot prove lane alignment for a dynamic
@@ -250,9 +255,9 @@ def _blockmax2_kernel(group, codes_ref, qi_ref, mask_ref, s1_ref, i1_ref, s2_ref
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, group), 1)
     sel = lane == col
     s1_ref[:] = jnp.where(sel, m1, s1_ref[:])
-    i1_ref[:] = jnp.where(sel, jnp.where(m1 == INT_NEG, -1, p1), i1_ref[:])
+    i1_ref[:] = jnp.where(sel, jnp.where(m1 <= NEG / 2, -1, p1), i1_ref[:])
     s2_ref[:] = jnp.where(sel, m2, s2_ref[:])
-    i2_ref[:] = jnp.where(sel, jnp.where(m2 == INT_NEG, -1, p2), i2_ref[:])
+    i2_ref[:] = jnp.where(sel, jnp.where(m2 <= NEG / 2, -1, p2), i2_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -262,9 +267,9 @@ def blockmax2_pallas(
     mask: jax.Array,  # (N,) bool/int8 validity
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-tile top-2 of the int8 scan: ((B, 2*NT) int32 scores, (B, 2*NT)
-    i32 GLOBAL rows, -1 where the tile had <2 valid rows). The (B, N) score
-    matrix never leaves VMEM."""
+    """Per-tile top-2 of the int8 scan: ((B, 2*NT) f32 scores — exact integer
+    accumulators, (B, 2*NT) i32 GLOBAL rows, -1 where the tile had <2 valid
+    rows). The (B, N) score matrix never leaves VMEM."""
     n, d = codes.shape
     b = qi.shape[0]
     nt = n // BLOCKMAX_TILE
@@ -285,7 +290,10 @@ def blockmax2_pallas(
             pl.BlockSpec((BLOCKMAX_TILE, 1), lambda i: (i, 0), memory_space=ms),
         ],
         out_specs=(col, col, col, col),
-        out_shape=tuple(jax.ShapeDtypeStruct((b, nt), jnp.int32) for _ in range(4)),
+        out_shape=(jax.ShapeDtypeStruct((b, nt), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nt), jnp.int32),
+                   jax.ShapeDtypeStruct((b, nt), jnp.float32),
+                   jax.ShapeDtypeStruct((b, nt), jnp.int32)),
         interpret=interp,
     )(codes, qi, mask_i8)
     base = jnp.arange(nt, dtype=jnp.int32)[None, :] * BLOCKMAX_TILE
