@@ -22,21 +22,32 @@ def create_vector_store(config: AppConfig) -> BaseVectorStore:
 
         manifest = os.path.join(config.index.data_dir, "manifest.json")
         if config.index.auto_persist and os.path.isfile(manifest):
+            store = None
             try:
                 store = TpuVectorStore.load(
                     config.index.data_dir, index_config=config.index,
                     quantization=config.quantization)
+            except Exception as exc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "failed to load persisted index (%s); starting empty", exc)
+            if store is not None:
+                if store.dim != config.index.dim:
+                    # Fail fast and loud: proceeding would either crash deep
+                    # inside a jitted append or silently clobber the persisted
+                    # index on the next auto-persist save.
+                    raise ValueError(
+                        f"persisted index at {config.index.data_dir!r} has "
+                        f"dim={store.dim} but config.index.dim={config.index.dim}; "
+                        "set index.dim to match the saved index, or point "
+                        "index.data_dir elsewhere / clear it to re-ingest")
                 import logging
 
                 logging.getLogger(__name__).info(
                     "loaded persisted index from %s (%d docs)",
                     config.index.data_dir, store.count_documents())
                 return store
-            except Exception as exc:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "failed to load persisted index (%s); starting empty", exc)
         return TpuVectorStore(
             dim=config.index.dim,
             index_config=config.index,

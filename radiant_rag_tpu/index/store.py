@@ -133,6 +133,11 @@ class TpuVectorStore(BaseVectorStore):
             emb_rows.append((doc, np.asarray(embedding, np.float32)))
         if emb_rows:
             vecs = _normalize(np.stack([e for _, e in emb_rows]))
+            if vecs.shape[1] != self.engine.dim:
+                raise ValueError(
+                    f"embedding dim {vecs.shape[1]} != index dim "
+                    f"{self.engine.dim}; the index (possibly loaded from "
+                    "disk) was built for a different embedder")
             levels = np.asarray([self._level_code(d.doc_level) for d, _ in emb_rows], np.int8)
             langs = np.asarray([self._lang_code(d.language_code) for d, _ in emb_rows], np.int32)
             doc_lens = np.asarray([len(d.content.split()) for d, _ in emb_rows], np.float32)

@@ -31,8 +31,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# numpy scalar: module-level jnp would init the XLA backend at import,
+# breaking jax.distributed.initialize (DCN).
+NEG_INF = np.float32(-1e30)
 
 from radiant_rag_tpu.ops.similarity import full_topk  # noqa: E402
 

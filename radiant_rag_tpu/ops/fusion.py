@@ -16,8 +16,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# numpy scalar: module-level jnp would init the XLA backend at import,
+# breaking jax.distributed.initialize (DCN).
+NEG_INF = np.float32(-1e30)
 
 
 def _rrf_scores(runs, cand, rrf_k, run_weights=None):

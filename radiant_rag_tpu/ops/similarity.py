@@ -32,8 +32,11 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# numpy scalars (not jnp): module-level jnp.asarray would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (DCN).
+NEG_INF = np.float32(-1e30)
 
 # --- stage-1 candidate selection policy -------------------------------------
 # Stage-1 scans exist only to pick candidates; exact ordering is recovered by
@@ -46,7 +49,7 @@ NEG_INF = jnp.float32(-1e30)
 # scan as a lax.map over corpus chunks with per-chunk top-k (top-k of
 # per-chunk exact top-ks == global top-k) so the full (B, N) buffer is never
 # alive at once. select="" resolves to the env default at trace time.
-SELECT_NEG = jnp.asarray(-3e38, jnp.bfloat16)
+SELECT_NEG = np.asarray(-3e38, jnp.bfloat16)
 SCAN_CHUNK = int(os.environ.get("RAD_SCAN_CHUNK", "131072"))
 
 

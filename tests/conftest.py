@@ -27,6 +27,14 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Run every test from a throwaway cwd: config defaults are relative
+    ('./data/...'), so a test that builds an app without overriding every
+    data_dir must never auto-persist into the repo checkout."""
+    monkeypatch.chdir(tmp_path)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -58,7 +58,7 @@ class FlakyLLM(BaseLLMBackend):
 def stack(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("degrade")
     cfg = AppConfig(
-        index=IndexConfig(dim=32, initial_capacity=256),
+        index=IndexConfig(dim=32, initial_capacity=256, data_dir=str(tmp / "idx")),
         embedding=EmbeddingConfig(dim=32, num_layers=1, num_heads=2, hidden_dim=64,
                                   vocab_size=500, max_seq_len=32, batch_size=4),
         cross_encoder=CrossEncoderConfig(max_seq_len=32, batch_size=4),

@@ -74,7 +74,7 @@ def scripted_llm(extra=None):
 def stack(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("orch")
     cfg = AppConfig(
-        index=IndexConfig(dim=64, initial_capacity=256),
+        index=IndexConfig(dim=64, initial_capacity=256, data_dir=str(tmp / "idx")),
         embedding=EmbeddingConfig(dim=64, num_layers=2, num_heads=4, hidden_dim=128,
                                   vocab_size=1000, max_seq_len=64, batch_size=8),
         cross_encoder=CrossEncoderConfig(max_seq_len=64, batch_size=8),

@@ -257,7 +257,7 @@ def test_orchestrator_runs_on_sharded_store(rng, tmp_path):
     from radiant_rag_tpu.parallel.sharded_store import ShardedVectorStore
 
     cfg = AppConfig(
-        index=IndexConfig(dim=32, initial_capacity=256),
+        index=IndexConfig(dim=32, initial_capacity=256, data_dir=str(tmp_path / "idx")),
         embedding=EmbeddingConfig(dim=32, num_layers=1, num_heads=2, hidden_dim=64,
                                   vocab_size=500, max_seq_len=32, batch_size=4),
         cross_encoder=CrossEncoderConfig(max_seq_len=32, batch_size=4),

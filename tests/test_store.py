@@ -265,3 +265,30 @@ def test_upsert_batch_duplicate_ids_single_row(rng):
         assert store.docstore.row_to_id.get(row) is not None
     res = store.retrieve_by_embedding_batch(emb, top_k=3, min_similarity=-1.0)[0]
     assert len(res) == 2  # both live docs, no silently dropped slots
+
+
+def test_dim_mismatch_guards(tmp_path, rng):
+    """A persisted index built for one embedder dim must fail fast — at
+    factory load and at upsert — instead of crashing inside a jitted append
+    (regression: dim-32 saved index + dim-384 embedder hit a
+    dynamic_update_slice shape error deep in jit)."""
+    import pytest
+
+    from radiant_rag_tpu.config import AppConfig, IndexConfig
+    from radiant_rag_tpu.index.factory import create_vector_store
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    d = str(tmp_path / "idx")
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=64, data_dir=d))
+    store.upsert_batch([("hello world", {}, rng.standard_normal(16))])
+    store.save(d)
+
+    with pytest.raises(ValueError, match="dim=16 but config.index.dim=32"):
+        create_vector_store(AppConfig(index=IndexConfig(dim=32, data_dir=d)))
+
+    with pytest.raises(ValueError, match="embedding dim 32 != index dim 16"):
+        store.upsert_batch([("other doc", {}, rng.standard_normal(32))])
+
+    # matching dim still loads
+    loaded = create_vector_store(AppConfig(index=IndexConfig(dim=16, data_dir=d)))
+    assert loaded.count_documents() == 1
