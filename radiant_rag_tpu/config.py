@@ -155,10 +155,15 @@ class CrossEncoderConfig:
 class LLMConfig:
     """LLM chat backend (reference `llm/client.py`, `llm_backends.py:27`)."""
 
-    backend: str = "openai_compatible"  # openai_compatible | mock
+    backend: str = "openai_compatible"  # openai_compatible | local | mock
     base_url: str = "http://localhost:11434/v1"
     api_key: str = "unused"
     model: str = "llama3.1"
+    # backend="local": in-process transformers generation (reference
+    # LocalHuggingFaceLLMBackend, llm_backends.py:157). model_path is a local
+    # weights dir (falls back to `model` as a hub name when empty).
+    model_path: str = ""
+    device: str = "cpu"  # cpu | auto | cuda | ...
     temperature: float = 0.2
     max_tokens: int = 2048
     timeout_s: float = 120.0

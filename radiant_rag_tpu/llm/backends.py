@@ -189,6 +189,10 @@ def create_llm_backend(config: LLMConfig) -> BaseLLMBackend:
     """Factory (reference `llm/backends/factory.py:38`)."""
     if config.backend == "openai_compatible":
         return OpenAICompatibleLLMBackend(config)
+    if config.backend == "local":
+        from radiant_rag_tpu.llm.local_backend import LocalTransformersLLMBackend
+
+        return LocalTransformersLLMBackend(config)
     if config.backend == "mock":
         return MockLLMBackend()
     raise ValueError(f"unknown llm backend: {config.backend!r}")
