@@ -20,6 +20,7 @@ Architecture (vs the reference's O(terms x docs x doclen) python scoring loop,
 
 from __future__ import annotations
 
+import array
 import gzip
 import json
 import logging
@@ -54,21 +55,57 @@ def _next_pow2(n: int, floor: int = 64) -> int:
     return p
 
 
-class _Postings:
-    """Growable delta posting list for one term."""
+class _DeltaLog:
+    """Flat append-only (tid, row, tf) posting log for incremental adds.
 
-    __slots__ = ("rows", "tfs")
+    O(1) amortized appends (array-module buffers; reference incremental add
+    is O(1) per posting too, `bm25_index.py:139-180`) and — unlike the former
+    per-term python-list design — merges into the CSR with ONE vectorized
+    pass at finalize instead of a per-term python loop. Document updates
+    never rewrite the log: `purge_row` records a position watermark and
+    entries of that row logged before it are filtered vectorized at merge."""
+
+    __slots__ = ("tids", "rows", "tfs", "dead_before")
 
     def __init__(self) -> None:
-        self.rows: List[int] = []
-        self.tfs: List[float] = []
+        self.tids = array.array("i")
+        self.rows = array.array("i")
+        self.tfs = array.array("f")
+        self.dead_before: Dict[int, int] = {}  # row -> log watermark
 
-    def add(self, row: int, tf: float) -> None:
-        self.rows.append(row)
-        self.tfs.append(tf)
+    def append_doc(self, row: int, tid_tf_pairs: Sequence[Tuple[int, int]]) -> None:
+        self.tids.extend(tid for tid, _ in tid_tf_pairs)
+        self.rows.extend(row for _ in tid_tf_pairs)
+        self.tfs.extend(float(tf) for _, tf in tid_tf_pairs)
+
+    def purge_row(self, row: int) -> None:
+        self.dead_before[row] = len(self.tids)
+
+    def arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return (np.frombuffer(self.tids, np.int32),
+                np.frombuffer(self.rows, np.int32),
+                np.frombuffer(self.tfs, np.float32))
+
+    def live_mask(self, removed: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        """Bool mask over log entries that survive removals and updates;
+        None = all live."""
+        if not self.dead_before and removed is None:
+            return None
+        rows = np.frombuffer(self.rows, np.int32)
+        keep = np.ones(len(rows), bool)
+        if removed is not None:
+            keep &= ~np.isin(rows, removed)
+        if self.dead_before:
+            size = int(rows.max()) + 1 if len(rows) else 1
+            wm = np.zeros(size, np.int64)  # 0 = nothing dead for that row
+            for row, pos in self.dead_before.items():
+                if row < size:
+                    wm[row] = pos
+            keep &= np.arange(len(rows)) >= wm[rows]
+        return keep
 
     def __len__(self) -> int:
-        return len(self.rows)
+        return len(self.tids)
 
 
 _EMPTY_I32 = np.zeros(0, np.int32)
@@ -99,8 +136,8 @@ class BM25Index:
         self._base_start: np.ndarray = np.zeros(1, np.int64)
         self._base_rows: np.ndarray = _EMPTY_I32
         self._base_tfs: np.ndarray = _EMPTY_F32
-        # incremental deltas per term (sparse dict: tid -> _Postings)
-        self.delta: Dict[int, _Postings] = {}
+        # incremental delta: flat (tid, row, tf) log, merged vectorized
+        self.delta = _DeltaLog()
         # per-doc state
         self.doc_terms: Dict[int, List[Tuple[int, int]]] = {}  # row -> [(tid, tf)]
         self.doc_lens: Dict[int, int] = {}
@@ -180,9 +217,9 @@ class BM25Index:
         pairs: List[Tuple[int, int]] = []
         for term, tf in term_counts:
             tid = self._term_id(term)
-            self.delta.setdefault(tid, _Postings()).add(row, float(tf))
             self.df[tid] += 1
             pairs.append((tid, int(tf)))
+        self.delta.append_doc(row, pairs)
         self.doc_terms[row] = pairs
         self.doc_lens[row] = int(length)
         self.total_len += int(length)
@@ -194,14 +231,10 @@ class BM25Index:
         self._mark_dirty()
 
     def _purge_delta_row(self, row: int) -> None:
-        """Drop the row's current delta postings (document-update path)."""
-        for tid, _tf in self.doc_terms.get(row, ()):
-            d = self.delta.get(tid)
-            if d is None or row not in d.rows:
-                continue
-            keep = [i for i, r in enumerate(d.rows) if r != row]
-            d.rows = [d.rows[i] for i in keep]
-            d.tfs = [d.tfs[i] for i in keep]
+        """Drop the row's current delta postings (document-update path):
+        O(1) watermark — entries of this row logged before now are filtered
+        at the vectorized finalize merge."""
+        self.delta.purge_row(row)
 
     def bulk_build(self, rows: Sequence[int], texts: Sequence[str]) -> bool:
         """Bulk (re)index: native C++ single pass when available, python loop
@@ -229,7 +262,7 @@ class BM25Index:
         self._base_start = built.term_start
         self._base_rows = built.post_rows
         self._base_tfs = built.post_tfs
-        self.delta = {}
+        self.delta = _DeltaLog()
         self.doc_lens = {int(r): int(l) for r, l in zip(rows, built.doc_lens)}
         self.total_len = int(built.doc_lens.sum())
         dts = built.doc_term_start
@@ -253,7 +286,7 @@ class BM25Index:
         self._base_start = np.zeros(1, np.int64)
         self._base_rows = _EMPTY_I32
         self._base_tfs = _EMPTY_F32
-        self.delta = {}
+        self.delta = _DeltaLog()
         self.doc_terms = {}
         self.doc_lens = {}
         self.total_len = 0
@@ -312,63 +345,52 @@ class BM25Index:
         t = len(self.terms)
         n_base_terms = len(self._base_start) - 1
         # Base postings of a removed OR re-added (stale) row are dead; delta
-        # postings are only dead for removed rows (re-adds purge their delta
-        # eagerly, so a live row's delta entries are all current).
+        # postings are dead for removed rows and for log entries behind a
+        # row's update watermark. One vectorized pass: flatten the base CSR
+        # to per-posting tids, filter both sources with array masks, then a
+        # stable counting-key sort groups by tid (base entries first, then
+        # delta, preserving the previous per-term append order).
         removed_arr = (np.fromiter(self.removed, np.int32, len(self.removed))
                        if self.removed else None)
         base_dead = self.removed | self._stale_base
-        base_dead_arr = (np.fromiter(base_dead, np.int32, len(base_dead))
-                         if base_dead else None)
+        base_rows, base_tfs = self._base_rows, self._base_tfs
+        base_tids = np.repeat(np.arange(n_base_terms, dtype=np.int32),
+                              np.diff(self._base_start))
+        if base_dead and len(base_rows):
+            base_dead_arr = np.fromiter(base_dead, np.int32, len(base_dead))
+            keep = ~np.isin(base_rows, base_dead_arr)
+            base_tids, base_rows, base_tfs = base_tids[keep], base_rows[keep], base_tfs[keep]
+        d_tids, d_rows, d_tfs = self.delta.arrays()
+        d_keep = self.delta.live_mask(removed_arr)
+        if d_keep is not None:
+            d_tids, d_rows, d_tfs = d_tids[d_keep], d_rows[d_keep], d_tfs[d_keep]
+        all_tids = np.concatenate([base_tids, d_tids])
+        all_rows = np.concatenate([base_rows, d_rows])
+        all_tfs = np.concatenate([base_tfs, d_tfs])
+        order = np.argsort(all_tids, kind="stable")
+        total = len(order)
+        counts = np.bincount(all_tids, minlength=t) if total else np.zeros(t, np.int64)
         starts = np.zeros((t + 1,), np.int64)
-        rows_parts: List[np.ndarray] = []
-        tfs_parts: List[np.ndarray] = []
-        for tid in range(t):
-            parts_r: List[np.ndarray] = []
-            parts_f: List[np.ndarray] = []
-            if tid < n_base_terms:
-                s, e = self._base_start[tid], self._base_start[tid + 1]
-                if e > s:
-                    br, bf = self._base_rows[s:e], self._base_tfs[s:e]
-                    if base_dead_arr is not None:
-                        keep = ~np.isin(br, base_dead_arr)
-                        br, bf = br[keep], bf[keep]
-                    if len(br):
-                        parts_r.append(br)
-                        parts_f.append(bf)
-            d = self.delta.get(tid)
-            if d is not None and len(d):
-                dr = np.asarray(d.rows, np.int32)
-                df_ = np.asarray(d.tfs, np.float32)
-                if removed_arr is not None:
-                    keep = ~np.isin(dr, removed_arr)
-                    dr, df_ = dr[keep], df_[keep]
-                if len(dr):
-                    parts_r.append(dr)
-                    parts_f.append(df_)
-            if parts_r:
-                pr = parts_r[0] if len(parts_r) == 1 else np.concatenate(parts_r)
-                pf = parts_f[0] if len(parts_f) == 1 else np.concatenate(parts_f)
-            else:
-                pr, pf = _EMPTY_I32, _EMPTY_F32
-            rows_parts.append(pr)
-            tfs_parts.append(pf)
-            starts[tid + 1] = starts[tid] + len(pr)
-        total = int(starts[-1])
+        np.cumsum(counts, out=starts[1:])
         size = _next_pow2(max(total, 1), floor=PAGE_SIZE)
         rows = np.zeros((size,), np.int32)
         tfs = np.zeros((size,), np.float32)
-        for tid in range(t):
-            rows[starts[tid]: starts[tid + 1]] = rows_parts[tid]
-            tfs[starts[tid]: starts[tid + 1]] = tfs_parts[tid]
+        rows[:total] = all_rows[order]
+        tfs[:total] = all_tfs[order]
         # fold the merged CSR back into the base; deltas are absorbed and the
         # stale-row filter has been applied, so the stale set is spent
         self._base_start = starts.copy()
         self._base_rows = rows[:total].copy()
         self._base_tfs = tfs[:total].copy()
-        self.delta = {}
+        self.delta = _DeltaLog()
         self._stale_base = set()
         self._term_start = starts
-        self._term_idf = np.asarray([self._idf(tid) for tid in range(t)], np.float32)
+        if t:
+            n = self.num_docs
+            df_arr = np.asarray(self.df, np.float64)
+            self._term_idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5) + 1.0).astype(np.float32)
+        else:
+            self._term_idf = np.zeros(0, np.float32)
         self._host_post_rows = rows
         self._host_post_tf = tfs
         self._dev_post_rows = jnp.asarray(rows)
@@ -748,7 +770,7 @@ class BM25Index:
         return {
             "num_docs": self.num_docs,
             "num_terms": len(self.terms),
-            "total_postings": int(self._base_start[-1]) + sum(len(d) for d in self.delta.values()),
+            "total_postings": int(self._base_start[-1]) + len(self.delta),
             "avgdl": self.avgdl,
             "removed_pending": len(self.removed),
         }

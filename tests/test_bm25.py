@@ -316,3 +316,30 @@ def test_auto_routes_rare_term_queries_to_exact_pages():
     assert idx.query_posting_volume(["shared"]) == n
     big_vol_q = ["shared " + " ".join(f"t{d}q0" for d in range(30))]
     assert idx.query_posting_volume(big_vol_q) <= idx.pages_route_threshold
+
+
+def test_double_update_between_finalizes_keeps_latest_only():
+    """The delta-log watermark must survive multiple updates of the same row
+    WITHOUT an intervening finalize: only the newest generation of postings
+    may reach the CSR (the old per-term purge rewrote lists eagerly; the log
+    design filters by position watermark at merge)."""
+    idx = BM25Index()
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text)
+    # no finalize yet: all three generations of row 2 live in the delta log
+    idx.add_document(2, "first rewrite about comets")
+    idx.add_document(2, "second rewrite about meteors meteors")
+    s, rows = idx.search_rows("meteors", top_k=3)
+    hits = {int(r) for r in rows if r >= 0}
+    assert 2 in hits
+    _, rows = idx.search_rows("comets", top_k=3)
+    assert 2 not in {int(r) for r in rows if r >= 0}
+    # tf of the latest generation only: compare against a fresh index
+    fresh = BM25Index()
+    for row, text in enumerate(DOCS):
+        fresh.add_document(row, "second rewrite about meteors meteors" if row == 2 else text)
+    sf, rf = fresh.search_rows("meteors", top_k=3)
+    hf = {int(r): float(x) for r, x in zip(rf, sf) if r >= 0}
+    s, rows2 = idx.search_rows("meteors", top_k=3)
+    ha = {int(r): float(x) for r, x in zip(rows2, s) if r >= 0}
+    np.testing.assert_allclose(ha[2], hf[2], rtol=1e-5)
