@@ -18,7 +18,16 @@ from typing import Any, Dict, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
 
-# Minimal high-signal stopword profiles (top web languages).
+# Broad-coverage detector + 176-code name map live in lang_profiles
+# (char-trigram profiles, script-gated; fills the breadth gap vs the
+# reference's fastText lid.176).
+from radiant_rag_tpu.agents.lang_profiles import (  # noqa: E402
+    LANGUAGE_NAMES,
+    classify as _ngram_classify,
+)
+
+# High-signal stopword profiles for the top web languages: corroboration
+# that boosts confidence on short texts where trigram statistics are thin.
 _PROFILES: Dict[str, set] = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "was", "with", "are"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich"},
@@ -28,25 +37,6 @@ _PROFILES: Dict[str, set] = {
     "pt": {"o", "que", "de", "é", "um", "uma", "para", "com", "não", "os", "as", "do"},
     "nl": {"de", "het", "een", "en", "van", "is", "dat", "niet", "met", "voor", "zijn", "ik"},
     "ru": {"и", "в", "не", "на", "что", "это", "как", "он", "по", "но", "из", "его"},
-}
-
-_SCRIPT_RANGES: List[Tuple[str, Tuple[int, int]]] = [
-    ("zh", (0x4E00, 0x9FFF)),
-    ("ja", (0x3040, 0x30FF)),
-    ("ko", (0xAC00, 0xD7AF)),
-    ("ru", (0x0400, 0x04FF)),
-    ("ar", (0x0600, 0x06FF)),
-    ("he", (0x0590, 0x05FF)),
-    ("hi", (0x0900, 0x097F)),
-    ("th", (0x0E00, 0x0E7F)),
-    ("el", (0x0370, 0x03FF)),
-]
-
-LANGUAGE_NAMES = {
-    "en": "English", "de": "German", "fr": "French", "es": "Spanish",
-    "it": "Italian", "pt": "Portuguese", "nl": "Dutch", "ru": "Russian",
-    "zh": "Chinese", "ja": "Japanese", "ko": "Korean", "ar": "Arabic",
-    "he": "Hebrew", "hi": "Hindi", "th": "Thai", "el": "Greek",
 }
 
 
@@ -80,30 +70,23 @@ class LanguageDetectionAgent:
         return code, conf
 
     def _heuristic(self, text: str) -> Tuple[str, float]:
-        # script detection first (non-Latin scripts are unambiguous)
-        counts: Dict[str, int] = {}
+        """Script gate + char-trigram profile classifier (~50 languages),
+        with stopword corroboration for the top web languages."""
         sample = text[:2000]
-        for ch in sample:
-            cp = ord(ch)
-            for code, (lo, hi) in _SCRIPT_RANGES:
-                if lo <= cp <= hi:
-                    counts[code] = counts.get(code, 0) + 1
-                    break
-        letters = sum(1 for c in sample if c.isalpha())
-        if letters and counts:
-            code, n = max(counts.items(), key=lambda kv: kv[1])
-            if n / letters > 0.25:
-                return code, min(1.0, 0.5 + n / letters)
-        # Latin-script stopword profiles
+        code, conf = _ngram_classify(sample)
         words = re.findall(r"[a-zà-ÿа-я]+", sample.lower())
-        if not words:
-            return "en", 0.1
-        scores = {code: sum(1 for w in words if w in prof) / len(words)
-                  for code, prof in _PROFILES.items()}
-        code, score = max(scores.items(), key=lambda kv: kv[1])
-        if score == 0.0:
-            return "en", 0.2
-        return code, min(1.0, score * 4)
+        if words:
+            scores = {c: sum(1 for w in words if w in prof) / len(words)
+                      for c, prof in _PROFILES.items()}
+            sw_code, sw_score = max(scores.items(), key=lambda kv: kv[1])
+            if sw_score > 0.1:
+                if sw_code == code:
+                    conf = min(1.0, conf + sw_score)  # two independent signals
+                elif sw_score > 0.25 and conf < 0.5:
+                    # strong stopword signal overrides a weak trigram call
+                    # (very short queries: function words beat trigram stats)
+                    return sw_code, min(1.0, sw_score * 3)
+        return code, conf
 
     def _llm_detect(self, text: str) -> Optional[Tuple[str, float]]:
         try:
