@@ -269,7 +269,11 @@ class TpuVectorStore(BaseVectorStore):
         (reference analog: durable Redis/pgvector state, SURVEY.md §5.4)."""
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        self.docstore.save(str(d / "docs.jsonl.gz"))
+        # segmented docstore: incremental saves write only the delta
+        self.docstore.save(str(d / "docs"))
+        legacy = d / "docs.jsonl.gz"
+        if legacy.exists():
+            legacy.unlink()  # migrated to docs/ segments
         state = self.engine.to_host()
         tmp = str(d / "engine.tmp.npz")
         np.savez_compressed(tmp, **state)
@@ -289,7 +293,9 @@ class TpuVectorStore(BaseVectorStore):
             manifest = json.load(fh)
         store = cls(dim=manifest["dim"], index_config=index_config, quantization=quantization)
         store.lang_codes = {str(k): int(v) for k, v in manifest.get("lang_codes", {}).items()}
-        docstore = DocStore.load(str(d / "docs.jsonl.gz"))
+        docs_dir = d / "docs"
+        docstore = DocStore.load(str(docs_dir if docs_dir.is_dir()
+                                     else d / "docs.jsonl.gz"))
         with np.load(d / "engine.npz") as z:
             state = {k: z[k] for k in z.files}
         engine = DeviceVectorIndex.from_host(state, initial_capacity=store.index_config.initial_capacity)
