@@ -234,10 +234,12 @@ class RadiantTPU:
     # querying
     # ------------------------------------------------------------------
     def query(self, question: str, conversation_id: str = "",
-              use_cache: bool = True) -> PipelineResult:
+              use_cache: bool = True, progress: Optional[Any] = None) -> PipelineResult:
         """Full agentic query; repeated questions (outside conversations) are
         served from the TTL'd query cache (reference `utils/cache.py:150`,
-        headline "repeated query <1s", README.md:723)."""
+        headline "repeated query <1s", README.md:723). `progress(event,
+        step_name, info)` observes phase boundaries live (TUI timeline,
+        /query/stream)."""
         if use_cache and not conversation_id:
             cached = self.query_cache.get("query", question)
             if cached is not None:
@@ -246,7 +248,8 @@ class RadiantTPU:
         if conversation_id and self.conversations is not None:
             history = self.conversations.get_history_for_synthesis(conversation_id)
         result = self.orchestrator.run(question, conversation_id=conversation_id,
-                                       conversation_history=history)
+                                       conversation_history=history,
+                                       progress=progress)
         if use_cache and not conversation_id and result.success and not result.low_confidence:
             self.query_cache.put("query", question, result)
         return result
