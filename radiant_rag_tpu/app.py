@@ -407,7 +407,15 @@ class RadiantTPU:
     def clear_index(self) -> None:
         self.store.drop_index()
         self.bm25_index.build_from_store()
+        self.bm25_index.save()
         self.query_cache.clear()
+        # persist the cleared state: without this the auto-persisted index on
+        # disk would resurrect every "cleared" doc at the next startup
+        if self.config.index.auto_persist and hasattr(self.store, "save"):
+            try:
+                self.store.save(self.config.index.data_dir)
+            except Exception as exc:
+                logger.warning("persisting cleared index failed: %s", exc)
 
     def save_index(self, directory: str = "") -> None:
         d = directory or self.config.index.data_dir

@@ -35,8 +35,20 @@ class ContrastivePairSampler:
 
     def __init__(self, texts: Sequence[str], tokenizer, batch_size: int = 32,
                  max_seq_len: int = 128, seed: int = 0) -> None:
+        if not texts:
+            raise ValueError("no embedded docs in the store to train on")
         if len(texts) < batch_size:
-            raise ValueError(f"need >= {batch_size} docs, have {len(texts)}")
+            # tiny corpus: sample with replacement rather than refuse. The
+            # duplicated docs weaken in-batch negatives (a doc can appear as
+            # its own negative), acceptable for smoke tests / first ingests.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "corpus has %d docs < batch_size %d; sampling with replacement",
+                len(texts), batch_size)
+            self._replace = True
+        else:
+            self._replace = False
         self.texts = list(texts)
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -53,7 +65,7 @@ class ContrastivePairSampler:
             yield self.next_batch()
 
     def next_batch(self) -> Dict[str, np.ndarray]:
-        idx = self.rng.choice(len(self.texts), self.batch_size, replace=False)
+        idx = self.rng.choice(len(self.texts), self.batch_size, replace=self._replace)
         docs = [self.texts[i] for i in idx]
         queries = [make_pseudo_query(d, self.rng) for d in docs]
         q_ids, q_mask, _ = self.tokenizer.encode_batch(queries, self.max_seq_len)
@@ -94,6 +106,17 @@ def train_embedder(
         num_heads=cfg.num_heads, intermediate_size=cfg.hidden_dim,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     mesh = mesh or create_mesh()
+    # the dp sharding splits the batch over the 'data' axis: round the batch
+    # up to a multiple of it instead of failing deep inside device_put
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    if batch_size % n_data != 0:
+        adjusted = ((batch_size + n_data - 1) // n_data) * n_data
+        import logging
+
+        logging.getLogger(__name__).info(
+            "batch_size %d not divisible by data axis %d; using %d",
+            batch_size, n_data, adjusted)
+        batch_size = adjusted
     state, model, tx, _ = make_train_state(bert_cfg, mesh, learning_rate, seed=seed)
     step_fn, place_batch = contrastive_train_step(model, tx, mesh)
     tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)

@@ -63,6 +63,9 @@ def cli_env(tmp_path_factory):
     docs = tmp / "docs"
     docs.mkdir()
     (docs / "a.txt").write_text("Gravity bends light around massive objects. " * 8)
+    (docs / "b.txt").write_text("Lasers emit coherent photons through stimulated emission. " * 8)
+    (docs / "c.txt").write_text("Rivers carve canyons through layered sediment over millennia. " * 8)
+    (docs / "d.txt").write_text("Compilers translate source code into optimized machine instructions. " * 8)
     return tmp, config
 
 
@@ -94,3 +97,65 @@ def test_cli_no_command_shows_help(cli_env):
     r = run_cli([], tmp, config)
     assert r.returncode == 1
     assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
+
+
+def test_cli_query_full_pipeline(cli_env):
+    tmp, config = cli_env
+    r = run_cli(["query", "what bends light?",
+                 "--report", str(tmp / "query_report.md")], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp / "query_report.md").is_file()
+    # mock backend default answer flows through synthesis to stdout
+    assert r.stdout.strip()
+
+
+def test_cli_simple_query(cli_env):
+    tmp, config = cli_env
+    r = run_cli(["simple-query", "gravity and light"], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip()
+
+
+def test_cli_search_all_modes(cli_env):
+    tmp, config = cli_env
+    for mode in ("hybrid", "dense"):
+        r = run_cli(["search", "gravity", "--mode", mode, "--top-k", "2"], tmp, config)
+        assert r.returncode == 0, f"{mode}: {r.stderr[-2000:]}"
+        assert "gravity" in r.stdout.lower()
+
+
+def test_cli_persistence_across_invocations(cli_env):
+    """Index auto-persists under the config data_dir; a separate process
+    must see the ingested docs (stats num_embedded > 0)."""
+    tmp, config = cli_env
+    r = run_cli(["stats"], tmp, config)
+    assert r.returncode == 0
+    out = json.loads(r.stdout[r.stdout.index("{"):r.stdout.rindex("}") + 1]) \
+        if r.stdout.strip().startswith("{") else None
+    assert "num_embedded" in r.stdout
+
+
+def test_cli_rebuild_bm25(cli_env):
+    tmp, config = cli_env
+    r = run_cli(["rebuild-bm25"], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_train_smoke(cli_env):
+    """Two ICT steps on the tiny ingested corpus: the train subcommand wires
+    corpus -> contrastive pairs -> dp/tp step -> checkpoint."""
+    tmp, config = cli_env
+    r = run_cli(["train", "--steps", "2", "--batch-size", "4",
+                 "--checkpoint-dir", str(tmp / "ckpt")], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_clear_then_stats(cli_env):
+    """clear must drop persisted state too: run LAST in this module (the
+    module fixture's ingested corpus is consumed)."""
+    tmp, config = cli_env
+    r = run_cli(["clear"], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(["stats"], tmp, config)
+    assert r.returncode == 0
+    assert '"num_documents": 0' in r.stdout or '"num_embedded": 0' in r.stdout
