@@ -67,12 +67,18 @@ def build_knn_graph(
         return full_topk(scores, k)
 
     out = np.zeros((n, degree + n_long_edges), np.int32)
+    # dispatch ALL blocks asynchronously, then fetch: the per-call fixed
+    # dispatch+fetch latency (27 ms-class through remote-device tunnels)
+    # overlaps with the next block's matmul instead of serializing after it
+    pending = []
     for start in range(0, n, block):
         end = min(start + block, n)
         qb = vdev[start:end]
         if end - start < block:  # pad to static shape
             qb = jnp.pad(qb, ((0, block - (end - start)), (0, 0)))
         _, idx = block_topk(qb, jnp.asarray(start), degree)
+        pending.append((start, end, idx))
+    for start, end, idx in pending:
         out[start:end, :degree] = np.asarray(idx)[: end - start]
     rng = np.random.default_rng(seed)
     if n_long_edges > 0:

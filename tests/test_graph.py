@@ -78,3 +78,83 @@ def test_store_graph_mode(rng):
     store.delete_doc(hits[0][0].doc_id)
     hits2 = store.retrieve_by_embedding(q, top_k=5)
     assert all(d.content != "doc 42" for d, _ in hits2)
+
+
+def test_graph_search_ef_improves_recall(rng):
+    """Wider beam = higher recall (ef is the runtime quality knob,
+    reference efR semantics)."""
+    n, d = 1500, 32
+    vecs = _corpus(rng, n, d)
+    gi = GraphIndex(degree=8, n_long_edges=2, steps=6)
+    gi.build(vecs)
+    queries = _corpus(rng, 24, d)
+    sims = queries @ vecs.T
+
+    def recall(ef):
+        _, i = gi.search(jnp.asarray(vecs), queries, k=10, ef=ef)
+        rs = []
+        for qi in range(len(queries)):
+            true10 = set(np.argsort(-sims[qi])[:10])
+            rs.append(len(set(int(x) for x in i[qi] if x >= 0) & true10) / 10)
+        return float(np.mean(rs))
+
+    r_small, r_big = recall(8), recall(96)
+    assert r_big >= r_small
+    assert r_big >= 0.85
+
+
+def test_graph_build_excludes_invalid_rows(rng):
+    """Edges must not point at invalid rows; search over the masked graph
+    returns none of them (delete-before-rebuild consistency)."""
+    n, d = 600, 32
+    vecs = _corpus(rng, n, d)
+    valid = np.ones(n, bool)
+    valid[100:200] = False
+    gi = GraphIndex(degree=8, steps=6)
+    gi.build(vecs, valid=valid)
+    adj = np.asarray(gi.neighbors)[:, :8]  # knn part (long edges are random)
+    dead_targets = set(range(100, 200))
+    live_rows = np.nonzero(valid)[0]
+    hit = sum(len(set(adj[r]) & dead_targets) for r in live_rows[:50])
+    assert hit == 0
+    # entry points drawn from the valid pool only
+    assert not (set(int(x) for x in np.asarray(gi.entry_points)) & dead_targets)
+
+
+def test_graph_search_k_exceeds_matches(rng):
+    """k larger than the reachable set pads with -1 rows, never junk."""
+    n, d = 300, 32
+    vecs = _corpus(rng, n, d)
+    gi = GraphIndex(degree=8, steps=4)
+    gi.build(vecs)
+    mask = np.zeros(n, bool)
+    mask[:5] = True  # only 5 valid docs
+    s, i = gi.search(jnp.asarray(vecs), vecs[:2], k=10, ef=32,
+                     mask=jnp.asarray(mask))
+    for row in i:
+        real = [int(x) for x in row if x >= 0]
+        assert set(real) <= set(range(5))
+    # padded slots are exactly -1
+    assert (i >= -1).all()
+
+
+def test_store_graph_rebuild_after_growth(rng):
+    """Appending rows after build leaves the graph stale; rebuild covers the
+    new rows (graph incremental story = rebuild, by design)."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    store = TpuVectorStore(dim=32, index_config=IndexConfig(
+        dim=32, initial_capacity=256, use_graph=True, graph_degree=8))
+    docs = [(f"doc {i}", {}, rng.standard_normal(32)) for i in range(120)]
+    store.upsert_batch(docs)
+    store.build_graph()
+    built_before = store.engine.graph.built_rows
+    more = [(f"late doc {i}", {}, rng.standard_normal(32)) for i in range(30)]
+    store.upsert_batch(more)
+    assert store.engine.graph.built_rows == built_before  # stale, not grown
+    store.build_graph()
+    assert store.engine.graph.built_rows >= built_before + 30
+    q = np.asarray(more[7][2])
+    hits = store.retrieve_by_embedding(q, top_k=3)
+    assert hits and hits[0][0].content == "late doc 7"
