@@ -82,11 +82,19 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         res = searcher.search_rows(qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K, mode=DENSE_MODE)
         return res["fused"]
 
-    # warmup / compile (first compile in a fresh process can take minutes
-    # through remote-compile tunnels; the persistent cache makes it one-time)
+    # warmup / compile. PROGRESSIVE: compile a small batch first — cold
+    # compilation of the large-batch program at big corpora stalls for tens
+    # of minutes in the remote compile service (autotuning over the (B, N)
+    # buffers), but after ANY program over the same corpus compiles in the
+    # session, the large-batch compile takes ~10 s (measured at 1M docs:
+    # B=1024 cold > 20 min; B=32 cold 127 s then B=1024 10.7 s).
     t0 = time.perf_counter()
+    if BATCH > 32 and N_DOCS > 200_000:
+        hybrid_batch(queries_dense[:32], queries_text[:32])
+        log(f"warmup stage 1 (B=32): {time.perf_counter()-t0:.1f}s")
+    t1 = time.perf_counter()
     hybrid_batch(queries_dense[:BATCH], queries_text[:BATCH])
-    log(f"warmup/compile: {time.perf_counter()-t0:.1f}s")
+    log(f"warmup/compile: {time.perf_counter()-t1:.1f}s (total {time.perf_counter()-t0:.1f}s)")
     times = []
     for b in range(N_QUERY_BATCHES):
         qd = queries_dense[b * BATCH : (b + 1) * BATCH]

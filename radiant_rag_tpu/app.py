@@ -312,6 +312,32 @@ class RadiantTPU:
         """Minimal RAG path (reference `app.py:1159`)."""
         return self._simple.run(question)
 
+    def warmup(self, max_batch: int = 256, top_k: int = 10,
+               modes: Sequence[str] = ("hybrid",)) -> Dict[str, float]:
+        """Progressively compile the serving programs before taking traffic.
+
+        Cold compilation of a LARGE-batch program over a large corpus can
+        stall for tens of minutes in remote compile services (autotuning over
+        the (B, N) score buffers); compiling a small batch first makes the
+        large-batch compile take seconds (measured at 1M docs: B=1024 cold
+        >20 min, vs B=32 cold 127 s then B=1024 in 10.7 s). Serve calls this
+        when --warmup is set. Returns per-stage seconds."""
+        import time as _time
+
+        if self.store.count_documents() == 0:
+            return {}
+        timings: Dict[str, float] = {}
+        buckets = [b for b in (1, 32, max_batch) if b <= max(max_batch, 1)]
+        probe = "warmup probe query"
+        for mode in modes:
+            for b in dict.fromkeys(buckets):  # dedup, keep order
+                t0 = _time.time()
+                self.search_batch([probe] * b, mode=mode, top_k=top_k,
+                                  use_cache=False)
+                timings[f"{mode}/b{b}"] = round(_time.time() - t0, 2)
+        logger.info("warmup compiled %s", timings)
+        return timings
+
     def search(self, query: str, mode: str = "hybrid", top_k: int = 10,
                use_cache: bool = True) -> List[Tuple[Any, float]]:
         """Retrieval-only (reference `app.py:1178`)."""
@@ -507,6 +533,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("serve", help="HTTP JSON API server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--warmup", type=int, default=0, metavar="MAX_BATCH",
+                   help="progressively compile search programs up to this "
+                        "batch size before serving (avoids a multi-minute "
+                        "first-request compile on large corpora)")
 
     sub.add_parser("interactive", help="interactive query loop")
     sub.add_parser("stats", help="index and pipeline statistics")
@@ -570,6 +600,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif args.command == "serve":
         from radiant_rag_tpu.server import serve
 
+        if args.warmup > 0:
+            print(f"warming search programs up to batch {args.warmup}…")
+            print(app.warmup(max_batch=args.warmup))
         serve(app, host=args.host, port=args.port)
     elif args.command == "train":
         from radiant_rag_tpu.parallel.data import train_embedder

@@ -234,3 +234,21 @@ def test_hybrid_search_after_bm25_rebuild(app):
     hits = app.search("solar panels electricity", mode="hybrid", top_k=5)
     assert hits
     assert any("solar" in d.content.lower() for d, _ in hits)
+
+
+def test_warmup_compiles_buckets(app):
+    """warmup() must run clean through the search program buckets and
+    report per-stage timings (serve --warmup path)."""
+    timings = app.warmup(max_batch=8, modes=("hybrid", "dense"))
+    assert set(timings) == {"hybrid/b1", "hybrid/b8", "dense/b1", "dense/b8"}
+    assert all(t >= 0 for t in timings.values())
+    # empty store short-circuits
+    from radiant_rag_tpu.app import RadiantTPU
+
+    class EmptyStore:
+        def count_documents(self):
+            return 0
+
+    bare = RadiantTPU.__new__(RadiantTPU)
+    bare.store = EmptyStore()
+    assert bare.warmup() == {}
