@@ -20,13 +20,21 @@ from typing import Any, Dict, List, Optional
 logger = logging.getLogger(__name__)
 
 EXTENSION_LANGUAGES: Dict[str, str] = {
-    ".py": "python", ".js": "javascript", ".jsx": "javascript", ".ts": "typescript",
-    ".tsx": "typescript", ".java": "java", ".go": "go", ".rs": "rust",
-    ".c": "c", ".h": "c", ".cpp": "cpp", ".cc": "cpp", ".hpp": "cpp",
-    ".rb": "ruby", ".php": "php", ".swift": "swift", ".kt": "kotlin",
-    ".scala": "scala", ".cs": "csharp", ".sh": "shell", ".bash": "shell",
-    ".sql": "sql", ".r": "r", ".jl": "julia", ".lua": "lua", ".pl": "perl",
-    ".m": "objc",
+    ".py": "python", ".pyw": "python", ".pyx": "python",
+    ".js": "javascript", ".jsx": "javascript", ".mjs": "javascript",
+    ".ts": "typescript", ".tsx": "typescript",
+    ".java": "java", ".kt": "kotlin", ".kts": "kotlin", ".scala": "scala",
+    ".go": "go", ".rs": "rust",
+    ".c": "c", ".h": "c",
+    ".cpp": "cpp", ".cc": "cpp", ".cxx": "cpp", ".hpp": "cpp", ".hxx": "cpp",
+    ".cs": "csharp",
+    ".rb": "ruby", ".php": "php", ".swift": "swift",
+    ".sh": "shell", ".bash": "shell", ".zsh": "shell",
+    ".sql": "sql", ".r": "r", ".jl": "julia", ".lua": "lua",
+    ".pl": "perl", ".m": "objc",
+    # config/markup: no structural splitter — whole-file chunks keyed by
+    # language so retrieval filters still see them as code-family docs
+    ".yaml": "yaml", ".yml": "yaml", ".json": "json", ".toml": "toml",
 }
 
 

@@ -43,23 +43,66 @@ class MetadataCaptioner(BaseCaptioner):
 
 
 class HuggingFaceVLMCaptioner(BaseCaptioner):
-    """Local VLM captioner (Qwen-VL class). Requires a local checkpoint dir."""
+    """Local VLM captioner from a checkpoint directory.
+
+    Handles both model families the reference serves with one class
+    (`image_captioner.py:148-420`): instruction VLMs whose AutoProcessor
+    takes images+text (Qwen-VL class), and caption-only encoder-decoders
+    (BLIP/TrOCR/VisionEncoderDecoder class) whose image processor takes
+    images only and whose output decodes through the tokenizer."""
 
     def __init__(self, model_dir: str, max_new_tokens: int = 128) -> None:
-        from transformers import AutoModelForVision2Seq, AutoProcessor  # lazy
+        from transformers import (  # lazy
+            AutoImageProcessor,
+            AutoModelForVision2Seq,
+            AutoTokenizer,
+        )
 
-        self.processor = AutoProcessor.from_pretrained(model_dir, local_files_only=True)
-        self.model = AutoModelForVision2Seq.from_pretrained(model_dir, local_files_only=True)
+        self.model = AutoModelForVision2Seq.from_pretrained(
+            model_dir, local_files_only=True).eval()
+        try:
+            from transformers import AutoProcessor
+
+            self.processor = AutoProcessor.from_pretrained(
+                model_dir, local_files_only=True)
+        except Exception:
+            self.processor = None
+        if self.processor is None or not hasattr(self.processor, "image_processor"):
+            # caption-only family: separate image processor + tokenizer
+            self.image_processor = AutoImageProcessor.from_pretrained(
+                model_dir, local_files_only=True)
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_dir, local_files_only=True)
+        else:
+            self.image_processor = None
+            self.tokenizer = getattr(self.processor, "tokenizer", None)
         self.max_new_tokens = max_new_tokens
 
     def caption(self, image_path: str) -> str:
+        import torch
         from PIL import Image
 
         image = Image.open(image_path).convert("RGB")
-        inputs = self.processor(images=image, text="Describe this image.",
-                                return_tensors="pt")
-        out = self.model.generate(**inputs, max_new_tokens=self.max_new_tokens)
-        return self.processor.batch_decode(out, skip_special_tokens=True)[0]
+        if self.image_processor is not None:
+            inputs = self.image_processor(images=image, return_tensors="pt")
+        else:
+            try:
+                inputs = self.processor(images=image, text="Describe this image.",
+                                        return_tensors="pt")
+            except TypeError:  # processor without a text arg
+                inputs = self.processor(images=image, return_tensors="pt")
+        # never generate past the decoder's positional capacity (small
+        # caption models crash with an embedding IndexError otherwise)
+        dec_cfg = getattr(self.model.config, "decoder", self.model.config)
+        cap = (getattr(dec_cfg, "n_positions", None)
+               or getattr(dec_cfg, "max_position_embeddings", None))
+        new_tokens = self.max_new_tokens if not cap else min(self.max_new_tokens, cap - 2)
+        with torch.no_grad():
+            out = self.model.generate(**inputs, max_new_tokens=new_tokens)
+        decoder = (self.processor.batch_decode if self.processor is not None
+                   and hasattr(self.processor, "batch_decode")
+                   else self.tokenizer.batch_decode)
+        return decoder(out, skip_special_tokens=True)[0].strip()
 
 
 def create_captioner(model_dir: str = "") -> BaseCaptioner:
