@@ -49,6 +49,11 @@ class IndexConfig:
     # Pallas fused scan->top-K stage 1 (no (B, N) score materialization);
     # falls back to the XLA scan when capacity is not tile-aligned
     use_pallas_scan: bool = False
+    # stage-1 candidate selection policy: "" = process default (f32, the
+    # measured fastest; RAD_STAGE1_SELECT overrides) | f32 | bf16 (halves
+    # the (B, N) score buffer, for HBM-capacity-bound corpora) |
+    # bf16_chunked (bounded transient footprint, compile independent of N)
+    stage1_select: str = ""
     data_dir: str = "./data/index"
     # durability (the reference gets this implicitly from Redis): load any
     # saved index from data_dir at startup and save after each ingest

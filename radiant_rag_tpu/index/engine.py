@@ -65,7 +65,7 @@ def _mask_program(valid, level, lang, level_code, lang_code):
     return mask
 
 
-@partial(jax.jit, static_argnames=("k", "kc", "mode"))
+@partial(jax.jit, static_argnames=("k", "kc", "mode", "select"))
 def _search_program(
     vecs: jax.Array,
     codes: jax.Array,
@@ -82,6 +82,7 @@ def _search_program(
     k: int,
     kc: int,
     mode: str,  # exact | binary | int8
+    select: str = "",  # stage-1 selection policy, resolved by the caller
 ) -> Tuple[jax.Array, jax.Array]:
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
@@ -95,11 +96,13 @@ def _search_program(
             vecs, queries, mask, k, kc, "hamming",
             binary_codes=codes, qbinary=qbin,
             int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
+            select=select,
         )
     elif mode == "int8":
         top_s, top_i = sim.two_stage_topk(
             vecs, queries, mask, k, kc, "int8",
             int8_codes=i8, int8_scale=i8_scale, int8_offset=i8_offset,
+            select=select,
         )
     else:
         raise ValueError(f"unknown search mode: {mode}")
@@ -131,6 +134,7 @@ class DeviceVectorIndex:
         store_fp32: bool = True,
         vec_dtype: str = "float32",
         use_pallas_scan: bool = False,
+        stage1_select: str = "",
     ) -> None:
         """store_fp32=False is the memory-tier mode for very large corpora:
         fp32 vectors are NOT kept in HBM (1.5KB/doc saved at 384-dim);
@@ -147,6 +151,9 @@ class DeviceVectorIndex:
 
         self.vec_dtype = _jnp.bfloat16 if vec_dtype == "bfloat16" else _jnp.float32
         self.use_pallas_scan = use_pallas_scan
+        # resolve the stage-1 selection policy HERE (host), not inside the
+        # jit trace: compiled-program cache keys must be concrete
+        self.stage1_select = stage1_select or sim._default_select()
         self._calibrated = False
         self.calibration_sample = calibration_sample
         self._alloc(self.capacity)
@@ -361,7 +368,7 @@ class DeviceVectorIndex:
             self.valid, self.level, self.lang,
             qdev, qvalid,
             jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
-            k_eff, kc, mode,
+            k_eff, kc, mode, self.stage1_select,
         )
         packed = np.asarray(packed)[:b]  # one fetch
         scores = packed[:, :k_eff]
@@ -420,10 +427,11 @@ class DeviceVectorIndex:
         }
 
     @classmethod
-    def from_host(cls, state: Dict[str, np.ndarray], initial_capacity: int = 4096) -> "DeviceVectorIndex":
+    def from_host(cls, state: Dict[str, np.ndarray], initial_capacity: int = 4096,
+                  **engine_kwargs) -> "DeviceVectorIndex":
         vecs = state["vecs"]
         n, dim = vecs.shape
-        idx = cls(dim, initial_capacity=max(initial_capacity, n))
+        idx = cls(dim, initial_capacity=max(initial_capacity, n), **engine_kwargs)
         if n:
             idx.append(vecs, state["level"].astype(np.int8), state["lang"].astype(np.int32),
                        state["doc_len"].astype(np.float32))

@@ -235,10 +235,13 @@ class HybridSearcher:
         lang_code: int = -1,
         bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
         fusion: str = "confidence",  # confidence (quality-weighted) | equal
-        select: str = "",  # stage-1 selection policy ("" = env default)
+        select: str = "",  # stage-1 selection policy ("" = engine/env default)
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
+        # resolve the selection policy on the host so the jitted programs'
+        # static cache keys are concrete (never the env-dependent "")
+        select = select or getattr(eng, "stage1_select", "") or sim._default_select()
         b = queries_dense.shape[0]
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))

@@ -55,6 +55,7 @@ class TpuVectorStore(BaseVectorStore):
             store_fp32=self.index_config.store_fp32,
             vec_dtype=self.index_config.dtype,
             use_pallas_scan=self.index_config.use_pallas_scan,
+            stage1_select=self.index_config.stage1_select,
         )
         self.lang_codes: Dict[str, int] = {}
         if self.quantization.int8_ranges_path and os.path.isfile(self.quantization.int8_ranges_path):
@@ -244,7 +245,8 @@ class TpuVectorStore(BaseVectorStore):
             self.dim, initial_capacity=self.index_config.initial_capacity,
             store_fp32=self.index_config.store_fp32,
             vec_dtype=self.index_config.dtype,
-            use_pallas_scan=self.index_config.use_pallas_scan)
+            use_pallas_scan=self.index_config.use_pallas_scan,
+            stage1_select=self.index_config.stage1_select)
         self.lang_codes.clear()
 
     def count_documents(self) -> int:
@@ -298,7 +300,9 @@ class TpuVectorStore(BaseVectorStore):
                                      else d / "docs.jsonl.gz"))
         with np.load(d / "engine.npz") as z:
             state = {k: z[k] for k in z.files}
-        engine = DeviceVectorIndex.from_host(state, initial_capacity=store.index_config.initial_capacity)
+        engine = DeviceVectorIndex.from_host(
+            state, initial_capacity=store.index_config.initial_capacity,
+            stage1_select=store.index_config.stage1_select)
         store.docstore = docstore
         store.engine = engine
         return store

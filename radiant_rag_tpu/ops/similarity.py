@@ -54,7 +54,15 @@ SCAN_CHUNK = int(os.environ.get("RAD_SCAN_CHUNK", "131072"))
 
 
 def _default_select() -> str:
-    return os.environ.get("RAD_STAGE1_SELECT", "bf16")
+    """Process default for stage-1 candidate selection. f32 by measurement:
+    at 1M docs x B=1024 on the real chip, full-hybrid batch latency was
+    98.7 ms (f32) vs 107.1 ms (bf16) and standalone two-stage 32.5 vs
+    35.7 ms — the predicted HBM win from halving the (B, N) score buffer
+    did not materialize (the scan is already hiding score traffic behind
+    the int8 matmul); bf16 remains the HBM-capacity option and
+    bf16_chunked the bounded-footprint option. Callers should resolve this
+    BEFORE the jit boundary so compiled-program cache keys are concrete."""
+    return os.environ.get("RAD_STAGE1_SELECT", "f32")
 
 
 def select_topk(
