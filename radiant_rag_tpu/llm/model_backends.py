@@ -90,6 +90,65 @@ class OpenAICompatibleEmbeddingBackend(BaseEmbeddingBackend):
         return self._dim
 
 
+class TransformersEmbeddingBackend(BaseEmbeddingBackend):
+    """Local torch-transformers embeddings (reference
+    `embedding_backends.py:372-530` HuggingFaceTransformersEmbeddingBackend).
+
+    For deployments whose embedding model is an arbitrary HF architecture
+    the flax encoder doesn't cover. Lazy cached load from a local dir (or
+    hub name where network exists), mean or cls pooling, optional L2
+    normalization, mini-batched inference."""
+
+    def __init__(self, model_path: str, pooling: str = "mean",
+                 normalize: bool = True, batch_size: int = 32,
+                 max_seq_len: int = 256, device: str = "cpu") -> None:
+        if pooling not in ("mean", "cls"):
+            raise ValueError(f"pooling must be mean|cls, got {pooling!r}")
+        self.model_path = model_path
+        self.pooling = pooling
+        self.normalize = normalize
+        self.batch_size = batch_size
+        self.max_seq_len = max_seq_len
+        self.device = device
+        self._model = None
+        self._tokenizer = None
+
+    def _ensure_loaded(self) -> None:
+        if self._model is not None:
+            return
+        from transformers import AutoModel, AutoTokenizer  # lazy
+
+        self._tokenizer = AutoTokenizer.from_pretrained(self.model_path)
+        self._model = AutoModel.from_pretrained(self.model_path).to(self.device).eval()
+
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        import torch
+
+        self._ensure_loaded()
+        outs: List[np.ndarray] = []
+        for start in range(0, len(texts), self.batch_size):
+            batch = list(texts[start : start + self.batch_size])
+            enc = self._tokenizer(batch, padding=True, truncation=True,
+                                  max_length=self.max_seq_len, return_tensors="pt")
+            enc = {k: v.to(self.device) for k, v in enc.items()}
+            with torch.no_grad():
+                hidden = self._model(**enc).last_hidden_state  # (B, S, H)
+            if self.pooling == "cls":
+                emb = hidden[:, 0]
+            else:
+                m = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+                emb = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+            outs.append(emb.cpu().numpy())
+        embs = np.concatenate(outs, axis=0) if outs else np.zeros((0, 0), np.float32)
+        if self.normalize and embs.size:
+            embs = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+        return embs.astype(np.float32)
+
+    def embedding_dimension(self) -> int:
+        self._ensure_loaded()
+        return int(self._model.config.hidden_size)
+
+
 class JaxRerankingBackend(BaseRerankingBackend):
     """The flax cross-encoder on TPU (primary backend)."""
 
@@ -139,6 +198,12 @@ def create_embedding_backend(config: AppConfig, embedder=None) -> BaseEmbeddingB
         return OpenAICompatibleEmbeddingBackend(
             base_url=config.llm.base_url, model=config.embedding.model_name,
             api_key=config.llm.api_key, dimension=config.embedding.dim)
+    if kind == "transformers":
+        return TransformersEmbeddingBackend(
+            model_path=config.embedding.weights_path or config.embedding.model_name,
+            batch_size=config.embedding.batch_size,
+            max_seq_len=config.embedding.max_seq_len,
+            normalize=config.embedding.normalize)
     if embedder is None:
         from radiant_rag_tpu.models.embedder import Embedder
 

@@ -9,6 +9,7 @@ mocked. Reference parity: LocalHuggingFaceLLMBackend
 
 import json
 
+import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -118,3 +119,54 @@ def test_full_model_load_from_disk(tmp_path):
     out = b.chat([{"role": "user", "content": "hello"}], temperature=0.0,
                  max_tokens=4)
     assert isinstance(out, str) and out.strip()
+
+
+def test_transformers_embedding_backend(tmp_path):
+    """Local torch-transformers embedding backend against a tiny real BERT
+    saved to disk (reference HuggingFaceTransformersEmbeddingBackend,
+    embedding_backends.py:372-530)."""
+    from transformers import BertConfig as HFBertConfig, BertModel
+    from radiant_rag_tpu.llm.model_backends import TransformersEmbeddingBackend
+
+    d = tmp_path / "bert"
+    cfg = HFBertConfig(vocab_size=60, hidden_size=32, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=64,
+                       max_position_embeddings=64)
+    torch.manual_seed(0)
+    BertModel(cfg).eval().save_pretrained(str(d))
+    # word-level tokenizer
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    words = ["[UNK]", "[PAD]", "hello", "world", "laser", "light", "a", "the"]
+    tok = Tokenizer(WordLevel({w: i for i, w in enumerate(words)}, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="[UNK]",
+                            pad_token="[PAD]").save_pretrained(str(d))
+
+    be = TransformersEmbeddingBackend(str(d), pooling="mean", batch_size=2)
+    embs = be.embed(["hello world", "laser light", "the a hello"])
+    assert embs.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-5)
+    assert be.embedding_dimension() == 32
+    # deterministic + batch-size independent
+    one = TransformersEmbeddingBackend(str(d), pooling="mean", batch_size=8)
+    np.testing.assert_allclose(one.embed(["hello world", "laser light", "the a hello"]),
+                               embs, rtol=1e-5)
+    # cls pooling differs from mean pooling
+    cls_be = TransformersEmbeddingBackend(str(d), pooling="cls")
+    assert not np.allclose(cls_be.embed(["hello world"]), embs[:1])
+
+
+def test_embedding_backend_factory_transformers(tmp_path):
+    from radiant_rag_tpu.config import AppConfig, EmbeddingConfig
+    from radiant_rag_tpu.llm.model_backends import (
+        TransformersEmbeddingBackend, create_embedding_backend)
+
+    cfg = AppConfig(embedding=EmbeddingConfig(backend="transformers",
+                                              weights_path=str(tmp_path)))
+    be = create_embedding_backend(cfg)
+    assert isinstance(be, TransformersEmbeddingBackend)
+    assert be.model_path == str(tmp_path)  # lazy: nothing loaded yet
