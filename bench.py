@@ -103,8 +103,29 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         fs, frows = hybrid_batch(qd, qt)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
-    qps = BATCH / med
-    log(f"tpu hybrid: {med*1000:.1f} ms / {BATCH}-query batch -> {qps:.1f} QPS")
+    seq_qps = BATCH / med
+    log(f"tpu hybrid (sequential): {med*1000:.1f} ms / {BATCH}-query batch -> {seq_qps:.1f} QPS")
+
+    # PIPELINED throughput: dispatch every batch without blocking on its
+    # device->host fetch, then drain. JAX async dispatch overlaps the fixed
+    # transfer latency (~30 ms through tunnels) with the next batch's
+    # compute — this is the chip's real serving throughput (the coalescer
+    # achieves it under sustained load); the sequential number above is the
+    # single-request latency view.
+    t0 = time.perf_counter()
+    inflight = []
+    for b in range(N_QUERY_BATCHES):
+        qd = queries_dense[b * BATCH : (b + 1) * BATCH]
+        qt = queries_text[b * BATCH : (b + 1) * BATCH]
+        _, unpack = searcher.search_rows(
+            qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K,
+            mode=DENSE_MODE, fetch=False)
+        inflight.append(unpack)
+    for unpack in inflight:
+        unpack()  # blocks on transfer; later batches are already executing
+    pipe_s = time.perf_counter() - t0
+    qps = N_QUERY_BATCHES * BATCH / pipe_s
+    log(f"tpu hybrid (pipelined): {N_QUERY_BATCHES} batches in {pipe_s:.2f}s -> {qps:.1f} QPS")
 
     # per-leg figures (BASELINE configs #1 dense-only, #2 bm25-only);
     # opt-in: they compile two extra device programs (BENCH_LEGS=1)
@@ -138,7 +159,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         for i in range(BATCH)
     ])
     log(f"dense recall@{TOP_K} vs exact: {recall:.3f}")
-    return qps, build_s, float(recall), dense_qps, bm25_qps
+    return qps, seq_qps, build_s, float(recall), dense_qps, bm25_qps
 
 
 def bench_cpu_reference(vecs, texts, queries_dense, queries_text):
@@ -206,7 +227,7 @@ def main():
     queries_dense /= np.linalg.norm(queries_dense, axis=1, keepdims=True)
     queries_text = [" ".join(texts[i].split()[:6]) for i in qidx]
 
-    tpu_qps, build_s, recall, dense_qps, bm25_qps = bench_tpu(
+    tpu_qps, seq_qps, build_s, recall, dense_qps, bm25_qps = bench_tpu(
         vecs, texts, queries_dense, queries_text)
     cpu_qps = bench_cpu_reference(vecs, texts, queries_dense, queries_text)
 
@@ -222,6 +243,7 @@ def main():
             "top_k": TOP_K,
             "dense_mode": DENSE_MODE + "+fp32_rescore",
             "dense_recall_at_10_vs_exact": round(recall, 4),
+            "sequential_qps": round(seq_qps, 1),
             **({"dense_only_qps": round(dense_qps, 1),
                 "bm25_only_qps": round(bm25_qps, 1)} if dense_qps else {}),
         },

@@ -236,6 +236,7 @@ class HybridSearcher:
         bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
         fusion: str = "confidence",  # confidence (quality-weighted) | equal
         select: str = "",  # stage-1 selection policy ("" = engine/env default)
+        fetch: bool = True,  # False -> (device_result, unpack_fn) for pipelining
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
@@ -245,8 +246,15 @@ class HybridSearcher:
         b = queries_dense.shape[0]
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
-            return {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
+            res = {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
+            return (None, lambda: res) if not fetch else res
         max_b = eng.QUERY_BUCKETS[-1]
+        if not fetch and b > max_b:
+            # pipelining only makes sense within one device program
+            res = self.search_rows(queries_dense, queries_text, dense_k, bm25_k,
+                                   fused_k, rrf_k, mode, rescore_multiplier,
+                                   level_code, lang_code, bm25_mode, fusion, select)
+            return None, (lambda: res)
         if b > max_b:  # chunk oversized batches
             parts = [self.search_rows(queries_dense[s : s + max_b],
                                       list(queries_text[s : s + max_b]),
@@ -326,8 +334,19 @@ class HybridSearcher:
                 dk, bk, fk, rrf_k, kc, mode, bq, num_docs,
                 self.bm25.k1, self.bm25.b, fusion, select,
             )
-        packed = np.asarray(packed)[:b]  # ONE device->host fetch
+        if not fetch:
+            # pipelining seam: hand back the in-flight device result so the
+            # caller can dispatch the NEXT batch before this one's
+            # device->host transfer — JAX's async dispatch then overlaps the
+            # fixed fetch latency (~30 ms through tunnels) with the next
+            # batch's compute. unpack() blocks and decodes when called.
+            return packed, (lambda p=packed, bb=b, dk_=dk, bk_=bk, fk_=fk:
+                            self._unpack(np.asarray(p)[:bb], dk_, bk_, fk_))
+        return self._unpack(np.asarray(packed)[:b], dk, bk, fk)
 
+    @staticmethod
+    def _unpack(packed: np.ndarray, dk: int, bk: int, fk: int
+                ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         off = 0
         for name, k in (("dense", dk), ("bm25", bk), ("fused", fk)):

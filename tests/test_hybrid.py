@@ -197,3 +197,34 @@ def test_searcher_calibration_sets_weights(rng):
     q = embed(["probe"])
     res = searcher.search_rows(q, ["unique5 subject5"], dense_k=5, bm25_k=5, fused_k=5)
     assert res["fused"][1][0][0] == res["bm25"][1][0][0]
+
+
+def test_fetch_false_pipelining_parity(setup):
+    """fetch=False returns an in-flight device result + unpack fn whose
+    decoded output is identical to the fetched path (the serving/bench
+    pipelining seam), including the empty-store and oversized-batch
+    fallbacks."""
+    vecs, texts, searcher = setup
+    qd = vecs[:8] + 0.01
+    qd = qd / np.linalg.norm(qd, axis=1, keepdims=True)
+    qt = [texts[i] for i in range(8)]
+    sync = searcher.search_rows(qd, qt, dense_k=5, bm25_k=5, fused_k=7, mode="int8")
+    dev, unpack = searcher.search_rows(qd, qt, dense_k=5, bm25_k=5, fused_k=7,
+                                       mode="int8", fetch=False)
+    assert dev is not None  # real in-flight device array
+    pipe = unpack()
+    for name in ("dense", "bm25", "fused"):
+        np.testing.assert_allclose(pipe[name][0], sync[name][0], rtol=1e-6)
+        np.testing.assert_array_equal(pipe[name][1], sync[name][1])
+
+    # empty engine: graceful host fallback
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+
+    empty = HybridSearcher(DeviceVectorIndex(64, initial_capacity=256), BM25Index())
+    dev0, unpack0 = empty.search_rows(qd, qt, dense_k=3, bm25_k=3, fused_k=3,
+                                      mode="int8", fetch=False)
+    assert dev0 is None
+    res0 = unpack0()
+    assert (res0["fused"][1] == -1).all()
