@@ -283,6 +283,30 @@ class DeviceVectorIndex:
         self.graph.build(np.asarray(self.vecs[: self.count]),
                          valid=np.asarray(self.valid[: self.count]))
 
+    def extend_graph(self, max_stale_fraction: float = 0.5) -> None:
+        """Make rows appended since the last build visible to graph search.
+
+        Incremental insert (`GraphIndex.add`: exact out-edges + weakest-edge
+        back-edges) — the HNSW-insert analog, replacing the former
+        "rebuild or fall back to flat" story. A full rebuild is triggered
+        instead once incrementally-inserted rows exceed `max_stale_fraction`
+        of the graph (old nodes' edges are only patched, never re-derived)."""
+        if self.graph is None or self.graph.built_rows == 0:
+            self.build_graph()
+            return
+        built = self.graph.built_rows
+        if built >= self.count:
+            return
+        projected = (self.count - getattr(self.graph, "_full_built_rows", built)) / self.count
+        if projected > max_stale_fraction:
+            self.build_graph(degree=self.graph.degree,
+                             n_long_edges=self.graph.n_long_edges,
+                             n_entry_points=self.graph.n_entry_points,
+                             steps=self.graph.steps)
+            return
+        self.graph.add(self.vecs, built, self.count - built,
+                       valid=np.asarray(self.valid))
+
     def _graph_search(self, queries: np.ndarray, k: int, ef: int,
                       level_code: int, lang_code: int) -> Tuple[np.ndarray, np.ndarray]:
         mask = _mask_program(self.valid, self.level, self.lang,
@@ -298,17 +322,20 @@ class DeviceVectorIndex:
         return s, i
 
     # -- queries -----------------------------------------------------------
-    def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
-        b = queries.shape[0]
+    def _bucket_of(self, b: int) -> int:
+        """Smallest query-padding bucket holding b queries (host-only)."""
         if b > self.QUERY_BUCKETS[-1]:
             raise ValueError(
                 f"query batch {b} exceeds max bucket {self.QUERY_BUCKETS[-1]}; "
                 "split the batch (engine.search chunks automatically)")
-        bucket = self.QUERY_BUCKETS[-1]
         for cand in self.QUERY_BUCKETS:
             if b <= cand:
-                bucket = cand
-                break
+                return cand
+        return self.QUERY_BUCKETS[-1]
+
+    def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
+        b = queries.shape[0]
+        bucket = self._bucket_of(b)
         qpad = np.zeros((bucket, self.dim), np.float32)
         qpad[:b] = queries
         qvalid = np.zeros((bucket,), bool)
@@ -342,6 +369,10 @@ class DeviceVectorIndex:
             if self.graph is None or self.graph.built_rows == 0:
                 mode = "int8"  # graph not built -> flat fallback
             else:
+                if self.graph.built_rows < self.count:
+                    # rows appended since the last build: insert them
+                    # incrementally so graph mode serves the full corpus
+                    self.extend_graph()
                 kg = min(k, self.graph.built_rows)
                 s, i = self._graph_search(
                     np.asarray(queries, np.float32), kg,

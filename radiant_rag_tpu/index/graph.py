@@ -20,6 +20,18 @@ CPUs; on TPU the same capability maps to (SURVEY.md §7.4.1):
 At <=1M rows the flat quantized scan usually wins (SURVEY.md §7.4.1 "at 1M x
 48B the Hamming scan may already win — measure both"); the graph engine is
 for corpora where N x D reads per query stop fitting the latency budget.
+
+Incremental insertion (streaming-graph style, the HNSW-insert analog —
+reference stores insert incrementally via RediSearch/pgvector HNSW):
+  out-edges  each new node gets EXACT top-`degree` neighbors from one device
+             matmul over the current corpus (what HNSW approximates with its
+             beam descent) plus random long edges.
+  back-edges new nodes become reachable by replacing the WEAKEST current
+             out-edge of each of their nearest existing nodes (edge strengths
+             recomputed on device; replacement merge vectorized on host).
+Old nodes' edges are otherwise untouched, so graph quality can drift under
+adversarial churn; `stale_fraction` reports incremental growth since the last
+full build for rebuild policies.
 """
 
 from __future__ import annotations
@@ -84,6 +96,45 @@ def build_knn_graph(
     if n_long_edges > 0:
         out[:, degree:] = rng.integers(0, n, (n, n_long_edges), dtype=np.int32)
     return out
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_block(
+    vdev: jax.Array,  # (N, D) corpus (any float dtype)
+    mask: jax.Array,  # (N,) bool — valid AND row < total
+    qblock: jax.Array,  # (Q, D) new vectors (padded block)
+    qrows: jax.Array,  # (Q,) int32 the new vectors' own rows (self-exclusion)
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of a block of new vectors against the live corpus."""
+    scores = jax.lax.dot_general(
+        qblock.astype(jnp.float32), vdev.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    cols = jnp.arange(vdev.shape[0])[None, :]
+    scores = jnp.where(cols == qrows[:, None], NEG_INF, scores)
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    return full_topk(scores, k)
+
+
+@jax.jit
+def _edge_scores(
+    vdev: jax.Array,  # (N, D)
+    mask: jax.Array,  # (N,) bool live-row mask
+    e_rows: jax.Array,  # (E,) int32 existing rows whose edges we re-score
+    adj: jax.Array,  # (E, R) int32 their current out-edges (-1 pad)
+) -> jax.Array:
+    """Cosine strength of each current edge; dead/invalid edges score -inf
+    (so weakest-edge replacement evicts them first)."""
+    src = jnp.take(vdev, jnp.maximum(e_rows, 0), axis=0).astype(jnp.float32)
+    dst = jnp.take(vdev, jnp.maximum(adj, 0), axis=0).astype(jnp.float32)
+    s = jnp.einsum("ed,erd->er", src, dst)
+    live = (adj >= 0) & jnp.take(mask, jnp.maximum(adj, 0))
+    return jnp.where(live, s, NEG_INF)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_adj(neighbors: jax.Array, rows: jax.Array, values: jax.Array) -> jax.Array:
+    return neighbors.at[rows].set(values, mode="drop")
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "steps"))
@@ -173,6 +224,135 @@ class GraphIndex:
         self.neighbors = jnp.asarray(adj)
         self.entry_points = jnp.asarray(entries)
         self.built_rows = n
+        self._full_built_rows = n  # rows covered by the last FULL build
+
+    @property
+    def stale_fraction(self) -> float:
+        """Fraction of rows inserted incrementally since the last full build
+        (rebuild policy input: edges of pre-existing nodes are only patched,
+        not re-derived, by `add`)."""
+        if self.built_rows == 0:
+            return 0.0
+        full = getattr(self, "_full_built_rows", self.built_rows)
+        return (self.built_rows - full) / self.built_rows
+
+    def _ensure_adj_capacity(self, need: int) -> None:
+        have = 0 if self.neighbors is None else int(self.neighbors.shape[0])
+        if need <= have:
+            return
+        new_cap = max(have, 256)
+        while new_cap < need:
+            new_cap *= 2
+        host = np.full((new_cap, self.degree + self.n_long_edges), -1, np.int32)
+        if self.neighbors is not None:
+            host[:have] = np.asarray(self.neighbors)
+        self.neighbors = jnp.asarray(host)
+
+    def add(self, vecs_dev, start_row: int, n_new: int,
+            valid: Optional[np.ndarray] = None, block: int = 4096) -> None:
+        """Incrementally insert rows [start_row, start_row + n_new).
+
+        vecs_dev: (>= start_row + n_new, D) row-aligned vectors (the engine's
+        resident `vecs` buffer works as-is; padded tail rows are masked).
+        Out-edges are EXACT top-`degree` over the live corpus (one MXU matmul
+        per block — the quality HNSW's efC beam approximates); back-edges make
+        the new nodes reachable by evicting the weakest current KNN edge of
+        each new node's nearest neighbors. Long-edge slots are preserved."""
+        if n_new <= 0:
+            return
+        if self.built_rows == 0:
+            raise RuntimeError("add() requires a built graph (call build first)")
+        total = start_row + n_new
+        deg, nlong = self.degree, self.n_long_edges
+        vdev = vecs_dev if isinstance(vecs_dev, jax.Array) else jnp.asarray(
+            np.asarray(vecs_dev, np.float32))
+        n_rows = int(vdev.shape[0])
+        live = np.zeros((n_rows,), bool)
+        if valid is not None:
+            v = np.asarray(valid)[:total]
+            live[: v.shape[0]] = v
+        else:
+            live[:total] = True
+        live[total:] = False
+        mask_dev = jnp.asarray(live)
+        self._ensure_adj_capacity(total)
+
+        # -- out-edges: exact KNN of each new row over the live corpus ------
+        pending = []
+        for s in range(start_row, total, block):
+            e = min(s + block, total)
+            qb = vdev[s:e].astype(jnp.float32)
+            qrows = np.arange(s, s + block, dtype=np.int32)
+            if e - s < block:
+                qb = jnp.pad(qb, ((0, block - (e - s)), (0, 0)))
+            top_s, top_i = _knn_block(vdev, mask_dev, qb,
+                                      jnp.asarray(qrows), deg)
+            pending.append((s, e, top_s, top_i))
+        new_rows = np.arange(start_row, total, dtype=np.int32)
+        nbrs = np.zeros((n_new, deg), np.int32)
+        nscr = np.zeros((n_new, deg), np.float32)
+        for s, e, top_s, top_i in pending:
+            nbrs[s - start_row : e - start_row] = np.asarray(top_i)[: e - s]
+            nscr[s - start_row : e - start_row] = np.asarray(top_s)[: e - s]
+        dead = nscr <= NEG_INF / 2  # fewer live rows than degree
+        nbrs[dead] = -1
+        rng = np.random.default_rng(self.seed + start_row)
+        adj_new = np.full((n_new, deg + nlong), -1, np.int32)
+        adj_new[:, :deg] = nbrs
+        if nlong > 0:
+            adj_new[:, deg:] = rng.integers(0, total, (n_new, nlong),
+                                            dtype=np.int32)
+        self.neighbors = _scatter_adj(self.neighbors, jnp.asarray(new_rows),
+                                      jnp.asarray(adj_new))
+
+        # -- back-edges: weakest-KNN-edge replacement on the targets --------
+        e_flat = nbrs.reshape(-1)
+        v_flat = np.repeat(new_rows, deg)
+        s_flat = nscr.reshape(-1)
+        keep = e_flat >= 0
+        e_flat, v_flat, s_flat = e_flat[keep], v_flat[keep], s_flat[keep]
+        if e_flat.size:
+            order = np.argsort(e_flat, kind="stable")
+            e_s, v_s, s_s = e_flat[order], v_flat[order], s_flat[order]
+            uniq, starts, counts = np.unique(e_s, return_index=True,
+                                             return_counts=True)
+            cmax = int(counts.max())
+            cand_ids = np.full((len(uniq), cmax), -1, np.int32)
+            cand_scr = np.full((len(uniq), cmax), np.float32(NEG_INF))
+            cols = np.arange(len(e_s)) - starts.repeat(counts)
+            rowi = np.arange(len(uniq)).repeat(counts)
+            cand_ids[rowi, cols] = v_s
+            cand_scr[rowi, cols] = s_s
+            adj_host = np.asarray(self.neighbors)
+            cur_adj = adj_host[uniq, :deg]
+            cur_scr = np.empty((len(uniq), deg), np.float32)
+            for s in range(0, len(uniq), block):
+                e = min(s + block, len(uniq))
+                eu = np.zeros((block,), np.int32)
+                ea = np.full((block, deg), -1, np.int32)
+                eu[: e - s] = uniq[s:e]
+                ea[: e - s] = cur_adj[s:e]
+                cs = _edge_scores(vdev, mask_dev, jnp.asarray(eu),
+                                  jnp.asarray(ea))
+                cur_scr[s:e] = np.asarray(cs)[: e - s]
+            merged_ids = np.concatenate([cur_adj, cand_ids], axis=1)
+            merged_scr = np.concatenate([cur_scr, cand_scr], axis=1)
+            sel = np.argsort(-merged_scr, axis=1, kind="stable")[:, :deg]
+            new_knn = np.take_along_axis(merged_ids, sel, axis=1)
+            new_knn_scr = np.take_along_axis(merged_scr, sel, axis=1)
+            new_knn[new_knn_scr <= NEG_INF / 2] = -1
+            updated = adj_host[uniq]
+            updated[:, :deg] = new_knn
+            self.neighbors = _scatter_adj(self.neighbors, jnp.asarray(uniq),
+                                          jnp.asarray(updated))
+
+        self.built_rows = total
+        # refresh entry points so new regions are directly enterable
+        pool = np.nonzero(live[:total])[0]
+        if len(pool):
+            entries = rng.choice(pool, size=min(self.n_entry_points, len(pool)),
+                                 replace=False).astype(np.int32)
+            self.entry_points = jnp.asarray(entries)
 
     def search(self, vecs_dev: jax.Array, queries: np.ndarray, k: int,
                ef: int = 64, mask: Optional[jax.Array] = None,

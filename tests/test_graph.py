@@ -138,9 +138,10 @@ def test_graph_search_k_exceeds_matches(rng):
     assert (i >= -1).all()
 
 
-def test_store_graph_rebuild_after_growth(rng):
-    """Appending rows after build leaves the graph stale; rebuild covers the
-    new rows (graph incremental story = rebuild, by design)."""
+def test_store_graph_auto_extends_after_growth(rng):
+    """Appending rows after build leaves the graph momentarily stale; the
+    next graph-mode search inserts them incrementally (HNSW-insert analog)
+    so new docs are retrievable without a rebuild."""
     from radiant_rag_tpu.config import IndexConfig
     from radiant_rag_tpu.index.store import TpuVectorStore
 
@@ -152,9 +153,102 @@ def test_store_graph_rebuild_after_growth(rng):
     built_before = store.engine.graph.built_rows
     more = [(f"late doc {i}", {}, rng.standard_normal(32)) for i in range(30)]
     store.upsert_batch(more)
-    assert store.engine.graph.built_rows == built_before  # stale, not grown
-    store.build_graph()
-    assert store.engine.graph.built_rows >= built_before + 30
+    assert store.engine.graph.built_rows == built_before  # stale until search
     q = np.asarray(more[7][2])
     hits = store.retrieve_by_embedding(q, top_k=3)
+    assert store.engine.graph.built_rows >= built_before + 30  # auto-extended
     assert hits and hits[0][0].content == "late doc 7"
+
+
+def test_graph_incremental_add_recall(rng):
+    """Incrementally inserted rows are found with recall comparable to a
+    full rebuild (out-edges are exact; back-edges make them reachable)."""
+    n0, n1, d = 2000, 500, 48
+    vecs = _corpus(rng, n0 + n1, d)
+    gi = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
+    gi.build(vecs[:n0])
+    gi.add(vecs, n0, n1)
+    assert gi.built_rows == n0 + n1
+    assert 0.0 < gi.stale_fraction < 0.3
+
+    gi_full = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
+    gi_full.build(vecs)
+
+    # queries aimed at the NEW region: noisy copies of new vectors
+    q = vecs[n0 : n0 + 32] + 0.1 * rng.standard_normal((32, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sims = q @ vecs.T
+
+    def recall(g):
+        _, i = g.search(jnp.asarray(vecs), q, k=10, ef=96)
+        rs = []
+        for qi in range(len(q)):
+            true10 = set(np.argsort(-sims[qi])[:10])
+            rs.append(len(set(int(x) for x in i[qi] if x >= 0) & true10) / 10)
+        return float(np.mean(rs))
+
+    r_inc, r_full = recall(gi), recall(gi_full)
+    assert r_inc >= 0.8, (r_inc, r_full)
+    assert r_inc >= r_full - 0.1, (r_inc, r_full)
+
+
+def test_graph_incremental_back_edges(rng):
+    """Existing nodes gain edges pointing at close new nodes (weakest-edge
+    replacement), so new nodes are reachable from the old graph region."""
+    n0, d = 400, 32
+    vecs0 = _corpus(rng, n0, d)
+    gi = GraphIndex(degree=8, n_long_edges=2, steps=6)
+    gi.build(vecs0)
+    # new nodes = tiny perturbations of existing ones -> must become their
+    # nearest neighbors and claim a back-edge
+    new = vecs0[:20] + 0.01 * rng.standard_normal((20, d)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    allv = np.concatenate([vecs0, new])
+    gi.add(allv, n0, 20)
+    adj = np.asarray(gi.neighbors)
+    back = sum(1 for r in range(20) if (adj[r, :8] >= n0).any())
+    assert back >= 15, back  # near-duplicates displace the weakest edge
+    # and the new nodes' own out-edges include their source row
+    out_hits = sum(1 for j in range(20) if j in set(adj[n0 + j, :8]))
+    assert out_hits >= 15, out_hits
+
+
+def test_graph_incremental_respects_invalid_rows(rng):
+    """Out-edges of incrementally added nodes never point at invalid rows."""
+    n0, n1, d = 300, 60, 32
+    vecs = _corpus(rng, n0 + n1, d)
+    valid = np.ones(n0 + n1, bool)
+    valid[50:100] = False
+    gi = GraphIndex(degree=8, n_long_edges=2, steps=6)
+    gi.build(vecs[:n0], valid=valid[:n0])
+    gi.add(vecs, n0, n1, valid=valid)
+    adj = np.asarray(gi.neighbors)[n0:, :8]
+    assert not (set(adj.reshape(-1).tolist()) & set(range(50, 100)))
+
+
+def test_engine_extend_graph_rebuilds_past_threshold(rng):
+    """Once incremental growth exceeds max_stale_fraction, extend_graph
+    escalates to a full rebuild (resetting stale_fraction)."""
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+    d = 32
+    eng = DeviceVectorIndex(d, initial_capacity=256)
+    v = _corpus(rng, 80, d)
+    eng.append(v, np.zeros(80, np.int8), np.zeros(80, np.int32),
+               np.full(80, 10, np.float32))
+    eng.build_graph(degree=8)
+    assert eng.graph.built_rows == 80
+    # small growth -> incremental
+    v2 = _corpus(rng, 20, d)
+    eng.append(v2, np.zeros(20, np.int8), np.zeros(20, np.int32),
+               np.full(20, 10, np.float32))
+    eng.extend_graph()
+    assert eng.graph.built_rows == 100
+    assert eng.graph.stale_fraction > 0
+    # large growth -> full rebuild
+    v3 = _corpus(rng, 200, d)
+    eng.append(v3, np.zeros(200, np.int8), np.zeros(200, np.int32),
+               np.full(200, 10, np.float32))
+    eng.extend_graph()
+    assert eng.graph.built_rows == 300
+    assert eng.graph.stale_fraction == 0.0
