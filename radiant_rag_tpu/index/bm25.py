@@ -570,6 +570,30 @@ class BM25Index:
         per_tid = np.where(tids >= 0, lengths[np.maximum(tids, 0)], 0)
         return int(per_tid.sum(axis=1).max(initial=0))
 
+    def make_query_bins(self, queries: Sequence[str],
+                        tids: Optional[np.ndarray] = None) -> np.ndarray:
+        """(B, T) int16 sketch-bin ids of each query's terms, -1 pad.
+
+        The SPARSE form of `make_query_indicator`: the device program
+        scatter-adds these into the dense (B, S) indicator, so the host
+        ships 2 bytes per query term instead of S bytes per query (the
+        indicator upload was the largest slice of per-batch h2d traffic —
+        tools/profile_host_dispatch.py)."""
+        if tids is None:
+            tids = self.query_tids(queries)
+        out = np.full(tids.shape, -1, np.int16)
+        bins = self._bins_per_term
+        qidx, pos = np.nonzero(tids >= 0)
+        if len(qidx) == 0:
+            return out
+        flat_tids = tids[qidx, pos]
+        if bins is not None and len(bins) > int(flat_tids.max(initial=-1)):
+            out[qidx, pos] = bins[flat_tids].astype(np.int16)
+        else:
+            for q, p, tid in zip(qidx, pos, flat_tids):
+                out[q, p] = self._bin_of(int(tid))
+        return out
+
     def make_query_indicator(self, queries: Sequence[str],
                              tids: Optional[np.ndarray] = None) -> np.ndarray:
         """(B, S) int8 indicator over each query's unique terms' bins."""

@@ -73,8 +73,7 @@ def _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i):
     ], axis=1)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b", "fusion", "select"))
-def _hybrid_program_sketch(
+def _hybrid_sketch_core(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     sketch, sketch_scale, qind,
     dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
@@ -108,6 +107,114 @@ def _hybrid_program_sketch(
 
     fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
+
+
+_hybrid_program_sketch = partial(jax.jit, static_argnames=(
+    "dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
+    "fusion", "select"))(_hybrid_sketch_core)
+
+
+# --------------------------------------------------------------------------
+# Packed-upload variant: ONE h2d transfer per batch.
+#
+# Per-batch host->device traffic through a remote-device tunnel pays both a
+# per-transfer latency floor and ~70 MB/s effective bandwidth
+# (tools/profile_host_dispatch.py: the f32 queries + dense (B, S) indicator +
+# tids/idfs uploads cost more wall time than the device program itself at
+# 100k docs). The host packs everything per-batch into one uint8 blob —
+# queries as fp16, sketch-bin ids sparse int16 instead of the dense (B, S)
+# indicator, header scalars — cutting ~3.6 MB over ~7 transfers to ~0.95 MB
+# in ONE; the device program bitcasts slices back out and rebuilds the dense
+# indicator with a scatter-add.
+# --------------------------------------------------------------------------
+
+_BLOB_HDR = 32  # bytes: i32 n_valid, level_code, lang_code, pad; f32 leg_w[2], pad
+
+
+def _blob_layout(bq: int, d: int, t: int) -> Dict[str, Tuple[int, int]]:
+    """Byte offsets/sizes of each section (all 4-byte aligned)."""
+    off = _BLOB_HDR
+    lay = {}
+    lay["q16"] = (off, bq * d * 2); off += bq * d * 2
+    lay["tids"] = (off, bq * t * 4); off += bq * t * 4
+    lay["idfs"] = (off, bq * t * 4); off += bq * t * 4
+    lay["bins"] = (off, bq * t * 2); off += bq * t * 2
+    lay["_total"] = (0, (off + 3) // 4 * 4)
+    return lay
+
+
+def pack_query_blob(queries: np.ndarray, q_tids: np.ndarray, q_idfs: np.ndarray,
+                    q_bins: np.ndarray, n_valid: int, level_code: int,
+                    lang_code: int, leg_w: np.ndarray) -> np.ndarray:
+    """Assemble the single-upload query blob (host side, ~0.2 ms)."""
+    bq, d = queries.shape
+    t = q_tids.shape[1]
+    lay = _blob_layout(bq, d, t)
+    blob = np.zeros(lay["_total"][1], np.uint8)
+    hdr_i = np.asarray([n_valid, level_code, lang_code, 0], np.int32)
+    blob[0:16] = hdr_i.view(np.uint8)
+    blob[16:24] = np.asarray(leg_w[:2], np.float32).view(np.uint8)
+
+    def put(name, arr):
+        off, size = lay[name]
+        raw = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
+        blob[off : off + size] = raw
+
+    put("q16", queries.astype(np.float16))
+    put("tids", q_tids.astype(np.int32))
+    put("idfs", q_idfs.astype(np.float32))
+    put("bins", q_bins.astype(np.int16))
+    return blob
+
+
+def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
+    """Device-side inverse of pack_query_blob (inside jit; static sizes)."""
+    lay = _blob_layout(bq, d, t)
+
+    def cut(name, width, dtype):
+        off, size = lay[name]
+        return jax.lax.bitcast_convert_type(
+            blob[off : off + size].reshape(size // width, width), dtype)
+
+    hdr = jax.lax.bitcast_convert_type(blob[0:16].reshape(4, 4), jnp.int32)
+    leg_w = jax.lax.bitcast_convert_type(blob[16:24].reshape(2, 4), jnp.float32)
+    n_valid, level_code, lang_code = hdr[0], hdr[1], hdr[2]
+    queries = cut("q16", 2, jnp.float16).reshape(bq, d).astype(jnp.float32)
+    q_tids = cut("tids", 4, jnp.int32).reshape(bq, t)
+    q_idfs = cut("idfs", 4, jnp.float32).reshape(bq, t)
+    q_bins = cut("bins", 2, jnp.int16).reshape(bq, t)
+    qvalid = jnp.arange(bq) < n_valid
+    # dense (bq, S) int8 indicator via scatter-add (keeps collision
+    # multiplicity = make_query_indicator parity); -1 pads drop
+    flat = jnp.where(q_bins >= 0,
+                     jnp.arange(bq, dtype=jnp.int32)[:, None] * s + q_bins.astype(jnp.int32),
+                     bq * s)
+    qind = jnp.zeros((bq * s,), jnp.int8).at[flat.reshape(-1)].add(
+        1, mode="drop").reshape(bq, s)
+    return queries, qvalid, q_tids, q_idfs, qind, level_code, lang_code, leg_w
+
+
+@partial(jax.jit, static_argnames=("bq", "t", "dense_k", "bm25_k", "fused_k",
+                                   "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
+                                   "fusion", "select"))
+def _hybrid_program_sketch_blob(
+    vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+    sketch, sketch_scale, dm_tids, dm_tfs, doc_lens, avgdl,
+    blob, bq: int, t: int,
+    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
+    mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
+    select: str = "",
+):
+    d = i8.shape[1]
+    s = sketch.shape[1]
+    (queries, qvalid, q_tids, q_idfs, qind,
+     level_code, lang_code, leg_w) = _unpack_query_blob(blob, bq, d, t, s)
+    return _hybrid_sketch_core(
+        vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+        sketch, sketch_scale, qind,
+        dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
+        queries, qvalid, level_code, lang_code, leg_w,
+        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion, select)
 
 
 @partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion", "select"))
@@ -281,45 +388,52 @@ class HybridSearcher:
                          else "sketch")
         num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
 
-        qdev, qvalid, _ = eng._bucket_queries(np.asarray(queries_dense, np.float32))
+        qhost = np.asarray(queries_dense, np.float32)
         dk = min(dense_k, eng.capacity)
         bk = min(bm25_k, num_docs)
         fk = min(fused_k, dk + bk)
         kc = min(max(dk, int(round(dk * rescore_multiplier))), eng.capacity)
-        bq = int(qdev.shape[0])
+        bq = eng._bucket_of(b)
         common = (
             eng.vecs, eng.codes, eng.i8, *qz.int8_scale_offset(eng.i8_lo, eng.i8_hi),
             eng.valid, eng.level, eng.lang,
-        )
-        codes_args = (
-            qdev, qvalid,
-            jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
-            jnp.asarray(self.leg_weights, jnp.float32),
         )
 
         if bm25_mode == "sketch":
             self.bm25.ensure_sketch(num_docs)
             self.bm25.ensure_doc_major(num_docs)
             self.bm25._device_doc_lens(num_docs)
-            qind = self.bm25.make_query_indicator(queries_text, q_tids_list)
+            q_bins = self.bm25.make_query_bins(queries_text, q_tids_list)
             q_tids, q_idfs = self.bm25.make_query_terms(queries_text, tids=q_tids_list)
-            if qind.shape[0] < bq:
-                pad = bq - qind.shape[0]
-                qind = np.pad(qind, ((0, pad), (0, 0)))
+            if q_tids.shape[0] < bq:
+                pad = bq - q_tids.shape[0]
+                q_bins = np.pad(q_bins, ((0, pad), (0, 0)), constant_values=-1)
                 q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
                 q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
+            qpad = np.zeros((bq, eng.dim), np.float32)
+            qpad[:b] = qhost
             bm_kc = min(max(bk, int(round(bk * rescore_multiplier))), num_docs)
-            packed = _hybrid_program_sketch(
+            # ONE h2d upload per batch (fp16 queries + sparse bins; see
+            # pack_query_blob) — per-batch transfer cost dominated the fused
+            # program itself at <=100k docs before this.
+            blob = pack_query_blob(qpad, q_tids, q_idfs, q_bins, b,
+                                   level_code, lang_code, self.leg_weights)
+            packed = _hybrid_program_sketch_blob(
                 *common,
-                self.bm25._sketch, self.bm25._sketch_scale, jnp.asarray(qind),
+                self.bm25._sketch, self.bm25._sketch_scale,
                 self.bm25._dm_tids, self.bm25._dm_tfs,
                 self.bm25._dl_dev, jnp.asarray(self.bm25.avgdl, jnp.float32),
-                jnp.asarray(q_tids), jnp.asarray(q_idfs),
-                *codes_args,
+                jnp.asarray(blob), bq, int(q_tids.shape[1]),
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
                 self.bm25.k1, self.bm25.b, fusion, select,
             )
         else:
+            qdev, qvalid, _ = eng._bucket_queries(qhost)
+            codes_args = (
+                qdev, qvalid,
+                jnp.asarray(level_code, jnp.int32), jnp.asarray(lang_code, jnp.int32),
+                jnp.asarray(self.leg_weights, jnp.float32),
+            )
             self.bm25._device_doc_lens(num_docs)
             assert self.bm25._dl_size == num_docs, (self.bm25._dl_size, num_docs)
             dl = self.bm25._dl_dev

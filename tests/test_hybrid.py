@@ -228,3 +228,86 @@ def test_fetch_false_pipelining_parity(setup):
     assert dev0 is None
     res0 = unpack0()
     assert (res0["fused"][1] == -1).all()
+
+
+def test_query_blob_roundtrip():
+    """pack_query_blob <-> _unpack_query_blob is lossless for everything
+    except queries (fp16 — exact when the input is fp16-representable)."""
+    import jax
+
+    from radiant_rag_tpu.index.hybrid import (_unpack_query_blob,
+                                              pack_query_blob)
+
+    rng = np.random.default_rng(3)
+    bq, d, t, s = 8, 64, 6, 512
+    queries = rng.standard_normal((bq, d)).astype(np.float16).astype(np.float32)
+    q_tids = rng.integers(-1, 30_000, (bq, t)).astype(np.int32)
+    q_idfs = rng.random((bq, t)).astype(np.float32)
+    q_bins = np.where(q_tids >= 0, (q_tids % s), -1).astype(np.int16)
+    # duplicate bin inside one query: multiplicity must survive
+    q_bins[0, 1] = q_bins[0, 0] = 7
+    q_tids[0, 0] = 11
+    q_tids[0, 1] = 12
+    leg_w = np.asarray([0.7, 0.3], np.float32)
+    blob = pack_query_blob(queries, q_tids, q_idfs, q_bins, 5, 1, -1, leg_w)
+
+    out = jax.jit(_unpack_query_blob, static_argnums=(1, 2, 3, 4))(
+        jax.numpy.asarray(blob), bq, d, t, s)
+    uq, uqvalid, utids, uidfs, uqind, ulevel, ulang, ulegw = out
+    np.testing.assert_array_equal(np.asarray(uq), queries)
+    assert np.asarray(uqvalid).tolist() == [True] * 5 + [False] * 3
+    np.testing.assert_array_equal(np.asarray(utids), q_tids)
+    np.testing.assert_array_equal(np.asarray(uidfs), q_idfs)
+    assert int(np.asarray(ulevel)) == 1 and int(np.asarray(ulang)) == -1
+    np.testing.assert_allclose(np.asarray(ulegw), leg_w)
+    ind = np.asarray(uqind)
+    assert ind[0, 7] == 2  # collision multiplicity preserved
+    assert ind.sum() == (q_bins >= 0).sum()
+
+
+def test_blob_sketch_matches_explicit_program(setup):
+    """search_rows' single-upload blob path returns the same rows as the
+    explicit-args sketch program (fp16 queries: rankings agree on a clear
+    corpus; scores agree to fp16 tolerance)."""
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.index import hybrid as H
+    from radiant_rag_tpu.ops import quantize as qz
+
+    vecs, texts, searcher = setup
+    rng = np.random.default_rng(11)
+    b = 5
+    qd = vecs[:b] + 0.05 * rng.standard_normal((b, vecs.shape[1])).astype(np.float32)
+    qd /= np.linalg.norm(qd, axis=1, keepdims=True)
+    qd = qd.astype(np.float16).astype(np.float32)  # make fp16 lossless
+    qt = [texts[i] for i in range(b)]
+
+    res = searcher.search_rows(qd, qt, bm25_mode="sketch")
+
+    eng, bm25 = searcher.engine, searcher.bm25
+    num_docs = eng.capacity
+    tids = bm25.query_tids(qt)
+    qind = bm25.make_query_indicator(qt, tids)
+    q_tids, q_idfs = bm25.make_query_terms(qt, tids=tids)
+    qdev, qvalid, _ = eng._bucket_queries(qd)
+    bq = int(qdev.shape[0])
+    pad = bq - qind.shape[0]
+    qind = np.pad(qind, ((0, pad), (0, 0)))
+    q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
+    q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
+    packed = H._hybrid_program_sketch(
+        eng.vecs, eng.codes, eng.i8, *qz.int8_scale_offset(eng.i8_lo, eng.i8_hi),
+        eng.valid, eng.level, eng.lang,
+        bm25._sketch, bm25._sketch_scale, jnp.asarray(qind),
+        bm25._dm_tids, bm25._dm_tfs, bm25._dl_dev,
+        jnp.asarray(bm25.avgdl, jnp.float32),
+        jnp.asarray(q_tids), jnp.asarray(q_idfs),
+        qdev, qvalid, jnp.asarray(-1, jnp.int32), jnp.asarray(-1, jnp.int32),
+        jnp.asarray(searcher.leg_weights, jnp.float32),
+        10, 10, 15, 60, 40, 40, "binary", bm25.k1, bm25.b, "confidence",
+        eng.stage1_select)
+    ref = H.HybridSearcher._unpack(np.asarray(packed)[:b], 10, 10, 15)
+
+    for leg in ("dense", "bm25", "fused"):
+        np.testing.assert_array_equal(res[leg][1], ref[leg][1])
+        np.testing.assert_allclose(res[leg][0], ref[leg][0], rtol=2e-3, atol=1e-4)
