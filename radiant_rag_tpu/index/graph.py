@@ -99,6 +99,122 @@ def build_knn_graph(
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _refine_block(
+    vdev: jax.Array,  # (N, D) corpus
+    mask: jax.Array,  # (N,) bool live rows
+    qblk: jax.Array,  # (b, D) the block's own vectors
+    qrows: jax.Array,  # (b,) int32 the block's own rows
+    cand_ids: jax.Array,  # (b, C) int32 candidate neighbor ids (-1 pad, dups ok)
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One NN-descent refinement step for a node block: score all candidates
+    (bf16 gather+einsum — near-tie order is irrelevant to graph quality),
+    drop self/dead/duplicate ids, keep the top-k as the new out-edges."""
+    b, c = cand_ids.shape
+    safe = jnp.maximum(cand_ids, 0)
+    g = jnp.take(vdev, safe, axis=0).astype(jnp.bfloat16)  # (b, C, D)
+    s = jnp.einsum("bd,bcd->bc", qblk.astype(jnp.bfloat16), g,
+                   preferred_element_type=jnp.float32)
+    bad = (cand_ids < 0) | (cand_ids == qrows[:, None]) | ~jnp.take(mask, safe)
+    # duplicate suppression: sort ids, flag equal-to-previous, unsort
+    iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (b, c))
+    sid, perm = jax.lax.sort_key_val(cand_ids, iota, dimension=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1)
+    dup = jnp.zeros((b, c), bool).at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], perm].set(dup_sorted)
+    s = jnp.where(bad | dup, NEG_INF, s)
+    top_s, sel = jax.lax.top_k(s, k)
+    ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+    ids = jnp.where(top_s > NEG_INF / 2, ids, -1)
+    return top_s, ids
+
+
+def nn_descent_graph(
+    vecs: np.ndarray,  # (N, D) L2-normalized
+    degree: int = 16,
+    n_long_edges: int = 4,
+    iters: int = 8,
+    block: int = 4096,
+    seed: int = 0,
+    valid: Optional[np.ndarray] = None,
+    n_reverse: int = 16,
+    n_random: int = 8,
+    converge_frac: float = 0.001,
+) -> np.ndarray:
+    """Approximate KNN graph by NN-descent; returns (N, R+L) int32.
+
+    The exact tiled build (`build_knn_graph`) is O(N^2 D) — fine to ~200k
+    rows, hours at 10M. NN-descent converges to a near-exact KNN graph in
+    O(N * C * D * iters) where C = R + R^2 + reverse + random candidates per
+    node: each round, every node scores its neighbors' neighbors (plus a
+    reverse-edge sample and random probes) in one bf16 gather+einsum device
+    program per block, keeping the top-R. Empirically >=90% edge agreement
+    with the exact graph in <=8 rounds on clustered corpora, and the searched
+    recall matches (tests/test_graph.py).
+
+    Candidate generation and the reverse-edge sample run vectorized on host
+    (numpy) per round; all device blocks are dispatched asynchronously, so
+    per-round wall time is max(device score time, host assembly)."""
+    n, d = vecs.shape
+    r = degree
+    vdev = jnp.asarray(vecs)
+    live = np.ones(n, bool) if valid is None else np.asarray(valid, bool).copy()
+    pool = np.nonzero(live)[0]
+    if len(pool) == 0:
+        return np.full((n, r + n_long_edges), -1, np.int32)
+    mask_dev = jnp.asarray(live)
+    rng = np.random.default_rng(seed)
+
+    adj = rng.choice(pool, size=(n, r), replace=True).astype(np.int32)
+    rev = np.full((n, n_reverse), -1, np.int32)
+    for it in range(iters):
+        # reverse-edge sample: for each edge i->j, j sees i as a candidate
+        # (random-slot scatter; collisions overwrite = uniform-ish sample)
+        rev.fill(-1)
+        src = np.repeat(np.arange(n, dtype=np.int32), r)
+        dst = adj.reshape(-1)
+        ok = dst >= 0
+        slots = rng.integers(0, n_reverse, ok.sum())
+        rev[dst[ok], slots] = src[ok]
+
+        changed = 0
+        pending = []
+        for s0 in range(0, n, block):
+            e0 = min(s0 + block, n)
+            b = e0 - s0
+            fwd = adj[s0:e0]  # (b, R)
+            fwd2 = adj[np.maximum(fwd, 0)].reshape(b, r * r)
+            fwd2[np.repeat(fwd < 0, r).reshape(b, r * r)] = -1
+            rnd = rng.choice(pool, size=(b, n_random), replace=True).astype(np.int32)
+            cand = np.concatenate([fwd, fwd2, rev[s0:e0], rnd], axis=1)
+            qb = vdev[s0:e0]
+            qrows = np.arange(s0, s0 + block, dtype=np.int32)
+            if b < block:
+                qb = jnp.pad(qb, ((0, block - b), (0, 0)))
+                cand = np.concatenate(
+                    [cand, np.full((block - b, cand.shape[1]), -1, np.int32)])
+            _, ids = _refine_block(vdev, mask_dev, qb, jnp.asarray(qrows),
+                                   jnp.asarray(cand), r)
+            pending.append((s0, e0, ids))
+        for s0, e0, ids in pending:
+            new = np.asarray(ids)[: e0 - s0]
+            changed += int((new != adj[s0:e0]).sum())
+            adj[s0:e0] = new
+        if changed <= converge_frac * n * r:
+            logger.info("nn-descent converged after %d rounds (%d changes)",
+                        it + 1, changed)
+            break
+
+    out = np.full((n, r + n_long_edges), -1, np.int32)
+    out[:, :r] = adj
+    if n_long_edges > 0:
+        out[:, r:] = rng.choice(pool, size=(n, n_long_edges),
+                                replace=True).astype(np.int32)
+    return out
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _knn_block(
     vdev: jax.Array,  # (N, D) corpus (any float dtype)
     mask: jax.Array,  # (N,) bool — valid AND row < total
@@ -210,10 +326,21 @@ class GraphIndex:
         self.entry_points: Optional[jnp.ndarray] = None
         self.built_rows = 0
 
-    def build(self, vecs: np.ndarray, valid: Optional[np.ndarray] = None) -> None:
+    # above this many rows, build() switches from the exact O(N^2) tiled
+    # KNN build to NN-descent (near-exact, O(N * C * iters))
+    EXACT_BUILD_MAX_ROWS = 200_000
+
+    def build(self, vecs: np.ndarray, valid: Optional[np.ndarray] = None,
+              method: str = "auto") -> None:
         n = vecs.shape[0]
-        adj = build_knn_graph(vecs, self.degree, self.n_long_edges,
-                              seed=self.seed, valid=valid)
+        if method == "auto":
+            method = "exact" if n <= self.EXACT_BUILD_MAX_ROWS else "nn_descent"
+        if method == "nn_descent":
+            adj = nn_descent_graph(vecs, self.degree, self.n_long_edges,
+                                   seed=self.seed, valid=valid)
+        else:
+            adj = build_knn_graph(vecs, self.degree, self.n_long_edges,
+                                  seed=self.seed, valid=valid)
         rng = np.random.default_rng(self.seed + 1)
         if valid is not None and valid.any():
             pool = np.nonzero(valid)[0]

@@ -252,3 +252,60 @@ def test_engine_extend_graph_rebuilds_past_threshold(rng):
     eng.extend_graph()
     assert eng.graph.built_rows == 300
     assert eng.graph.stale_fraction == 0.0
+
+
+def test_nn_descent_edges_near_exact(rng):
+    """NN-descent converges to >=85% agreement with the exact KNN graph on a
+    clustered corpus (the regime the graph engine exists for)."""
+    from radiant_rag_tpu.index.graph import nn_descent_graph
+
+    n, d = 3000, 48
+    vecs = _corpus(rng, n, d)
+    approx = nn_descent_graph(vecs, degree=8, n_long_edges=0, iters=10,
+                              block=1024, seed=0)
+    exact = build_knn_graph(vecs, degree=8, n_long_edges=0, block=1024)
+    agree = np.mean([
+        len(set(approx[i]) & set(exact[i])) / 8 for i in range(0, n, 7)])
+    assert agree >= 0.85, agree
+
+
+def test_nn_descent_search_recall_matches_exact_build(rng):
+    """Beam-search recall over the NN-descent graph matches the exact-built
+    graph within a small margin."""
+    from radiant_rag_tpu.index.graph import nn_descent_graph
+
+    n, d = 2000, 48
+    vecs = _corpus(rng, n, d)
+    gi_nd = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
+    gi_nd.build(vecs, method="nn_descent")
+    gi_ex = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
+    gi_ex.build(vecs, method="exact")
+    queries = _corpus(rng, 16, d)
+    sims = queries @ vecs.T
+
+    def recall(g):
+        _, i = g.search(jnp.asarray(vecs), queries, k=10, ef=64)
+        rs = []
+        for qi in range(16):
+            true10 = set(np.argsort(-sims[qi])[:10])
+            rs.append(len(set(int(x) for x in i[qi] if x >= 0) & true10) / 10)
+        return float(np.mean(rs))
+
+    r_nd, r_ex = recall(gi_nd), recall(gi_ex)
+    assert r_nd >= r_ex - 0.05, (r_nd, r_ex)
+    assert r_nd >= 0.8, r_nd
+
+
+def test_nn_descent_respects_invalid_rows(rng):
+    from radiant_rag_tpu.index.graph import nn_descent_graph
+
+    n, d = 800, 32
+    vecs = _corpus(rng, n, d)
+    valid = np.ones(n, bool)
+    valid[200:300] = False
+    adj = nn_descent_graph(vecs, degree=8, n_long_edges=2, iters=6,
+                           block=256, valid=valid)
+    live = np.nonzero(valid)[0]
+    dead = set(range(200, 300))
+    hits = sum(len(set(adj[i, :8].tolist()) & dead) for i in live[:100])
+    assert hits == 0

@@ -1,0 +1,84 @@
+"""Graph engine at scale: NN-descent build time + beam-search recall/latency.
+
+ROADMAP open item: the graph engine's large-corpus story. The exact tiled
+KNN build is O(N^2 D) (81 s at 131k rows round 1 => ~80 min at 1M); the
+NN-descent build (`index/graph.nn_descent_graph`) is O(N * C * iters) and is
+what makes 1M-10M graphs buildable at all. This probe measures, on the real
+chip:
+
+  build      nn-descent wall time at N rows (vs projected exact-build time)
+  search     batched beam search ms/batch at B queries, several ef points
+  recall@10  vs the exact f32 scan oracle on the same queries
+
+Usage: N_DOCS=1000000 BATCH=256 python tools/bench_graph_scale.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    n = int(os.environ.get("N_DOCS", 1_000_000))
+    batch = int(os.environ.get("BATCH", 256))
+    d = int(os.environ.get("DIM", 384))
+    iters = int(os.environ.get("ITERS", 8))
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.index.graph import GraphIndex
+    from radiant_rag_tpu.ops.similarity import exact_topk
+    from radiant_rag_tpu.utils.profiling import device_timer
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((1024, d)).astype(np.float32)
+    assign = rng.integers(0, 1024, n)
+    vecs = np.empty((n, d), np.float32)
+    for s in range(0, n, 131072):
+        e = min(s + 131072, n)
+        c = centers[assign[s:e]] + 0.6 * rng.standard_normal((e - s, d)).astype(np.float32)
+        vecs[s:e] = c / np.linalg.norm(c, axis=1, keepdims=True)
+    print(f"corpus: {n} x {d}", flush=True)
+
+    gi = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
+    t0 = time.perf_counter()
+    gi.build(vecs, method="nn_descent")
+    build_s = time.perf_counter() - t0
+    print(f"nn-descent build ({iters} max iters): {build_s:.1f}s", flush=True)
+
+    qidx = rng.integers(0, n, batch)
+    q = vecs[qidx] + 0.2 * rng.standard_normal((batch, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    vdev = jnp.asarray(vecs)
+    qdev = jnp.asarray(q)
+
+    # oracle: exact f32 scan
+    t0 = time.perf_counter()
+    _, oracle = exact_topk(vdev, qdev, None, 10)
+    oracle = np.asarray(oracle)
+    exact_ms = (time.perf_counter() - t0) * 1000
+    print(f"exact scan (cold): {exact_ms:.1f} ms / {batch} queries", flush=True)
+    exact_t = device_timer(lambda: exact_topk(vdev, qdev, None, 10), iters=5)
+    print(f"exact scan steady: {exact_t['median_ms']:.1f} ms / batch", flush=True)
+
+    for ef in (32, 64, 128):
+        t0 = time.perf_counter()
+        _, rows = gi.search(vdev, q, k=10, ef=ef)
+        cold = (time.perf_counter() - t0) * 1000
+        t = device_timer(lambda: gi.search(vdev, q, k=10, ef=ef), iters=5)
+        rec = np.mean([
+            len(set(rows[i][rows[i] >= 0]) & set(oracle[i])) / 10
+            for i in range(batch)
+        ])
+        print(f"graph ef={ef:3d}: {t['median_ms']:7.1f} ms/batch "
+              f"(cold {cold:.0f} ms)  recall@10={rec:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
