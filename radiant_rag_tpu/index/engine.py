@@ -121,9 +121,13 @@ class DeviceVectorIndex:
 
     # Query-batch padding buckets: one compiled program per (bucket, k, mode).
     # Throughput keeps scaling past 256 (fixed dispatch+fetch amortizes —
-    # BENCH_NOTES.md batch sweep); 1024 x 1M f32 stage-1 scores = 4 GB HBM,
-    # still comfortable next to a bf16+int8 1M-row corpus (~1.2 GB).
-    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    # BENCH_NOTES.md batch sweep); the top bucket a corpus may use is HBM-
+    # gated by max_query_bucket() (stage-1 materializes a (B, N) f32 score
+    # buffer per leg: 2048 is usable to ~700k rows, 1024 to ~1.5M).
+    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    # per-leg (B, N) f32 stage-1 score-buffer budget; keeps two legs' buffers
+    # + the resident corpus inside a 16 GB HBM chip
+    SCORE_BYTES_CAP = 6 << 30
 
     def __init__(
         self,
@@ -322,16 +326,26 @@ class DeviceVectorIndex:
         return s, i
 
     # -- queries -----------------------------------------------------------
+    def max_query_bucket(self) -> int:
+        """Largest usable query bucket for this corpus size (HBM-gated: the
+        stage-1 scan materializes a (bucket, capacity) f32 score buffer per
+        leg; oversized batches are chunked by callers at this bound)."""
+        cap = self.QUERY_BUCKETS[-1]
+        while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
+            cap //= 2
+        return cap
+
     def _bucket_of(self, b: int) -> int:
         """Smallest query-padding bucket holding b queries (host-only)."""
-        if b > self.QUERY_BUCKETS[-1]:
+        max_b = self.max_query_bucket()
+        if b > max_b:
             raise ValueError(
-                f"query batch {b} exceeds max bucket {self.QUERY_BUCKETS[-1]}; "
+                f"query batch {b} exceeds max bucket {max_b}; "
                 "split the batch (engine.search chunks automatically)")
         for cand in self.QUERY_BUCKETS:
             if b <= cand:
                 return cand
-        return self.QUERY_BUCKETS[-1]
+        return max_b
 
     def _bucket_queries(self, queries: np.ndarray) -> Tuple[jax.Array, jax.Array, int]:
         b = queries.shape[0]
@@ -356,7 +370,7 @@ class DeviceVectorIndex:
         if self.count == 0:
             b = queries.shape[0]
             return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
-        max_b = self.QUERY_BUCKETS[-1]
+        max_b = self.max_query_bucket()
         if queries.shape[0] > max_b:  # chunk oversized batches
             parts = [self.search(queries[s : s + max_b], k, mode,
                                  rescore_multiplier, ef_runtime, level_code, lang_code)

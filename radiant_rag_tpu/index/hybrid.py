@@ -355,7 +355,7 @@ class HybridSearcher:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
             res = {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
             return (None, lambda: res) if not fetch else res
-        max_b = eng.QUERY_BUCKETS[-1]
+        max_b = eng.max_query_bucket()
         if not fetch and b > max_b:
             # pipelining only makes sense within one device program
             res = self.search_rows(queries_dense, queries_text, dense_k, bm25_k,

@@ -46,11 +46,31 @@ def main() -> None:
         vecs[s:e] = c / np.linalg.norm(c, axis=1, keepdims=True)
     print(f"corpus: {n} x {d}", flush=True)
 
+    from radiant_rag_tpu.index.graph import nn_descent_graph
+
     gi = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
     t0 = time.perf_counter()
-    gi.build(vecs, method="nn_descent")
+    adj = nn_descent_graph(vecs, degree=16, n_long_edges=4, iters=iters)
+    gi.neighbors = jnp.asarray(adj)
+    gi.entry_points = jnp.asarray(
+        rng.choice(n, size=16, replace=False).astype(np.int32))
+    gi._refresh_entry_sample(vecs, np.arange(n), rng)
+    gi.built_rows = n
+    gi._full_built_rows = n
     build_s = time.perf_counter() - t0
     print(f"nn-descent build ({iters} max iters): {build_s:.1f}s", flush=True)
+
+    # build quality: sampled edge agreement vs exact top-16 (1k nodes)
+    sample = rng.choice(n, 1024, replace=False)
+    sdev = jnp.asarray(vecs[sample])
+    vdev0 = jnp.asarray(vecs)
+    _, exact16 = exact_topk(vdev0, sdev, None, 17)
+    exact16 = np.asarray(exact16)
+    agree = np.mean([
+        len(set(adj[sample[i], :16]) & set(exact16[i])) / 16
+        for i in range(len(sample))
+    ])
+    print(f"sampled KNN edge agreement vs exact: {agree:.3f}", flush=True)
 
     qidx = rng.integers(0, n, batch)
     q = vecs[qidx] + 0.2 * rng.standard_normal((batch, d)).astype(np.float32)
@@ -67,16 +87,17 @@ def main() -> None:
     exact_t = device_timer(lambda: exact_topk(vdev, qdev, None, 10), iters=5)
     print(f"exact scan steady: {exact_t['median_ms']:.1f} ms / batch", flush=True)
 
-    for ef in (32, 64, 128):
+    for ef, steps in ((32, 8), (64, 8), (128, 8), (64, 16), (128, 16), (128, 24)):
         t0 = time.perf_counter()
-        _, rows = gi.search(vdev, q, k=10, ef=ef)
+        _, rows = gi.search(vdev, q, k=10, ef=ef, steps=steps)
         cold = (time.perf_counter() - t0) * 1000
-        t = device_timer(lambda: gi.search(vdev, q, k=10, ef=ef), iters=5)
+        t = device_timer(lambda: gi.search(vdev, q, k=10, ef=ef, steps=steps),
+                         iters=5)
         rec = np.mean([
             len(set(rows[i][rows[i] >= 0]) & set(oracle[i])) / 10
             for i in range(batch)
         ])
-        print(f"graph ef={ef:3d}: {t['median_ms']:7.1f} ms/batch "
+        print(f"graph ef={ef:3d} steps={steps:2d}: {t['median_ms']:7.1f} ms/batch "
               f"(cold {cold:.0f} ms)  recall@10={rec:.3f}", flush=True)
 
 
