@@ -572,7 +572,8 @@ class BM25Index:
 
     def make_query_bins(self, queries: Sequence[str],
                         tids: Optional[np.ndarray] = None) -> np.ndarray:
-        """(B, T) int16 sketch-bin ids of each query's terms, -1 pad.
+        """(B, T) sketch-bin ids of each query's terms, -1 pad (int16, or
+        int32 for sketch_dim beyond the int16 range).
 
         The SPARSE form of `make_query_indicator`: the device program
         scatter-adds these into the dense (B, S) indicator, so the host
@@ -581,14 +582,15 @@ class BM25Index:
         tools/profile_host_dispatch.py)."""
         if tids is None:
             tids = self.query_tids(queries)
-        out = np.full(tids.shape, -1, np.int16)
+        dt = np.int16 if self.sketch_dim <= (1 << 15) - 1 else np.int32
+        out = np.full(tids.shape, -1, dt)
         bins = self._bins_per_term
         qidx, pos = np.nonzero(tids >= 0)
         if len(qidx) == 0:
             return out
         flat_tids = tids[qidx, pos]
         if bins is not None and len(bins) > int(flat_tids.max(initial=-1)):
-            out[qidx, pos] = bins[flat_tids].astype(np.int16)
+            out[qidx, pos] = bins[flat_tids].astype(dt)
         else:
             for q, p, tid in zip(qidx, pos, flat_tids):
                 out[q, p] = self._bin_of(int(tid))

@@ -287,22 +287,35 @@ class DeviceVectorIndex:
         self.graph.build(np.asarray(self.vecs[: self.count]),
                          valid=np.asarray(self.valid[: self.count]))
 
-    def extend_graph(self, max_stale_fraction: float = 0.5) -> None:
+    def extend_graph(self, max_stale_fraction: float = 0.5,
+                     allow_rebuild: bool = True) -> None:
         """Make rows appended since the last build visible to graph search.
 
         Incremental insert (`GraphIndex.add`: exact out-edges + weakest-edge
         back-edges) — the HNSW-insert analog, replacing the former
         "rebuild or fall back to flat" story. A full rebuild is triggered
         instead once incrementally-inserted rows exceed `max_stale_fraction`
-        of the graph (old nodes' edges are only patched, never re-derived)."""
+        of the graph (old nodes' edges are only patched, never re-derived);
+        allow_rebuild=False skips that escalation (used by the query path,
+        which must never absorb an unbounded rebuild — the incremental add
+        is O(new x N), a rebuild is O(N x C x iters))."""
+        if not self.store_fp32:
+            return  # fp32-free mode has no vectors to build edges from
         if self.graph is None or self.graph.built_rows == 0:
-            self.build_graph()
+            if allow_rebuild:
+                self.build_graph()
             return
         built = self.graph.built_rows
         if built >= self.count:
             return
         projected = (self.count - getattr(self.graph, "_full_built_rows", built)) / self.count
         if projected > max_stale_fraction:
+            if not allow_rebuild:
+                logger.warning(
+                    "graph %.0f%% stale (> %.0f%%); serving the stale graph — "
+                    "call build_graph()/extend_graph() to refresh",
+                    projected * 100, max_stale_fraction * 100)
+                return
             self.build_graph(degree=self.graph.degree,
                              n_long_edges=self.graph.n_long_edges,
                              n_entry_points=self.graph.n_entry_points,
@@ -370,32 +383,44 @@ class DeviceVectorIndex:
         if self.count == 0:
             b = queries.shape[0]
             return np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64)
-        max_b = self.max_query_bucket()
+        if mode in ("graph", "exact") and not self.store_fp32:
+            mode = "int8"  # fp32-free mode has no exact vectors
+        if mode == "graph" and (self.graph is None or self.graph.built_rows == 0):
+            mode = "int8"  # graph not built -> flat fallback
+        # graph search never materializes the (B, N) stage-1 score buffer,
+        # so it is not subject to the HBM bucket gate
+        max_b = (self.QUERY_BUCKETS[-1] if mode == "graph"
+                 else self.max_query_bucket())
         if queries.shape[0] > max_b:  # chunk oversized batches
             parts = [self.search(queries[s : s + max_b], k, mode,
                                  rescore_multiplier, ef_runtime, level_code, lang_code)
                      for s in range(0, queries.shape[0], max_b)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
-        if mode in ("graph", "exact") and not self.store_fp32:
-            mode = "int8"  # fp32-free mode has no exact vectors
         if mode == "graph":
-            if self.graph is None or self.graph.built_rows == 0:
-                mode = "int8"  # graph not built -> flat fallback
-            else:
-                if self.graph.built_rows < self.count:
-                    # rows appended since the last build: insert them
-                    # incrementally so graph mode serves the full corpus
-                    self.extend_graph()
-                kg = min(k, self.graph.built_rows)
-                s, i = self._graph_search(
-                    np.asarray(queries, np.float32), kg,
-                    ef=int(ef_runtime or max(64, 4 * k)),
-                    level_code=level_code, lang_code=lang_code)
-                if kg < k:
-                    s = np.pad(s, ((0, 0), (0, k - kg)), constant_values=-1e30)
-                    i = np.pad(i, ((0, 0), (0, k - kg)), constant_values=-1)
-                return s, i
+            delta = self.count - self.graph.built_rows
+            if 0 < delta <= max(20_000, self.count // 10):
+                # rows appended since the last build: insert them
+                # incrementally so graph mode serves the full corpus.
+                # Bounded: never a full rebuild in the query path, and
+                # only modest growth (the insert is O(new x N))
+                self.extend_graph(max_stale_fraction=1.0,
+                                  allow_rebuild=False)
+            elif delta > 0:
+                logger.warning(
+                    "graph is %d rows behind the corpus — too many for "
+                    "query-path insertion; serving the stale graph "
+                    "(new rows fall back to flat search callers or an "
+                    "explicit build_graph())", delta)
+            kg = min(k, self.graph.built_rows)
+            s, i = self._graph_search(
+                np.asarray(queries, np.float32), kg,
+                ef=int(ef_runtime or max(64, 4 * k)),
+                level_code=level_code, lang_code=lang_code)
+            if kg < k:
+                s = np.pad(s, ((0, 0), (0, k - kg)), constant_values=-1e30)
+                i = np.pad(i, ((0, 0), (0, k - kg)), constant_values=-1)
+            return s, i
         k_eff = min(k, self.capacity)
         kc = int(max(k_eff, round(k_eff * rescore_multiplier)))
         if ef_runtime:

@@ -99,6 +99,29 @@ def build_knn_graph(
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _descent_block(
+    vdev: jax.Array,  # (N, D) corpus
+    mask: jax.Array,  # (N,) bool live rows
+    adj_dev: jax.Array,  # (N, R) int32 current adjacency (device-resident)
+    qblk: jax.Array,  # (b, D) the block's own vectors
+    qrows: jax.Array,  # (b,) int32 the block's own rows
+    extra_ids: jax.Array,  # (b, E) int32 reverse-sample + random probes
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One NN-descent refinement step for a node block. Forward and
+    two-hop candidates are gathered from the DEVICE-resident adjacency
+    (the per-iteration upload is one (N, R) array instead of a (b, R^2)
+    candidate table per block); only the small reverse/random probe table
+    ships per block."""
+    r = adj_dev.shape[1]
+    fwd = jnp.take(adj_dev, jnp.maximum(qrows, 0), axis=0)  # (b, R)
+    fwd2 = jnp.take(adj_dev, jnp.maximum(fwd, 0), axis=0).reshape(
+        fwd.shape[0], r * r)
+    fwd2 = jnp.where(jnp.repeat(fwd >= 0, r, axis=1), fwd2, -1)
+    cand_ids = jnp.concatenate([fwd, fwd2, extra_ids], axis=1)
+    return _refine_block(vdev, mask, qblk, qrows, cand_ids, k)
+
+
 def _refine_block(
     vdev: jax.Array,  # (N, D) corpus
     mask: jax.Array,  # (N,) bool live rows
@@ -107,9 +130,9 @@ def _refine_block(
     cand_ids: jax.Array,  # (b, C) int32 candidate neighbor ids (-1 pad, dups ok)
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One NN-descent refinement step for a node block: score all candidates
-    (bf16 gather+einsum — near-tie order is irrelevant to graph quality),
-    drop self/dead/duplicate ids, keep the top-k as the new out-edges."""
+    """Score all candidates (bf16 gather+einsum — near-tie order is
+    irrelevant to graph quality), drop self/dead/duplicate ids, keep the
+    top-k as the new out-edges."""
     b, c = cand_ids.shape
     safe = jnp.maximum(cand_ids, 0)
     g = jnp.take(vdev, safe, axis=0).astype(jnp.bfloat16)  # (b, C, D)
@@ -180,22 +203,20 @@ def nn_descent_graph(
 
         changed = 0
         pending = []
+        adj_dev = jnp.asarray(adj)  # ONE (N, R) upload per round
         for s0 in range(0, n, block):
             e0 = min(s0 + block, n)
             b = e0 - s0
-            fwd = adj[s0:e0]  # (b, R)
-            fwd2 = adj[np.maximum(fwd, 0)].reshape(b, r * r)
-            fwd2[np.repeat(fwd < 0, r).reshape(b, r * r)] = -1
             rnd = rng.choice(pool, size=(b, n_random), replace=True).astype(np.int32)
-            cand = np.concatenate([fwd, fwd2, rev[s0:e0], rnd], axis=1)
+            extra = np.concatenate([rev[s0:e0], rnd], axis=1)
             qb = vdev[s0:e0]
             qrows = np.arange(s0, s0 + block, dtype=np.int32)
             if b < block:
                 qb = jnp.pad(qb, ((0, block - b), (0, 0)))
-                cand = np.concatenate(
-                    [cand, np.full((block - b, cand.shape[1]), -1, np.int32)])
-            _, ids = _refine_block(vdev, mask_dev, qb, jnp.asarray(qrows),
-                                   jnp.asarray(cand), r)
+                extra = np.concatenate(
+                    [extra, np.full((block - b, extra.shape[1]), -1, np.int32)])
+            _, ids = _descent_block(vdev, mask_dev, adj_dev, qb,
+                                    jnp.asarray(qrows), jnp.asarray(extra), r)
             pending.append((s0, e0, ids))
         for s0, e0, ids in pending:
             new = np.asarray(ids)[: e0 - s0]
@@ -298,6 +319,7 @@ def graph_search(
         es = jax.lax.dot_general(
             queries, entry_sample_vecs.astype(queries.dtype),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        e = min(e, int(entry_sample_rows.shape[0]))  # sample may be small
         _, sel0 = jax.lax.top_k(es, e)  # per-query best sample rows
         beam_ids = jnp.take(entry_sample_rows, sel0)  # (B, E)
     else:
@@ -491,8 +513,18 @@ class GraphIndex:
             rowi = np.arange(len(uniq)).repeat(counts)
             cand_ids[rowi, cols] = v_s
             cand_scr[rowi, cols] = s_s
-            adj_host = np.asarray(self.neighbors)
-            cur_adj = adj_host[uniq, :deg]
+            # fetch ONLY the target rows' adjacency (a full (N, R) d2h is
+            # ~800 MB at 10M rows — the scale this engine exists for)
+            cur_rows = np.array(jnp.take(self.neighbors, jnp.asarray(uniq),
+                                         axis=0))  # writable host copy
+            cur_adj = cur_rows[:, :deg]
+            # drop candidates already present as edges (two new nodes that
+            # are mutual nearest neighbors would otherwise occupy two slots)
+            for cs in range(0, len(uniq), 65536):
+                ce = min(cs + 65536, len(uniq))
+                dup = (cand_ids[cs:ce, :, None] == cur_adj[cs:ce, None, :]).any(-1)
+                cand_scr[cs:ce][dup] = np.float32(NEG_INF)
+                cand_ids[cs:ce][dup] = -1
             cur_scr = np.empty((len(uniq), deg), np.float32)
             for s in range(0, len(uniq), block):
                 e = min(s + block, len(uniq))
@@ -509,7 +541,7 @@ class GraphIndex:
             new_knn = np.take_along_axis(merged_ids, sel, axis=1)
             new_knn_scr = np.take_along_axis(merged_scr, sel, axis=1)
             new_knn[new_knn_scr <= NEG_INF / 2] = -1
-            updated = adj_host[uniq]
+            updated = cur_rows
             updated[:, :deg] = new_knn
             self.neighbors = _scatter_adj(self.neighbors, jnp.asarray(uniq),
                                           jnp.asarray(updated))

@@ -128,32 +128,36 @@ _hybrid_program_sketch = partial(jax.jit, static_argnames=(
 # indicator with a scatter-add.
 # --------------------------------------------------------------------------
 
-_BLOB_HDR = 32  # bytes: i32 n_valid, level_code, lang_code, pad; f32 leg_w[2], pad
+_BLOB_HDR = 32  # bytes: i32 n_valid, level_code, lang_code, pad; f32 leg_w[2], avgdl, pad
 
 
-def _blob_layout(bq: int, d: int, t: int) -> Dict[str, Tuple[int, int]]:
-    """Byte offsets/sizes of each section (all 4-byte aligned)."""
+def _blob_layout(bq: int, d: int, t: int, s: int) -> Dict[str, Tuple[int, int]]:
+    """Byte offsets/sizes of each section (all 4-byte aligned). Bin ids are
+    int16 unless the sketch width exceeds the int16 range."""
+    bw = 2 if s <= (1 << 15) - 1 else 4
     off = _BLOB_HDR
     lay = {}
     lay["q16"] = (off, bq * d * 2); off += bq * d * 2
     lay["tids"] = (off, bq * t * 4); off += bq * t * 4
     lay["idfs"] = (off, bq * t * 4); off += bq * t * 4
-    lay["bins"] = (off, bq * t * 2); off += bq * t * 2
+    lay["bins"] = (off, bq * t * bw); off += bq * t * bw
+    lay["_binw"] = (0, bw)
     lay["_total"] = (0, (off + 3) // 4 * 4)
     return lay
 
 
 def pack_query_blob(queries: np.ndarray, q_tids: np.ndarray, q_idfs: np.ndarray,
                     q_bins: np.ndarray, n_valid: int, level_code: int,
-                    lang_code: int, leg_w: np.ndarray) -> np.ndarray:
+                    lang_code: int, leg_w: np.ndarray, sketch_dim: int,
+                    avgdl: float = 0.0) -> np.ndarray:
     """Assemble the single-upload query blob (host side, ~0.2 ms)."""
     bq, d = queries.shape
     t = q_tids.shape[1]
-    lay = _blob_layout(bq, d, t)
+    lay = _blob_layout(bq, d, t, sketch_dim)
     blob = np.zeros(lay["_total"][1], np.uint8)
     hdr_i = np.asarray([n_valid, level_code, lang_code, 0], np.int32)
     blob[0:16] = hdr_i.view(np.uint8)
-    blob[16:24] = np.asarray(leg_w[:2], np.float32).view(np.uint8)
+    blob[16:28] = np.asarray([leg_w[0], leg_w[1], avgdl], np.float32).view(np.uint8)
 
     def put(name, arr):
         off, size = lay[name]
@@ -163,13 +167,13 @@ def pack_query_blob(queries: np.ndarray, q_tids: np.ndarray, q_idfs: np.ndarray,
     put("q16", queries.astype(np.float16))
     put("tids", q_tids.astype(np.int32))
     put("idfs", q_idfs.astype(np.float32))
-    put("bins", q_bins.astype(np.int16))
+    put("bins", q_bins.astype(np.int16 if lay["_binw"][1] == 2 else np.int32))
     return blob
 
 
 def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
     """Device-side inverse of pack_query_blob (inside jit; static sizes)."""
-    lay = _blob_layout(bq, d, t)
+    lay = _blob_layout(bq, d, t, s)
 
     def cut(name, width, dtype):
         off, size = lay[name]
@@ -177,12 +181,14 @@ def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
             blob[off : off + size].reshape(size // width, width), dtype)
 
     hdr = jax.lax.bitcast_convert_type(blob[0:16].reshape(4, 4), jnp.int32)
-    leg_w = jax.lax.bitcast_convert_type(blob[16:24].reshape(2, 4), jnp.float32)
+    hdr_f = jax.lax.bitcast_convert_type(blob[16:28].reshape(3, 4), jnp.float32)
+    leg_w, avgdl = hdr_f[:2], hdr_f[2]
     n_valid, level_code, lang_code = hdr[0], hdr[1], hdr[2]
     queries = cut("q16", 2, jnp.float16).reshape(bq, d).astype(jnp.float32)
     q_tids = cut("tids", 4, jnp.int32).reshape(bq, t)
     q_idfs = cut("idfs", 4, jnp.float32).reshape(bq, t)
-    q_bins = cut("bins", 2, jnp.int16).reshape(bq, t)
+    bw = lay["_binw"][1]
+    q_bins = cut("bins", bw, jnp.int16 if bw == 2 else jnp.int32).reshape(bq, t)
     qvalid = jnp.arange(bq) < n_valid
     # dense (bq, S) int8 indicator via scatter-add (keeps collision
     # multiplicity = make_query_indicator parity); -1 pads drop
@@ -191,7 +197,8 @@ def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
                      bq * s)
     qind = jnp.zeros((bq * s,), jnp.int8).at[flat.reshape(-1)].add(
         1, mode="drop").reshape(bq, s)
-    return queries, qvalid, q_tids, q_idfs, qind, level_code, lang_code, leg_w
+    return (queries, qvalid, q_tids, q_idfs, qind, level_code, lang_code,
+            leg_w, avgdl)
 
 
 @partial(jax.jit, static_argnames=("bq", "t", "dense_k", "bm25_k", "fused_k",
@@ -199,7 +206,7 @@ def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
                                    "fusion", "select"))
 def _hybrid_program_sketch_blob(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
-    sketch, sketch_scale, dm_tids, dm_tfs, doc_lens, avgdl,
+    sketch, sketch_scale, dm_tids, dm_tfs, doc_lens,
     blob, bq: int, t: int,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
     mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
@@ -208,7 +215,7 @@ def _hybrid_program_sketch_blob(
     d = i8.shape[1]
     s = sketch.shape[1]
     (queries, qvalid, q_tids, q_idfs, qind,
-     level_code, lang_code, leg_w) = _unpack_query_blob(blob, bq, d, t, s)
+     level_code, lang_code, leg_w, avgdl) = _unpack_query_blob(blob, bq, d, t, s)
     return _hybrid_sketch_core(
         vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
         sketch, sketch_scale, qind,
@@ -417,12 +424,14 @@ class HybridSearcher:
             # pack_query_blob) — per-batch transfer cost dominated the fused
             # program itself at <=100k docs before this.
             blob = pack_query_blob(qpad, q_tids, q_idfs, q_bins, b,
-                                   level_code, lang_code, self.leg_weights)
+                                   level_code, lang_code, self.leg_weights,
+                                   self.bm25.sketch_dim,
+                                   avgdl=float(self.bm25.avgdl))
             packed = _hybrid_program_sketch_blob(
                 *common,
                 self.bm25._sketch, self.bm25._sketch_scale,
                 self.bm25._dm_tids, self.bm25._dm_tfs,
-                self.bm25._dl_dev, jnp.asarray(self.bm25.avgdl, jnp.float32),
+                self.bm25._dl_dev,
                 jnp.asarray(blob), bq, int(q_tids.shape[1]),
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
                 self.bm25.k1, self.bm25.b, fusion, select,

@@ -249,20 +249,54 @@ def test_query_blob_roundtrip():
     q_tids[0, 0] = 11
     q_tids[0, 1] = 12
     leg_w = np.asarray([0.7, 0.3], np.float32)
-    blob = pack_query_blob(queries, q_tids, q_idfs, q_bins, 5, 1, -1, leg_w)
+    blob = pack_query_blob(queries, q_tids, q_idfs, q_bins, 5, 1, -1, leg_w,
+                           s, avgdl=12.5)
 
     out = jax.jit(_unpack_query_blob, static_argnums=(1, 2, 3, 4))(
         jax.numpy.asarray(blob), bq, d, t, s)
-    uq, uqvalid, utids, uidfs, uqind, ulevel, ulang, ulegw = out
+    uq, uqvalid, utids, uidfs, uqind, ulevel, ulang, ulegw, uavgdl = out
     np.testing.assert_array_equal(np.asarray(uq), queries)
     assert np.asarray(uqvalid).tolist() == [True] * 5 + [False] * 3
     np.testing.assert_array_equal(np.asarray(utids), q_tids)
     np.testing.assert_array_equal(np.asarray(uidfs), q_idfs)
     assert int(np.asarray(ulevel)) == 1 and int(np.asarray(ulang)) == -1
     np.testing.assert_allclose(np.asarray(ulegw), leg_w)
+    assert float(np.asarray(uavgdl)) == 12.5
     ind = np.asarray(uqind)
     assert ind[0, 7] == 2  # collision multiplicity preserved
     assert ind.sum() == (q_bins >= 0).sum()
+
+
+def test_query_blob_wide_sketch_int32_bins():
+    """sketch_dim beyond the int16 range switches bins to int32 — bin ids
+    above 32767 must survive the round trip (silent int16 wraparound would
+    drop query terms from the stage-1 indicator)."""
+    import jax
+
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import (_unpack_query_blob,
+                                              pack_query_blob)
+
+    s = 1 << 16
+    bm = BM25Index(sketch_dim=s)
+    bq, d, t = 2, 8, 4
+    queries = np.zeros((bq, d), np.float32)
+    q_tids = np.asarray([[1, 2, -1, -1], [3, -1, -1, -1]], np.int32)
+    q_idfs = np.ones((bq, t), np.float32)
+    q_bins = np.asarray([[40000, 7, -1, -1], [65535, -1, -1, -1]], np.int32)
+    blob = pack_query_blob(queries, q_tids, q_idfs, q_bins, 2, -1, -1,
+                           np.asarray([0.5, 0.5], np.float32), s)
+    out = jax.jit(_unpack_query_blob, static_argnums=(1, 2, 3, 4))(
+        jax.numpy.asarray(blob), bq, d, t, s)
+    ind = np.asarray(out[4])
+    assert ind[0, 40000] == 1 and ind[0, 7] == 1
+    assert ind[1, 65535] == 1
+    assert ind.sum() == 3
+    # and make_query_bins reports int32 for wide sketches
+    bm.add_document(0, "alpha bravo")
+    got = bm.make_query_bins(["alpha bravo"])
+    assert got.dtype == np.int32
+    assert (got[got >= 0] < s).all()
 
 
 def test_blob_sketch_matches_explicit_program(setup):
