@@ -124,7 +124,7 @@ class DeviceVectorIndex:
     # BENCH_NOTES.md batch sweep); the top bucket a corpus may use is HBM-
     # gated by max_query_bucket() (stage-1 materializes a (B, N) f32 score
     # buffer per leg: 2048 is usable to ~700k rows, 1024 to ~1.5M).
-    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
     # per-leg (B, N) f32 stage-1 score-buffer budget; keeps two legs' buffers
     # + the resident corpus inside a 16 GB HBM chip
     SCORE_BYTES_CAP = 6 << 30
