@@ -376,6 +376,82 @@ class RadiantTPU:
     def _search_uncached(self, query: str, mode: str, top_k: int) -> List[Tuple[Any, float]]:
         return self._search_uncached_batch([query], mode, top_k)[0]
 
+    def _fused_searcher(self):
+        """The fused single-program hybrid searcher, refreshed for serving
+        (None when the TPU engine isn't backing the store or it's empty)."""
+        searcher = getattr(self.orchestrator, "_hybrid", None)
+        if searcher is None or self.store.count_documents() == 0:
+            return None
+        searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
+        if hasattr(self.orchestrator, "_ensure_fusion_calibration"):
+            self.orchestrator._ensure_fusion_calibration()
+        return searcher
+
+    def _dispatch_fused(self, searcher, queries: List[str], top_k: int,
+                        fetch: bool = True):
+        embs = self.local_models.embed(queries)
+        return searcher.search_rows(
+            embs, list(queries), dense_k=top_k, bm25_k=top_k,
+            fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
+            mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
+            rescore_multiplier=self.config.quantization.rescore_multiplier,
+            fusion=getattr(self.config.retrieval, "fusion_weighting", "confidence"),
+            fetch=fetch)
+
+    def _resolve_fused_rows(self, res, n_queries: int) -> List[List[Tuple[Any, float]]]:
+        scores, rows = res["fused"]
+        batched = []
+        for qi in range(n_queries):
+            hits = []
+            for s, r in zip(scores[qi], rows[qi]):
+                if r < 0:
+                    continue
+                doc_id = self.store.id_for_row(int(r))
+                doc = self.store.get_doc(doc_id) if doc_id else None
+                if doc is not None:
+                    hits.append((doc, float(s)))
+            batched.append(hits)
+        return batched
+
+    def search_batch_async(self, queries: List[str], mode: str = "hybrid",
+                           top_k: int = 10, use_cache: bool = True):
+        """Two-phase search_batch: dispatch the device program NOW, return a
+        complete() that blocks for + resolves the results. The serving
+        coalescer uses this to keep batches in flight so one batch's
+        device->host fetch overlaps the next batch's dispatch (the bench's
+        pipelined mode, `RequestCoalescer(run_batch_async=...)`). Modes
+        without a device seam complete synchronously."""
+        searcher = self._fused_searcher() if mode == "hybrid" else None
+        if searcher is None:
+            res = self.search_batch(queries, mode=mode, top_k=top_k,
+                                    use_cache=use_cache)
+            return lambda: res
+        out: List[Any] = [None] * len(queries)
+        miss = list(range(len(queries)))
+        if use_cache:
+            miss = []
+            for i, q in enumerate(queries):
+                cached = self.query_cache.get("search", q, mode=mode, top_k=top_k)
+                if cached is not None:
+                    out[i] = list(cached)
+                else:
+                    miss.append(i)
+        if not miss:
+            return lambda: out
+        miss_q = [queries[i] for i in miss]
+        _, unpack = self._dispatch_fused(searcher, miss_q, top_k, fetch=False)
+
+        def complete() -> List[List[Tuple[Any, float]]]:
+            resolved = self._resolve_fused_rows(unpack(), len(miss_q))
+            for j, i in enumerate(miss):
+                out[i] = resolved[j]
+                if use_cache:
+                    self.query_cache.put("search", queries[i], resolved[j],
+                                         mode=mode, top_k=top_k)
+            return out
+
+        return complete
+
     def _search_uncached_batch(self, queries: List[str], mode: str,
                                top_k: int) -> List[List[Tuple[Any, float]]]:
         if mode == "dense":
@@ -385,31 +461,10 @@ class RadiantTPU:
             return self.bm25_index.search_batch(queries, top_k=top_k)
         # hybrid: the fused single-program path when the TPU engine backs the
         # store; otherwise per-run retrieval + host RRF
-        searcher = getattr(self.orchestrator, "_hybrid", None)
-        if searcher is not None and self.store.count_documents() > 0:
-            searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
-            if hasattr(self.orchestrator, "_ensure_fusion_calibration"):
-                self.orchestrator._ensure_fusion_calibration()
-            embs = self.local_models.embed(queries)
-            res = searcher.search_rows(
-                embs, list(queries), dense_k=top_k, bm25_k=top_k,
-                fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
-                mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
-                rescore_multiplier=self.config.quantization.rescore_multiplier,
-                fusion=getattr(self.config.retrieval, "fusion_weighting", "confidence"))
-            scores, rows = res["fused"]
-            batched = []
-            for qi in range(len(queries)):
-                hits = []
-                for s, r in zip(scores[qi], rows[qi]):
-                    if r < 0:
-                        continue
-                    doc_id = self.store.id_for_row(int(r))
-                    doc = self.store.get_doc(doc_id) if doc_id else None
-                    if doc is not None:
-                        hits.append((doc, float(s)))
-                batched.append(hits)
-            return batched
+        searcher = self._fused_searcher()
+        if searcher is not None:
+            res = self._dispatch_fused(searcher, queries, top_k)
+            return self._resolve_fused_rows(res, len(queries))
         embs = self.local_models.embed(queries)
         dense = self.store.retrieve_by_embedding_batch(embs, top_k=top_k)
         sparse = self.bm25_index.search_batch(queries, top_k=top_k)

@@ -410,6 +410,9 @@ class ServerConfig:
     coalesce: bool = True
     max_batch: int = 32
     max_wait_ms: float = 4.0
+    # batches kept in flight by the coalescer worker (device->host fetch of
+    # one batch overlaps the next batch's dispatch); 1 = sequential
+    pipeline_depth: int = 2
 
 
 # ---------------------------------------------------------------------------

@@ -341,10 +341,12 @@ class DeviceVectorIndex:
     # -- queries -----------------------------------------------------------
     def max_query_bucket(self) -> int:
         """Largest usable query bucket for this corpus size (HBM-gated: the
-        stage-1 scan materializes a (bucket, capacity) f32 score buffer per
-        leg; oversized batches are chunked by callers at this bound)."""
+        stage-1 scan materializes a (bucket, capacity) score buffer per leg
+        — f32, or half that under the bf16 select policies; oversized
+        batches are chunked by callers at this bound)."""
+        bpe = 2 if str(self.stage1_select).startswith("bf16") else 4
         cap = self.QUERY_BUCKETS[-1]
-        while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
+        while cap > 256 and cap * self.capacity * bpe > self.SCORE_BYTES_CAP:
             cap //= 2
         return cap
 

@@ -52,18 +52,34 @@ class RagAPI:
             coalesce = scfg.coalesce if scfg is not None else True
         self._coalescer: Optional[RequestCoalescer] = None
         if coalesce and hasattr(app, "search_batch"):
+            depth = scfg.pipeline_depth if scfg is not None else 2
             self._coalescer = RequestCoalescer(
                 self._run_search_batch,
                 max_batch=max_batch if max_batch is not None else
                 (scfg.max_batch if scfg is not None else 32),
                 max_wait_ms=max_wait_ms if max_wait_ms is not None else
                 (scfg.max_wait_ms if scfg is not None else 4.0),
-                name="search")
+                name="search",
+                # two-phase dispatch keeps batches in flight: one batch's
+                # device->host fetch overlaps the next batch's dispatch
+                run_batch_async=(self._dispatch_search_batch
+                                 if depth > 1 and hasattr(app, "search_batch_async")
+                                 else None),
+                pipeline_depth=depth)
 
     def _run_search_batch(self, key, queries):
         mode, top_k = key
         with self._lock:
             return self.app.search_batch(list(queries), mode=mode, top_k=top_k)
+
+    def _dispatch_search_batch(self, key, queries):
+        """Dispatch under the device lock; the returned complete() blocks on
+        the transfer WITHOUT holding the lock (docstore reads are internally
+        locked)."""
+        mode, top_k = key
+        with self._lock:
+            return self.app.search_batch_async(list(queries), mode=mode,
+                                               top_k=top_k)
 
     def close(self) -> None:
         if self._coalescer is not None:

@@ -43,8 +43,20 @@ class RequestCoalescer:
         max_batch: int = 32,
         max_wait_ms: float = 4.0,
         name: str = "coalescer",
+        run_batch_async: Optional[Callable[[Hashable, Sequence[Any]],
+                                           Callable[[], Sequence[Any]]]] = None,
+        pipeline_depth: int = 2,
     ) -> None:
+        """run_batch_async, if given, is a two-phase form: it DISPATCHES the
+        batch (device program + async transfers) and returns a complete()
+        that blocks for the results. The worker then keeps up to
+        `pipeline_depth` batches in flight, overlapping one batch's
+        device->host fetch with the next batch's dispatch — the serving-side
+        twin of bench.py's pipelined mode (which measured +60% sustained
+        QPS over sequential at 100k docs)."""
         self.run_batch = run_batch
+        self.run_batch_async = run_batch_async
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
         self.name = name
@@ -52,7 +64,8 @@ class RequestCoalescer:
         self._groups: "OrderedDict[Hashable, List[_Pending]]" = OrderedDict()
         self._cv = threading.Condition()
         self._stopped = False
-        self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
+                      "pipelined": 0}
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name=f"{name}-worker")
         self._worker.start()
@@ -99,13 +112,48 @@ class RequestCoalescer:
             del self._groups[key]
         return key, batch
 
+    def _deliver(self, batch: List[_Pending], results=None,
+                 error: Optional[BaseException] = None) -> None:
+        if error is None and results is not None and len(results) != len(batch):
+            error = RuntimeError(
+                f"run_batch returned {len(results)} results for "
+                f"{len(batch)} items")
+        if error is not None:
+            for p in batch:
+                p.error = error
+        else:
+            for p, r in zip(batch, results):
+                p.result = r
+        self.stats["batches"] += 1
+        self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
+        for p in batch:
+            p.event.set()
+
     def _loop(self) -> None:
+        from collections import deque
+
+        inflight: "deque[tuple]" = deque()  # (batch, complete)
+
+        def drain_one() -> None:
+            batch, complete = inflight.popleft()
+            try:
+                self._deliver(batch, complete())
+            except BaseException as exc:  # noqa: BLE001 — routed to callers
+                self._deliver(batch, error=exc)
+
         while True:
             with self._cv:
-                while not self._groups and not self._stopped:
+                while not self._groups and not self._stopped and not inflight:
                     self._cv.wait()
-                if self._stopped and not self._groups:
+                stopping = self._stopped and not self._groups
+            if not self._groups and inflight:
+                # nothing new to dispatch: resolve the oldest in-flight batch
+                drain_one()
+                if stopping and not inflight:
                     return
+                continue
+            if stopping:
+                return
             # accumulation window: let concurrent callers join the batch
             if self.max_wait_s:
                 time.sleep(self.max_wait_s)
@@ -114,19 +162,18 @@ class RequestCoalescer:
             if taken is None:
                 continue
             key, batch = taken
+            if self.run_batch_async is not None:
+                try:
+                    complete = self.run_batch_async(key, [p.item for p in batch])
+                except BaseException as exc:  # noqa: BLE001
+                    self._deliver(batch, error=exc)
+                    continue
+                inflight.append((batch, complete))
+                self.stats["pipelined"] += 1
+                while len(inflight) > self.pipeline_depth:
+                    drain_one()
+                continue
             try:
-                results = self.run_batch(key, [p.item for p in batch])
-                if len(results) != len(batch):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results for "
-                        f"{len(batch)} items")
-                for p, r in zip(batch, results):
-                    p.result = r
+                self._deliver(batch, self.run_batch(key, [p.item for p in batch]))
             except BaseException as exc:  # noqa: BLE001 — routed to callers
-                for p in batch:
-                    p.error = exc
-            finally:
-                self.stats["batches"] += 1
-                self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
-                for p in batch:
-                    p.event.set()
+                self._deliver(batch, error=exc)

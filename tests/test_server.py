@@ -327,3 +327,71 @@ def test_llm_client_chat_stream_retry_and_midstream():
     with pytest.raises(LLMError):  # mid-stream failure must NOT retry
         client2.chat_stream([{"role": "user", "content": "x"}])
     assert client2.call_count == 1
+
+
+def test_request_coalescer_pipelined_unit():
+    """Two-phase run_batch_async: dispatch returns complete(); up to
+    pipeline_depth batches stay in flight; results/errors still route to the
+    right callers and stop() flushes in-flight work."""
+    import time as _time
+
+    from radiant_rag_tpu.utils.batching import RequestCoalescer
+
+    dispatched, completed = [], []
+
+    def run_async(key, items):
+        dispatched.append((key, list(items)))
+        if key == "bad-dispatch":
+            raise ValueError("dispatch boom")
+
+        def complete():
+            _time.sleep(0.02)  # simulate the device->host fetch
+            completed.append(key)
+            if key == "bad-complete":
+                raise ValueError("complete boom")
+            return [f"{key}:{i}" for i in items]
+
+        return complete
+
+    c = RequestCoalescer(lambda k, it: [], max_batch=8, max_wait_ms=5.0,
+                         run_batch_async=run_async, pipeline_depth=2)
+    results, errors = {}, {}
+
+    def worker(key, item):
+        try:
+            results[(key, item)] = c.submit(key, item, timeout=10.0)
+        except Exception as exc:
+            errors[(key, item)] = exc
+
+    threads = [threading.Thread(target=worker, args=(k, i))
+               for k in ("a", "b", "c", "bad-dispatch", "bad-complete")
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for k in ("a", "b", "c"):
+        for i in range(2):
+            assert results[(k, i)] == f"{k}:{i}"
+    assert isinstance(errors[("bad-dispatch", 0)], ValueError)
+    assert isinstance(errors[("bad-complete", 1)], ValueError)
+    assert c.stats["pipelined"] >= 4
+    c.stop()
+
+
+def test_app_search_batch_async_matches_sync(served_app):
+    """search_batch_async(complete)() == search_batch for the fused hybrid
+    path (the serving pipeline seam must not change results)."""
+    app, _port = served_app
+    queries = ["coherent light emission", "stimulated emission", "lasers"]
+    sync = app.search_batch(list(queries), mode="hybrid", top_k=5,
+                            use_cache=False)
+    complete = app.search_batch_async(list(queries), mode="hybrid", top_k=5,
+                                      use_cache=False)
+    pipelined = complete()
+    assert len(sync) == len(pipelined) == 3
+    assert any(sync[i] for i in range(3))  # something was actually found
+    for s_hits, p_hits in zip(sync, pipelined):
+        assert [d.doc_id for d, _ in s_hits] == [d.doc_id for d, _ in p_hits]
+        for (_, ss), (_, ps) in zip(s_hits, p_hits):
+            assert abs(ss - ps) < 2e-3
