@@ -350,27 +350,38 @@ class RadiantTPU:
             self.query_cache.put("search", query, hits, mode=mode, top_k=top_k)
         return hits
 
+    def _cache_scan(self, queries: List[str], mode: str, top_k: int,
+                    use_cache: bool) -> Tuple[List[Any], List[int]]:
+        """Pre-fill results from the query cache; returns (out, miss idxs)."""
+        out: List[Any] = [None] * len(queries)
+        if not use_cache:
+            return out, list(range(len(queries)))
+        miss: List[int] = []
+        for i, q in enumerate(queries):
+            cached = self.query_cache.get("search", q, mode=mode, top_k=top_k)
+            if cached is not None:
+                out[i] = list(cached)
+            else:
+                miss.append(i)
+        return out, miss
+
+    def _cache_fill(self, queries: List[str], out: List[Any], miss: List[int],
+                    resolved: List[Any], mode: str, top_k: int,
+                    use_cache: bool) -> None:
+        for j, i in enumerate(miss):
+            out[i] = resolved[j]
+            if use_cache:
+                self.query_cache.put("search", queries[i], resolved[j],
+                                     mode=mode, top_k=top_k)
+
     def search_batch(self, queries: List[str], mode: str = "hybrid",
                      top_k: int = 10, use_cache: bool = True) -> List[List[Tuple[Any, float]]]:
         """Batched retrieval: ONE device program for the whole batch (the
         serving layer coalesces concurrent requests into this — server.py)."""
-        out: List[Any] = [None] * len(queries)
-        miss = list(range(len(queries)))
-        if use_cache:
-            miss = []
-            for i, q in enumerate(queries):
-                cached = self.query_cache.get("search", q, mode=mode, top_k=top_k)
-                if cached is not None:
-                    out[i] = list(cached)
-                else:
-                    miss.append(i)
+        out, miss = self._cache_scan(queries, mode, top_k, use_cache)
         if miss:
             res = self._search_uncached_batch([queries[i] for i in miss], mode, top_k)
-            for j, i in enumerate(miss):
-                out[i] = res[j]
-                if use_cache:
-                    self.query_cache.put("search", queries[i], res[j],
-                                         mode=mode, top_k=top_k)
+            self._cache_fill(queries, out, miss, res, mode, top_k, use_cache)
         return out
 
     def _search_uncached(self, query: str, mode: str, top_k: int) -> List[Tuple[Any, float]]:
@@ -426,16 +437,7 @@ class RadiantTPU:
             res = self.search_batch(queries, mode=mode, top_k=top_k,
                                     use_cache=use_cache)
             return lambda: res
-        out: List[Any] = [None] * len(queries)
-        miss = list(range(len(queries)))
-        if use_cache:
-            miss = []
-            for i, q in enumerate(queries):
-                cached = self.query_cache.get("search", q, mode=mode, top_k=top_k)
-                if cached is not None:
-                    out[i] = list(cached)
-                else:
-                    miss.append(i)
+        out, miss = self._cache_scan(queries, mode, top_k, use_cache)
         if not miss:
             return lambda: out
         miss_q = [queries[i] for i in miss]
@@ -443,13 +445,11 @@ class RadiantTPU:
 
         def complete() -> List[List[Tuple[Any, float]]]:
             resolved = self._resolve_fused_rows(unpack(), len(miss_q))
-            for j, i in enumerate(miss):
-                out[i] = resolved[j]
-                if use_cache:
-                    self.query_cache.put("search", queries[i], resolved[j],
-                                         mode=mode, top_k=top_k)
+            self._cache_fill(queries, out, miss, resolved, mode, top_k,
+                             use_cache)
             return out
 
+        complete.pipelined = True  # real device seam (stats honesty)
         return complete
 
     def _search_uncached_batch(self, queries: List[str], mode: str,

@@ -22,6 +22,7 @@ import gzip
 import json
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Set
 
@@ -38,6 +39,11 @@ _GARBAGE_RATIO = 0.25
 
 class DocStore:
     def __init__(self) -> None:
+        # RLock: readers (serving's pipelined complete() resolves rows ->
+        # docs WITHOUT the server device lock) vs writers (ingest/delete
+        # under it). Mutations touch two maps (id_to_row + row_to_id), so
+        # correctness cannot ride on single-dict GIL atomicity.
+        self._lock = threading.RLock()
         self.docs: Dict[str, StoredDoc] = {}
         self.id_to_row: Dict[str, int] = {}  # only docs with embeddings
         self.row_to_id: Dict[int, str] = {}
@@ -49,40 +55,45 @@ class DocStore:
 
     # -- membership --------------------------------------------------------
     def put(self, doc: StoredDoc, row: Optional[int] = None) -> None:
-        if doc.doc_id in self.docs and doc.doc_id not in self._dirty:
-            self._superseded += 1  # old generation remains in a segment
-        self.docs[doc.doc_id] = doc
-        self._dirty.add(doc.doc_id)
-        self._deleted.discard(doc.doc_id)
-        if row is not None:
-            old = self.id_to_row.pop(doc.doc_id, None)
-            if old is not None:
-                self.row_to_id.pop(old, None)
-            self.id_to_row[doc.doc_id] = row
-            self.row_to_id[row] = doc.doc_id
+        with self._lock:
+            if doc.doc_id in self.docs and doc.doc_id not in self._dirty:
+                self._superseded += 1  # old generation remains in a segment
+            self.docs[doc.doc_id] = doc
+            self._dirty.add(doc.doc_id)
+            self._deleted.discard(doc.doc_id)
+            if row is not None:
+                old = self.id_to_row.pop(doc.doc_id, None)
+                if old is not None:
+                    self.row_to_id.pop(old, None)
+                self.id_to_row[doc.doc_id] = row
+                self.row_to_id[row] = doc.doc_id
 
     def get(self, doc_id: str) -> Optional[StoredDoc]:
-        return self.docs.get(doc_id)
+        with self._lock:
+            return self.docs.get(doc_id)
 
     def delete(self, doc_id: str) -> Optional[int]:
         """Remove doc; returns its device row if it had one."""
-        existed = self.docs.pop(doc_id, None) is not None
-        if existed and doc_id not in self._dirty:
-            self._deleted.add(doc_id)  # tombstone for persisted generations
-        self._dirty.discard(doc_id)
-        row = self.id_to_row.pop(doc_id, None)
-        if row is not None:
-            self.row_to_id.pop(row, None)
-        return row
+        with self._lock:
+            existed = self.docs.pop(doc_id, None) is not None
+            if existed and doc_id not in self._dirty:
+                self._deleted.add(doc_id)  # tombstone for persisted generations
+            self._dirty.discard(doc_id)
+            row = self.id_to_row.pop(doc_id, None)
+            if row is not None:
+                self.row_to_id.pop(row, None)
+            return row
 
     def has_embedding(self, doc_id: str) -> bool:
         return doc_id in self.id_to_row
 
     def row_of(self, doc_id: str) -> Optional[int]:
-        return self.id_to_row.get(doc_id)
+        with self._lock:
+            return self.id_to_row.get(doc_id)
 
     def ids_for_rows(self, rows: np.ndarray) -> List[Optional[str]]:
-        return [self.row_to_id.get(int(r)) if r >= 0 else None for r in rows]
+        with self._lock:
+            return [self.row_to_id.get(int(r)) if r >= 0 else None for r in rows]
 
     def __len__(self) -> int:
         return len(self.docs)
@@ -91,13 +102,14 @@ class DocStore:
         return iter(self.docs.values())
 
     def clear(self) -> None:
-        self.docs.clear()
-        self.id_to_row.clear()
-        self.row_to_id.clear()
-        self._dirty.clear()
-        self._deleted.clear()
-        self._superseded = 0
-        self._force_compact = True
+        with self._lock:
+            self.docs.clear()
+            self.id_to_row.clear()
+            self.row_to_id.clear()
+            self._dirty.clear()
+            self._deleted.clear()
+            self._superseded = 0
+            self._force_compact = True
 
     # -- persistence -------------------------------------------------------
     def _record(self, doc: StoredDoc) -> str:

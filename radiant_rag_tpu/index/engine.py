@@ -121,9 +121,10 @@ class DeviceVectorIndex:
 
     # Query-batch padding buckets: one compiled program per (bucket, k, mode).
     # Throughput keeps scaling past 256 (fixed dispatch+fetch amortizes —
-    # BENCH_NOTES.md batch sweep); the top bucket a corpus may use is HBM-
-    # gated by max_query_bucket() (stage-1 materializes a (B, N) f32 score
-    # buffer per leg: 2048 is usable to ~700k rows, 1024 to ~1.5M).
+    # BENCH_NOTES.md batch ladder: 13.3k/21.6k/28.4k QPS at B=1024/2048/4096,
+    # 100k docs); the top bucket a corpus may use is HBM-gated by
+    # max_query_bucket() (stage-1 materializes a 4-byte (B, N) buffer per
+    # leg: 4096 usable to ~250k rows, 2048 to ~500k, 1024 to ~1.5M).
     QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
     # per-leg (B, N) f32 stage-1 score-buffer budget; keeps two legs' buffers
     # + the resident corpus inside a 16 GB HBM chip
@@ -340,13 +341,24 @@ class DeviceVectorIndex:
 
     # -- queries -----------------------------------------------------------
     def max_query_bucket(self) -> int:
-        """Largest usable query bucket for this corpus size (HBM-gated: the
-        stage-1 scan materializes a (bucket, capacity) score buffer per leg
-        — f32, or half that under the bf16 select policies; oversized
-        batches are chunked by callers at this bound)."""
-        bpe = 2 if str(self.stage1_select).startswith("bf16") else 4
+        """Largest usable query bucket for this corpus size (HBM-gated).
+
+        Accounting is 4 bytes per (bucket, capacity) element per leg even
+        under bf16 select policies: the BM25 pages leg scatters into an f32
+        buffer and the sketch leg's MXU accumulator is int32, so the widest
+        transient is always 4-byte regardless of the select dtype. The gate
+        assumes both legs' buffers can coexist — pessimistic when XLA
+        schedules the legs sequentially (measured: bf16 select at 1M docs x
+        B=2048 runs fine and lifts pipelined QPS 15.9k -> 21.5k) — so
+        RAD_MAX_QUERY_BUCKET overrides it for deployments that have
+        validated a larger bucket on their chip."""
+        import os
+
+        override = os.environ.get("RAD_MAX_QUERY_BUCKET")
+        if override:
+            return min(int(override), self.QUERY_BUCKETS[-1])
         cap = self.QUERY_BUCKETS[-1]
-        while cap > 256 and cap * self.capacity * bpe > self.SCORE_BYTES_CAP:
+        while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
             cap //= 2
         return cap
 

@@ -49,11 +49,14 @@ class RequestCoalescer:
     ) -> None:
         """run_batch_async, if given, is a two-phase form: it DISPATCHES the
         batch (device program + async transfers) and returns a complete()
-        that blocks for the results. The worker then keeps up to
-        `pipeline_depth` batches in flight, overlapping one batch's
-        device->host fetch with the next batch's dispatch — the serving-side
-        twin of bench.py's pipelined mode (which measured +60% sustained
-        QPS over sequential at 100k docs)."""
+        that blocks for the results. A separate drain thread then resolves
+        completed batches while the dispatch thread moves on — one batch's
+        device->host fetch overlaps the next batch's dispatch (the
+        serving-side twin of bench.py's pipelined mode, which measured +60%
+        sustained QPS over sequential at 100k docs). The bounded hand-off
+        queue caps in-flight batches at `pipeline_depth`; crucially,
+        completed results are never held hostage by a dispatch that blocks
+        (e.g. on the server device lock during a long /query)."""
         self.run_batch = run_batch
         self.run_batch_async = run_batch_async
         self.pipeline_depth = max(1, int(pipeline_depth))
@@ -66,6 +69,16 @@ class RequestCoalescer:
         self._stopped = False
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0,
                       "pipelined": 0}
+        self._drain_q = None
+        self._drainer = None
+        if run_batch_async is not None:
+            import queue as _queue
+
+            self._drain_q = _queue.Queue(maxsize=self.pipeline_depth)
+            self._drainer = threading.Thread(target=self._drain_loop,
+                                             daemon=True,
+                                             name=f"{name}-drain")
+            self._drainer.start()
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name=f"{name}-worker")
         self._worker.start()
@@ -90,6 +103,8 @@ class RequestCoalescer:
             self._stopped = True
             self._cv.notify_all()
         self._worker.join(timeout=5.0)
+        if self._drainer is not None:
+            self._drainer.join(timeout=5.0)
         # fail anything still queued
         with self._cv:
             for group in self._groups.values():
@@ -129,31 +144,28 @@ class RequestCoalescer:
         for p in batch:
             p.event.set()
 
-    def _loop(self) -> None:
-        from collections import deque
-
-        inflight: "deque[tuple]" = deque()  # (batch, complete)
-
-        def drain_one() -> None:
-            batch, complete = inflight.popleft()
+    def _drain_loop(self) -> None:
+        """Resolve in-flight batches in dispatch order (separate thread, so
+        a blocked dispatch never delays already-computed results)."""
+        while True:
+            got = self._drain_q.get()
+            if got is None:  # stop sentinel
+                return
+            batch, complete = got
             try:
                 self._deliver(batch, complete())
             except BaseException as exc:  # noqa: BLE001 — routed to callers
                 self._deliver(batch, error=exc)
 
+    def _loop(self) -> None:
         while True:
             with self._cv:
-                while not self._groups and not self._stopped and not inflight:
+                while not self._groups and not self._stopped:
                     self._cv.wait()
-                stopping = self._stopped and not self._groups
-            if not self._groups and inflight:
-                # nothing new to dispatch: resolve the oldest in-flight batch
-                drain_one()
-                if stopping and not inflight:
+                if self._stopped and not self._groups:
+                    if self._drain_q is not None:
+                        self._drain_q.put(None)  # flush + stop the drainer
                     return
-                continue
-            if stopping:
-                return
             # accumulation window: let concurrent callers join the batch
             if self.max_wait_s:
                 time.sleep(self.max_wait_s)
@@ -168,10 +180,10 @@ class RequestCoalescer:
                 except BaseException as exc:  # noqa: BLE001
                     self._deliver(batch, error=exc)
                     continue
-                inflight.append((batch, complete))
-                self.stats["pipelined"] += 1
-                while len(inflight) > self.pipeline_depth:
-                    drain_one()
+                if getattr(complete, "pipelined", False):
+                    self.stats["pipelined"] += 1
+                # blocks when pipeline_depth batches are already in flight
+                self._drain_q.put((batch, complete))
                 continue
             try:
                 self._deliver(batch, self.run_batch(key, [p.item for p in batch]))

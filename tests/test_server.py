@@ -351,6 +351,8 @@ def test_request_coalescer_pipelined_unit():
                 raise ValueError("complete boom")
             return [f"{key}:{i}" for i in items]
 
+        if key != "sync-fallback":
+            complete.pipelined = True  # real device seam marker
         return complete
 
     c = RequestCoalescer(lambda k, it: [], max_batch=8, max_wait_ms=5.0,
@@ -364,18 +366,22 @@ def test_request_coalescer_pipelined_unit():
             errors[(key, item)] = exc
 
     threads = [threading.Thread(target=worker, args=(k, i))
-               for k in ("a", "b", "c", "bad-dispatch", "bad-complete")
+               for k in ("a", "b", "c", "bad-dispatch", "bad-complete",
+                         "sync-fallback")
                for i in range(2)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    for k in ("a", "b", "c"):
+    for k in ("a", "b", "c", "sync-fallback"):
         for i in range(2):
             assert results[(k, i)] == f"{k}:{i}"
     assert isinstance(errors[("bad-dispatch", 0)], ValueError)
     assert isinstance(errors[("bad-complete", 1)], ValueError)
-    assert c.stats["pipelined"] >= 4
+    # only completes that declared the device seam count as pipelined
+    # (sync fallbacks — cache hits, non-hybrid modes — must not)
+    assert c.stats["pipelined"] >= 3
+    assert c.stats["pipelined"] < c.stats["batches"]
     c.stop()
 
 
