@@ -99,28 +99,6 @@ def build_knn_graph(
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _seed_block(
-    sample_vecs: jax.Array,  # (S0, D) corpus sample
-    sample_rows: jax.Array,  # (S0,) int32 their rows
-    qblk: jax.Array,  # (b, D)
-    qrows: jax.Array,  # (b,) int32
-    k: int,
-) -> jax.Array:
-    """Initial adjacency seeding: each node's top-k rows WITHIN a corpus
-    sample (one small matmul). Uniform-random init gives NN-descent
-    candidates almost entirely in the wrong region of a large corpus —
-    measured at 1M rows, edge agreement saturated at 0.87 because two-hop
-    expansion never reached the right cluster; sample-seeded init starts
-    the descent already in the neighborhood."""
-    s = jax.lax.dot_general(
-        qblk.astype(jnp.bfloat16), sample_vecs.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = jnp.where(sample_rows[None, :] == qrows[:, None], NEG_INF, s)
-    _, sel = jax.lax.top_k(s, k)
-    return jnp.take(sample_rows, sel)  # (b, k)
-
-
-@partial(jax.jit, static_argnames=("k",))
 def _descent_block(
     vdev: jax.Array,  # (N, D) corpus
     mask: jax.Array,  # (N,) bool live rows
@@ -211,33 +189,16 @@ def nn_descent_graph(
     mask_dev = jnp.asarray(live)
     rng = np.random.default_rng(seed)
 
-    # MIXED init: half of each node's edges seeded from a corpus sample
-    # (locality — a pure-random init leaves two-hop expansion stranded far
-    # from the node's region at 1M+ rows, agreement plateaued at 0.87),
-    # half uniform random (diversity — an ALL-seeded init collapses the
-    # graph onto the 4096 sample rows, starves reverse edges and converges
-    # to a 0.55-agreement local optimum; both measured at 1M).
-    s0 = min(4096, len(pool))
-    k_seed = min(r // 2, s0)
-    srows = rng.choice(pool, size=s0, replace=False).astype(np.int32)
-    sample_rows = jnp.asarray(srows)
-    sample_vecs = jnp.take(vdev, sample_rows, axis=0)
-    adj = np.empty((n, r), np.int32)
-    adj[:, k_seed:] = rng.choice(pool, size=(n, r - k_seed),
-                                 replace=True).astype(np.int32)
-    if k_seed > 0:
-        seed_pending = []
-        for b0 in range(0, n, block):
-            e0 = min(b0 + block, n)
-            qb = vdev[b0:e0]
-            qrows = np.arange(b0, b0 + block, dtype=np.int32)
-            if e0 - b0 < block:
-                qb = jnp.pad(qb, ((0, block - (e0 - b0)), (0, 0)))
-            ids = _seed_block(sample_vecs, sample_rows, qb,
-                              jnp.asarray(qrows), k_seed)
-            seed_pending.append((b0, e0, ids))
-        for b0, e0, ids in seed_pending:
-            adj[b0:e0, :k_seed] = np.asarray(ids)[: e0 - b0]
+    # UNIFORM-RANDOM init — kept deliberately, after measuring two
+    # "smarter" inits at 1M rows that both LOST to it (agreement after
+    # convergence: random 0.87, all-edges-seeded-from-a-4096-sample 0.55,
+    # half-seeded 0.74). Sample-seeded edges concentrate in-degree on the
+    # sample rows; those hubs dominate reverse sampling and two-hop
+    # expansion, so the descent explores around the hubs instead of each
+    # node's own region. Random init has no hubs: every node's candidates
+    # diversify independently. The remaining 1M-convergence gap is a
+    # candidate-budget problem (see ROADMAP), not an init problem.
+    adj = rng.choice(pool, size=(n, r), replace=True).astype(np.int32)
     rev = np.full((n, n_reverse), -1, np.int32)
     for it in range(iters):
         # reverse-edge sample: for each edge i->j, j sees i as a candidate
