@@ -153,6 +153,15 @@ def _refine_block(
     return top_s, ids
 
 
+@jax.jit
+def _nearest_sample_block(sample_vecs: jax.Array, qblk: jax.Array) -> jax.Array:
+    """Index (into the sample) of each block row's nearest sample vector."""
+    s = jax.lax.dot_general(
+        qblk.astype(jnp.bfloat16), sample_vecs.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return jnp.argmax(s, axis=1)
+
+
 def nn_descent_graph(
     vecs: np.ndarray,  # (N, D) L2-normalized
     degree: int = 16,
@@ -164,6 +173,7 @@ def nn_descent_graph(
     n_reverse: int = 16,
     n_random: int = 8,
     converge_frac: float = 0.001,
+    two_level: bool = False,
 ) -> np.ndarray:
     """Approximate KNN graph by NN-descent; returns (N, R+L) int32.
 
@@ -184,7 +194,15 @@ def nn_descent_graph(
     that reaches 0.97 edge agreement at 200k rows saturates at 0.87 at 1M —
     each round explores a constant number of candidates out of a growing
     space, so the marginal discovery rate decays with N. Callers passing
-    explicit values keep them."""
+    explicit values keep them.
+
+    two_level=True (experimental): converge a <=131k-row subsample graph
+    first (where this recipe reaches ~0.97 agreement), then initialize
+    every node with the adjacency of its NEAREST subsample member before
+    the full-corpus rounds. Unlike seeding edges at the sample rows
+    themselves (measured hub collapse, BENCH_NOTES init study), inherited
+    targets are the sample node's own neighbors — in-degree concentration
+    is only ~N/S per target, about the random-init scale."""
     n, d = vecs.shape
     r = degree
     # ~2x budget at 1M, ~4x at 10M (capped: per-round cost grows with C)
@@ -198,16 +216,42 @@ def nn_descent_graph(
     mask_dev = jnp.asarray(live)
     rng = np.random.default_rng(seed)
 
-    # UNIFORM-RANDOM init — kept deliberately, after measuring two
+    # UNIFORM-RANDOM init — kept as the default after measuring two
     # "smarter" inits at 1M rows that both LOST to it (agreement after
     # convergence: random 0.87, all-edges-seeded-from-a-4096-sample 0.55,
     # half-seeded 0.74). Sample-seeded edges concentrate in-degree on the
     # sample rows; those hubs dominate reverse sampling and two-hop
     # expansion, so the descent explores around the hubs instead of each
     # node's own region. Random init has no hubs: every node's candidates
-    # diversify independently. The remaining 1M-convergence gap is a
-    # candidate-budget problem (see ROADMAP), not an init problem.
-    adj = rng.choice(pool, size=(n, r), replace=True).astype(np.int32)
+    # diversify independently. two_level (docstring) inherits CONVERGED
+    # subsample adjacency instead, which avoids the hub concentration.
+    if two_level and len(pool) > 1 << 18:
+        s1 = min(1 << 17, len(pool))
+        sub = rng.choice(pool, size=s1, replace=False).astype(np.int32)
+        sub_vecs = np.ascontiguousarray(np.asarray(vecs)[sub])
+        sub_adj = nn_descent_graph(
+            sub_vecs, degree=r, n_long_edges=0, iters=iters, block=block,
+            seed=seed + 7)[:, :r]
+        # local subsample ids -> corpus rows (-1 stays -1)
+        sub_adj = np.where(sub_adj >= 0, sub[np.maximum(sub_adj, 0)], -1)
+        sub_vecs_dev = jnp.take(vdev, jnp.asarray(sub), axis=0)
+        nearest = np.empty(n, np.int64)
+        pend = []
+        for b0 in range(0, n, block):
+            e0 = min(b0 + block, n)
+            qb = vdev[b0:e0]
+            if e0 - b0 < block:
+                qb = jnp.pad(qb, ((0, block - (e0 - b0)), (0, 0)))
+            pend.append((b0, e0, _nearest_sample_block(sub_vecs_dev, qb)))
+        for b0, e0, idx in pend:
+            nearest[b0:e0] = np.asarray(idx)[: e0 - b0]
+        adj = sub_adj[nearest]
+        dead = adj < 0
+        if dead.any():
+            adj[dead] = rng.choice(pool, size=int(dead.sum()), replace=True)
+        adj = adj.astype(np.int32)
+    else:
+        adj = rng.choice(pool, size=(n, r), replace=True).astype(np.int32)
     rev = np.full((n, n_reverse), -1, np.int32)
     for it in range(iters):
         # reverse-edge sample: for each edge i->j, j sees i as a candidate

@@ -50,7 +50,9 @@ def main() -> None:
 
     gi = GraphIndex(degree=16, n_long_edges=4, n_entry_points=16, steps=8)
     t0 = time.perf_counter()
-    adj = nn_descent_graph(vecs, degree=16, n_long_edges=4, iters=iters)
+    two_level = os.environ.get("TWO_LEVEL", "0") == "1"
+    adj = nn_descent_graph(vecs, degree=16, n_long_edges=4, iters=iters,
+                           two_level=two_level)
     gi.neighbors = jnp.asarray(adj)
     gi.entry_points = jnp.asarray(
         rng.choice(n, size=16, replace=False).astype(np.int32))
