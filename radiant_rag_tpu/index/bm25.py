@@ -630,7 +630,10 @@ class BM25Index:
         qidx_l: List[int] = []
         idf_l: List[float] = []
         for qi, uniq in enumerate(tids_per_q):
-            tids = list(uniq)
+            # query_tids() hands back (B, T) arrays padded with -1; a pad's
+            # term_start[0]-term_start[-1] is negative and would INFLATE the
+            # per-query posting budget, disabling the max_postings cap
+            tids = [int(t) for t in uniq if t >= 0]
             tids.sort(key=lambda tid: self._term_start[tid + 1] - self._term_start[tid])
             budget = self.max_postings
             for tid in tids:

@@ -91,6 +91,10 @@ class DocStore:
         with self._lock:
             return self.id_to_row.get(doc_id)
 
+    def id_for_row(self, row: int) -> Optional[str]:
+        with self._lock:
+            return self.row_to_id.get(int(row))
+
     def ids_for_rows(self, rows: np.ndarray) -> List[Optional[str]]:
         with self._lock:
             return [self.row_to_id.get(int(r)) if r >= 0 else None for r in rows]
@@ -112,21 +116,24 @@ class DocStore:
             self._force_compact = True
 
     # -- persistence -------------------------------------------------------
-    def _record(self, doc: StoredDoc) -> str:
+    @staticmethod
+    def _record(doc: StoredDoc, row: int) -> str:
         return json.dumps({
             "doc_id": doc.doc_id,
             "content": doc.content,
             "meta": doc.meta,
-            "row": self.id_to_row.get(doc.doc_id, -1),
+            "row": row,
         }, default=str)
 
-    def _write_segment(self, d: Path, name: str, ids) -> None:
+    @staticmethod
+    def _write_segment(d: Path, name: str, entries: List) -> None:
+        """entries: (doc, row) pairs snapshotted under the store lock.
+        StoredDoc values are replaced wholesale (never mutated in place), so
+        serializing the references outside the lock is race-free."""
         tmp = str(d / name) + ".tmp"
         with gzip.open(tmp, "wt", encoding="utf-8") as fh:
-            for doc_id in ids:
-                doc = self.docs.get(doc_id)
-                if doc is not None:
-                    fh.write(self._record(doc) + "\n")
+            for doc, row in entries:
+                fh.write(DocStore._record(doc, row) + "\n")
         os.replace(tmp, str(d / name))
 
     @staticmethod
@@ -152,18 +159,31 @@ class DocStore:
         d.mkdir(parents=True, exist_ok=True)
         manifest = self._read_manifest(d)
         known_deleted = set(manifest.get("deleted", []))
-        garbage = self._superseded + len(self._deleted | known_deleted)
-        compact = (
-            self._force_compact
-            or len(manifest["segments"]) >= _MAX_SEGMENTS
-            or (self.docs and garbage > _GARBAGE_RATIO * len(self.docs))
-            or (not manifest["segments"] and not (d / _MANIFEST).exists())
-        )
+        # Snapshot the delta under the lock: a put()/delete() racing with the
+        # segment write below must survive into the NEXT save instead of being
+        # cleared unpersisted.
+        with self._lock:
+            dirty = set(self._dirty)
+            deleted = set(self._deleted)
+            superseded = self._superseded
+            garbage = superseded + len(deleted | known_deleted)
+            compact = (
+                self._force_compact
+                or len(manifest["segments"]) >= _MAX_SEGMENTS
+                or (self.docs and garbage > _GARBAGE_RATIO * len(self.docs))
+                or (not manifest["segments"] and not (d / _MANIFEST).exists())
+            )
+            write_ids = list(self.docs) if compact else sorted(dirty)
+            entries = []
+            for doc_id in write_ids:
+                doc = self.docs.get(doc_id)
+                if doc is not None:
+                    entries.append((doc, self.id_to_row.get(doc_id, -1)))
         next_id = 1 + max(
             [int(s.split("-")[1].split(".")[0]) for s in manifest["segments"]] or [-1])
         if compact:
             name = f"seg-{next_id:05d}.jsonl.gz"
-            self._write_segment(d, name, list(self.docs))
+            self._write_segment(d, name, entries)
             old = list(manifest["segments"])
             self._write_manifest(d, {"version": 1, "segments": [name], "deleted": []})
             for s in old:
@@ -171,18 +191,26 @@ class DocStore:
                     os.remove(d / s)
                 except OSError:
                     pass
-            self._superseded = 0
-        elif self._dirty or self._deleted:
+        elif dirty or deleted:
             name = f"seg-{next_id:05d}.jsonl.gz"
-            self._write_segment(d, name, sorted(self._dirty))
+            self._write_segment(d, name, entries)
             manifest["segments"].append(name)
-            manifest["deleted"] = sorted(known_deleted | self._deleted)
+            # Drop tombstones for docs re-added since they were deleted: the
+            # re-add's record is in the segment just written, and load()
+            # applies tombstones AFTER replaying all segments — a stale
+            # tombstone would silently erase the resurrected doc on restart
+            # (delete -> re-ingest is routine with content-hash ids).
+            manifest["deleted"] = sorted((known_deleted - dirty) | deleted)
             self._write_manifest(d, manifest)
         else:
             return  # nothing changed
-        self._dirty.clear()
-        self._deleted.clear()
-        self._force_compact = False
+        with self._lock:
+            self._dirty -= dirty
+            self._deleted -= deleted
+            if compact:
+                # racing put()s may have superseded docs since the snapshot
+                self._superseded = max(0, self._superseded - superseded)
+                self._force_compact = False
 
     @classmethod
     def load(cls, path: str) -> "DocStore":

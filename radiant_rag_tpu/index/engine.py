@@ -356,7 +356,12 @@ class DeviceVectorIndex:
 
         override = os.environ.get("RAD_MAX_QUERY_BUCKET")
         if override:
-            return min(int(override), self.QUERY_BUCKETS[-1])
+            # clamp DOWN to a real bucket: a non-power-of-two override (3000)
+            # would otherwise pass this gate while _bucket_of rounds the batch
+            # up to the next bucket (4096) — compiling a program larger than
+            # the operator validated
+            fits = [b for b in self.QUERY_BUCKETS if b <= int(override)]
+            return fits[-1] if fits else self.QUERY_BUCKETS[0]
         cap = self.QUERY_BUCKETS[-1]
         while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
             cap //= 2

@@ -257,7 +257,7 @@ class TpuVectorStore(BaseVectorStore):
         return self.docstore.row_of(doc_id)
 
     def id_for_row(self, row: int) -> Optional[str]:
-        return self.docstore.row_to_id.get(row)
+        return self.docstore.id_for_row(row)
 
     def valid_mask(self):
         return self.engine.valid

@@ -9,6 +9,8 @@ import json
 import os
 from pathlib import Path
 
+import numpy as np
+
 from radiant_rag_tpu.index.doc import StoredDoc
 from radiant_rag_tpu.index.docstore import DocStore
 
@@ -148,3 +150,62 @@ def test_store_level_migration(tmp_path, rng):
     assert (Path(d) / "docs").is_dir()
     assert not legacy.exists()
     assert TpuVectorStore.load(d).count_documents() == loaded.count_documents()
+
+
+def test_delete_then_readd_survives_reload(tmp_path):
+    """ADVICE r2 (high): a persisted tombstone must not outlive a re-add.
+
+    delete -> save -> re-ingest same doc -> save -> load: the manifest kept
+    the old tombstone while load() applies tombstones after replaying all
+    segments, so the resurrected doc vanished on restart (content-hash ids
+    make delete/re-add cycles routine)."""
+    d = str(tmp_path / "docs")
+    store = DocStore()
+    for i, doc in enumerate(_mk(5)):
+        store.put(doc, row=i)
+    store.save(d)
+    store.delete("doc2")
+    store.save(d)  # tombstone persisted
+    assert "doc2" not in {doc.doc_id for doc in DocStore.load(d)}
+    store.put(StoredDoc("doc2", "content of doc2", {"i": 2}), row=2)
+    store.save(d)  # re-add must supersede the tombstone
+    loaded = DocStore.load(d)
+    assert loaded.get("doc2") is not None
+    assert loaded.row_of("doc2") == 2
+    # and the tombstone stays dropped across further incremental saves
+    store.put(StoredDoc("docX", "x", {}), row=9)
+    store.save(d)
+    assert DocStore.load(d).get("doc2") is not None
+
+
+def test_save_clears_only_snapshotted_delta(tmp_path):
+    """ADVICE r2 (low): a put() racing between the segment write and the
+    dirty-clear must persist on the NEXT save. Simulated by injecting the
+    racing put inside _write_segment."""
+    d = str(tmp_path / "docs")
+    store = DocStore()
+    for i, doc in enumerate(_mk(3)):
+        store.put(doc, row=i)
+    store.save(d)
+    store.put(StoredDoc("early", "e", {}), row=3)
+
+    real_write = DocStore._write_segment
+
+    def racing_write(dd, name, entries):
+        store.put(StoredDoc("racer", "r", {}), row=4)  # arrives mid-save
+        real_write(dd, name, entries)
+
+    store._write_segment = racing_write
+    store.save(d)
+    store._write_segment = real_write
+    assert "racer" in store._dirty  # not clobbered by the clear
+    store.save(d)
+    assert DocStore.load(d).get("racer") is not None
+
+
+def test_id_for_row_locked_accessor():
+    store = DocStore()
+    store.put(StoredDoc("a", "x", {}), row=7)
+    assert store.id_for_row(7) == "a"
+    assert store.id_for_row(np.int64(7)) == "a"
+    assert store.id_for_row(3) is None
