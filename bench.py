@@ -25,22 +25,23 @@ from collections import Counter
 
 import numpy as np
 
-N_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 100_000))
+# Default corpus: the north-star size — SURVEY §6 / BASELINE.json define the
+# headline metric on a 1M-chunk corpus (QPS/chip + build time at matched
+# recall@10); BENCH_DOCS=100000 reproduces the round-1/2 small-corpus line.
+N_DOCS = int(__import__("os").environ.get("BENCH_DOCS", 1_000_000))
 DIM = 384
 N_QUERY_BATCHES = 24
 # Throughput batch: the per-call cost is dominated by a fixed tunnel+fetch
 # component (~27 ms), so QPS scales with batch (tools/bench_batch_sweep.py at
 # 1M docs: 4105 QPS at B=256 -> 7156 at 512 -> 10374 at 1024, 99 ms batch
 # latency). Serving reaches large batches via request coalescing (server.py).
-# Default batch: the largest HBM-safe bucket (engine.max_query_bucket gates
-# the (B, N) stage-1 score buffers): 4096 to ~250k docs, 2048 to ~500k,
-# 1024 at 1M. Chip-measured at 100k: B=4096 28.4k QPS pipelined, B=2048
-# 21.6k, B=1024 13.3k (per-batch transfer latency amortizes; sequential
-# latency rises 81 -> 211 ms — serving picks its own point via coalescer
-# max_batch).
+# Default batch: the largest HBM-safe bucket per engine.max_query_bucket()'s
+# sequential-leg model — 4096 to ~590k docs, 2048 at 1M. Chip-measured at
+# 100k: B=4096 28.4k QPS pipelined, B=2048 21.6k, B=1024 13.3k (per-batch
+# transfer latency amortizes; sequential latency rises 81 -> 211 ms —
+# serving picks its own point via coalescer max_batch).
 BATCH = int(__import__("os").environ.get(
-    "BENCH_BATCH",
-    4096 if N_DOCS <= 250_000 else (2048 if N_DOCS <= 500_000 else 1024)))
+    "BENCH_BATCH", 4096 if N_DOCS <= 500_000 else 2048))
 TOP_K = 10
 FUSED_K = 15
 BASELINE_QUERIES = 6

@@ -313,7 +313,9 @@ class RadiantTPU:
         return self._simple.run(question)
 
     def warmup(self, max_batch: int = 256, top_k: int = 10,
-               modes: Sequence[str] = ("hybrid",)) -> Dict[str, float]:
+               modes: Sequence[str] = ("hybrid",),
+               full_ladder: bool = False,
+               progress=None) -> Dict[str, float]:
         """Progressively compile the serving programs before taking traffic.
 
         Cold compilation of a LARGE-batch program over a large corpus can
@@ -321,13 +323,24 @@ class RadiantTPU:
         the (B, N) score buffers); compiling a small batch first makes the
         large-batch compile take seconds (measured at 1M docs: B=1024 cold
         >20 min, vs B=32 cold 127 s then B=1024 in 10.7 s). Serve calls this
-        when --warmup is set. Returns per-stage seconds."""
+        when --warmup is set; the `warmup` CLI calls it with full_ladder=True
+        to precompile EVERY serving bucket into the persistent compile cache
+        (docs/OPERATIONS.md "Cold start"). max_batch<=0 resolves to the
+        engine's HBM-gated max bucket. Returns per-stage seconds."""
         import time as _time
 
         if self.store.count_documents() == 0:
             return {}
+        engine = getattr(self.store, "engine", None)
+        if max_batch <= 0:
+            max_batch = engine.max_query_bucket() if engine is not None else 256
+        if full_ladder and engine is not None:
+            # every bucket the coalescer can round a batch up to
+            buckets = [1, 32] + [b for b in engine.QUERY_BUCKETS
+                                 if 64 <= b <= max_batch]
+        else:
+            buckets = [b for b in (1, 32, max_batch) if b <= max(max_batch, 1)]
         timings: Dict[str, float] = {}
-        buckets = [b for b in (1, 32, max_batch) if b <= max(max_batch, 1)]
         probe = "warmup probe query"
         for mode in modes:
             for b in dict.fromkeys(buckets):  # dedup, keep order
@@ -335,6 +348,8 @@ class RadiantTPU:
                 self.search_batch([probe] * b, mode=mode, top_k=top_k,
                                   use_cache=False)
                 timings[f"{mode}/b{b}"] = round(_time.time() - t0, 2)
+                if progress is not None:
+                    progress(f"{mode}/b{b}", timings[f"{mode}/b{b}"])
         logger.info("warmup compiled %s", timings)
         return timings
 
@@ -593,6 +608,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch size before serving (avoids a multi-minute "
                         "first-request compile on large corpora)")
 
+    p = sub.add_parser(
+        "warmup", help="precompile the serving bucket ladder into the "
+                       "persistent compile cache (deploy-time cold-start fix)")
+    p.add_argument("--max-batch", type=int, default=0,
+                   help="top bucket to compile (default: the engine's "
+                        "HBM-gated max for the loaded corpus)")
+    p.add_argument("--modes", default="hybrid",
+                   help="comma-separated search modes to compile")
+
     sub.add_parser("interactive", help="interactive query loop")
     sub.add_parser("stats", help="index and pipeline statistics")
     sub.add_parser("health", help="component health check")
@@ -659,6 +683,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             print(f"warming search programs up to batch {args.warmup}…")
             print(app.warmup(max_batch=args.warmup))
         serve(app, host=args.host, port=args.port)
+    elif args.command == "warmup":
+        from radiant_rag_tpu.utils.compile_cache import DEFAULT_CACHE_DIR
+
+        n = app.store.count_documents()
+        if n == 0:
+            print("nothing to warm: index is empty")
+            return 1
+        print(f"precompiling serving bucket ladder for {n} docs "
+              f"(cache: {DEFAULT_CACHE_DIR})…")
+        timings = app.warmup(
+            max_batch=args.max_batch, full_ladder=True,
+            modes=[m.strip() for m in args.modes.split(",") if m.strip()],
+            progress=lambda stage, s: print(f"  {stage}: {s:.1f}s", flush=True))
+        total = sum(timings.values())
+        print(f"done: {len(timings)} programs in {total:.1f}s — "
+              "fresh processes now start warm")
     elif args.command == "train":
         from radiant_rag_tpu.parallel.data import train_embedder
 

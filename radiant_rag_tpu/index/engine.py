@@ -126,9 +126,14 @@ class DeviceVectorIndex:
     # max_query_bucket() (stage-1 materializes a 4-byte (B, N) buffer per
     # leg: 4096 usable to ~250k rows, 2048 to ~500k, 1024 to ~1.5M).
     QUERY_BUCKETS = (1, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-    # per-leg (B, N) f32 stage-1 score-buffer budget; keeps two legs' buffers
-    # + the resident corpus inside a 16 GB HBM chip
-    SCORE_BYTES_CAP = 6 << 30
+    # Peak (B, N) 4-byte stage-1 transient budget under SEQUENTIAL leg
+    # scheduling. XLA schedules the dense and BM25 legs' (B, N) buffers one
+    # after the other, not co-resident — proven on chip: the round-2
+    # bf16-select run at 1M x B=2048 ran with an int32 accumulator (8.6 GB)
+    # + bf16 copy (4.3 GB) + BM25 f32 scatter (8.6 GB), which cannot coexist
+    # in 16 GB HBM, so the budget models the LARGEST single transient plus
+    # corpus residency headroom (vecs+i8+codes ~2.2 GB at 1M x 384).
+    SCORE_BYTES_CAP = 9 << 30
 
     def __init__(
         self,
@@ -343,15 +348,15 @@ class DeviceVectorIndex:
     def max_query_bucket(self) -> int:
         """Largest usable query bucket for this corpus size (HBM-gated).
 
-        Accounting is 4 bytes per (bucket, capacity) element per leg even
-        under bf16 select policies: the BM25 pages leg scatters into an f32
-        buffer and the sketch leg's MXU accumulator is int32, so the widest
-        transient is always 4-byte regardless of the select dtype. The gate
-        assumes both legs' buffers can coexist — pessimistic when XLA
-        schedules the legs sequentially (measured: bf16 select at 1M docs x
-        B=2048 runs fine and lifts pipelined QPS 15.9k -> 21.5k) — so
-        RAD_MAX_QUERY_BUCKET overrides it for deployments that have
-        validated a larger bucket on their chip."""
+        Accounting is 4 bytes per (bucket, capacity) element for the PEAK
+        single transient: the BM25 pages leg scatters into an f32 buffer and
+        the sketch leg's MXU accumulator is int32, so the widest transient is
+        always 4-byte regardless of the select dtype — and XLA schedules the
+        two legs' transients sequentially (see SCORE_BYTES_CAP), so the gate
+        budgets one such buffer, not two. This admits B=2048 at 1M docs
+        (pipelined QPS 15.9k -> 21.5k measured in round 2) and B=4096 to
+        ~590k docs. RAD_MAX_QUERY_BUCKET still overrides for deployments
+        that validated something else on their chip."""
         import os
 
         override = os.environ.get("RAD_MAX_QUERY_BUCKET")

@@ -159,3 +159,23 @@ def test_cli_clear_then_stats(cli_env):
     r = run_cli(["stats"], tmp, config)
     assert r.returncode == 0
     assert '"num_documents": 0' in r.stdout or '"num_embedded": 0' in r.stdout
+
+
+def test_cli_warmup(cli_env):
+    """`warmup` precompiles the bucket ladder (VERDICT r2 #9): prints one
+    line per compiled program and exits 0 on a populated index; exits 1 on
+    an empty one."""
+    tmp, config = cli_env
+    run_cli(["ingest", str(tmp / "docs")], tmp, config)
+    r = run_cli(["warmup", "--max-batch", "32"], tmp, config)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hybrid/b1" in r.stdout and "hybrid/b32" in r.stdout
+    assert "fresh processes now start warm" in r.stdout
+
+    empty = tmp / "empty_run"
+    empty.mkdir(exist_ok=True)
+    cfg2 = tmp / "config_empty.yaml"
+    cfg2.write_text(CONFIG_TMPL.format(tmp=empty))
+    r = run_cli(["warmup"], empty, cfg2)
+    assert r.returncode == 1
+    assert "nothing to warm" in r.stdout

@@ -292,3 +292,42 @@ def test_dim_mismatch_guards(tmp_path, rng):
     # matching dim still loads
     loaded = create_vector_store(AppConfig(index=IndexConfig(dim=16, data_dir=d)))
     assert loaded.count_documents() == 1
+
+
+def test_max_query_bucket_hbm_gate(monkeypatch):
+    """The HBM gate budgets the PEAK single (B, N) 4-byte transient
+    (sequential leg scheduling — see engine.SCORE_BYTES_CAP): measured-safe
+    points are B=4096 at <=512k rows and B=2048 at 1M rows (chip-validated,
+    BENCH_NOTES round 2/3); 2M rows drops to 1024; the floor is 256."""
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+    monkeypatch.delenv("RAD_MAX_QUERY_BUCKET", raising=False)
+    eng = DeviceVectorIndex(16, initial_capacity=256)
+    for capacity, expect in [
+        (1 << 17, 4096),   # 131k rows (the 100k bench corpus)
+        (1 << 19, 4096),   # 512k — admitted by the sequential model
+        (1 << 20, 2048),   # 1M north-star corpus
+        (1 << 21, 1024),
+        (1 << 23, 256),    # floor: chunked select / fp32-free territory
+        (1 << 25, 256),
+    ]:
+        eng.capacity = capacity
+        got = eng.max_query_bucket()
+        assert got == expect, (capacity, got, expect)
+        # budget actually respected (except at the floor)
+        if got > 256:
+            assert got * capacity * 4 <= DeviceVectorIndex.SCORE_BYTES_CAP
+
+
+def test_max_query_bucket_override_clamps_to_real_bucket(monkeypatch):
+    """A non-power-of-two RAD_MAX_QUERY_BUCKET must clamp DOWN to a real
+    bucket (3000 -> 2048), never round up past what the operator validated."""
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+    eng = DeviceVectorIndex(16, initial_capacity=256)
+    eng.capacity = 1 << 21  # large enough that the gate alone would say 1024
+    for env, expect in [("3000", 2048), ("4096", 4096), ("1024", 1024),
+                        ("700", 512), ("1", 1), ("0", 1)]:
+        monkeypatch.setenv("RAD_MAX_QUERY_BUCKET", env)
+        assert eng.max_query_bucket() == expect, (env, expect)
+        assert eng.max_query_bucket() in DeviceVectorIndex.QUERY_BUCKETS
