@@ -353,6 +353,30 @@ class RadiantTPU:
         logger.info("warmup compiled %s", timings)
         return timings
 
+    def train(self, steps: int = 100, batch_size: int = 32,
+              learning_rate: float = 2e-5, checkpoint_dir: str = "",
+              hard_negatives: int = 2) -> Dict[str, float]:
+        """Fine-tune the embedder on the indexed corpus and make the result
+        LIVE: BM25-mined hard negatives + warmup/cosine LR
+        (`parallel/data.train_embedder`), then hot-swap the serving encoder's
+        params (embedding cache cleared) and invalidate fusion calibration so
+        the newly-trained dense leg is re-weighted instead of keeping its
+        pre-train (often ~0) weight. A later fresh process restores the same
+        params from the checkpoint (`models/embedder.py`)."""
+        from radiant_rag_tpu.parallel.data import train_embedder
+
+        metrics, params = train_embedder(
+            self.store, self.config.embedding, steps=steps,
+            batch_size=batch_size, learning_rate=learning_rate,
+            checkpoint_dir=checkpoint_dir or self.config.embedding.checkpoint_dir,
+            bm25=self.bm25_index.index if hard_negatives > 0 else None,
+            hard_negatives=hard_negatives, return_params=True)
+        self.local_models.embedder.set_params(params)
+        self.query_cache.clear()  # search results embed with the old encoder
+        if hasattr(self.orchestrator, "invalidate_fusion_calibration"):
+            self.orchestrator.invalidate_fusion_calibration()
+        return metrics
+
     def search(self, query: str, mode: str = "hybrid", top_k: int = 10,
                use_cache: bool = True) -> List[Tuple[Any, float]]:
         """Retrieval-only (reference `app.py:1178`)."""
@@ -598,7 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=2e-5)
-    p.add_argument("--checkpoint-dir", default="./data/embedder_ckpt")
+    p.add_argument("--checkpoint-dir", default="",
+                   help="orbax output dir (default: embedding.checkpoint_dir)")
+    p.add_argument("--hard-negatives", type=int, default=2, metavar="H",
+                   help="BM25-mined hard negatives per query (0 disables)")
 
     p = sub.add_parser("serve", help="HTTP JSON API server")
     p.add_argument("--host", default="0.0.0.0")
@@ -700,12 +727,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(f"done: {len(timings)} programs in {total:.1f}s — "
               "fresh processes now start warm")
     elif args.command == "train":
-        from radiant_rag_tpu.parallel.data import train_embedder
-
-        metrics = train_embedder(
-            app.store, config.embedding, steps=args.steps,
-            batch_size=args.batch_size, learning_rate=args.lr,
-            checkpoint_dir=args.checkpoint_dir)
+        metrics = app.train(
+            steps=args.steps, batch_size=args.batch_size,
+            learning_rate=args.lr, checkpoint_dir=args.checkpoint_dir,
+            hard_negatives=args.hard_negatives)
         print(json.dumps(metrics))
     elif args.command == "stats":
         display_stats(app.get_stats())

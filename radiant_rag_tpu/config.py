@@ -142,6 +142,10 @@ class EmbeddingConfig:
     normalize: bool = True
     cache_size: int = 10000
     dtype: str = "bfloat16"
+    # orbax dir the `train` CLI writes; a fresh process restores the latest
+    # trained params from here (precedence: explicit params > this
+    # checkpoint > weights_path HF load > deterministic init)
+    checkpoint_dir: str = "./data/embedder_ckpt"
 
 
 @dataclass(frozen=True)

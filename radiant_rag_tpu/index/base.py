@@ -21,6 +21,12 @@ from radiant_rag_tpu.utils.hashing import make_doc_id as _make_doc_id
 class BaseVectorStore(abc.ABC):
     """Abstract vector store. Scores are cosine similarities in [-1, 1]."""
 
+    @property
+    def default_search_mode(self) -> str:
+        """Engine mode an unqualified search would use; backends without a
+        quantized device engine serve exact scans."""
+        return "exact"
+
     # -- identity ----------------------------------------------------------
     def make_doc_id(self, content: str, meta: Optional[Dict[str, Any]] = None) -> str:
         """Content-hash id (reference `storage/base.py:311-325`)."""

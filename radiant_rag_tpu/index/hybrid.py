@@ -265,6 +265,14 @@ class HybridSearcher:
         self._calibrated_at = -1  # engine.count when last calibrated
         self.last_calibration = None
 
+    def rebind_bm25(self, bm25: BM25Index) -> None:
+        """Point at a replacement BM25 index (load/rebuild swaps the object).
+
+        A swap of the SAME corpus's index keeps calibration (leg quality
+        unchanged); callers replacing analyzers/content should follow with
+        invalidate_calibration()."""
+        self.bm25 = bm25
+
     def calibrate_fusion(self, embed_fn, texts_of_rows, n_probes: int = 128,
                          seed: int = 0, top_k: int = 10) -> np.ndarray:
         """Unsupervised per-leg quality calibration (no labels needed).
@@ -334,6 +342,16 @@ class HybridSearcher:
             return True
         base = max(self._calibrated_at, 1)
         return (self.engine.count - self._calibrated_at) > growth * base
+
+    def invalidate_calibration(self) -> None:
+        """Force re-calibration on the next query — the growth trigger only
+        couples to corpus size, so callers MUST invalidate when leg quality
+        changes out-of-band: retraining/hot-swapping the embedder (a freshly
+        trained dense leg would otherwise keep its random-init ~0 weight
+        until the corpus grew 20%), or rebuilding BM25 with new analyzers."""
+        self._calibrated_at = -1
+        self.leg_weights = np.asarray([0.5, 0.5], np.float32)
+        self.last_calibration = None
 
     def search_rows(
         self,

@@ -76,6 +76,13 @@ class TpuVectorStore(BaseVectorStore):
     def _level_code(self, level: str) -> int:
         return LEVEL_CODES.get(level, LEVEL_CODES["other"])
 
+    @property
+    def default_search_mode(self) -> str:
+        """Public engine-mode contract for callers that dispatch their own
+        engine programs (orchestrator fused hybrid, server): the stage-1 scan
+        this store would use for an unqualified search."""
+        return self._default_mode()
+
     def _default_mode(self) -> str:
         """Stage-1 scan for the default (quantized) path.
 

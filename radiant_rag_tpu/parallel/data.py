@@ -31,10 +31,19 @@ def make_pseudo_query(text: str, rng: np.random.Generator,
 
 
 class ContrastivePairSampler:
-    """Batches of tokenized (query, doc) pairs from stored documents."""
+    """Batches of tokenized (query, doc) pairs from stored documents.
+
+    With `bm25` + `rows` set and n_hard_negatives > 0, each batch also mines
+    H lexically-close non-target docs per query (BM25 top hits for the
+    pseudo-query, positive excluded) as explicit hard negatives
+    (`train.info_nce_loss` n_ids/n_mask): in-batch negatives are random docs
+    and mostly teach topic separation; the mined ones are the within-topic
+    confusables that actually bound retrieval quality."""
 
     def __init__(self, texts: Sequence[str], tokenizer, batch_size: int = 32,
-                 max_seq_len: int = 128, seed: int = 0) -> None:
+                 max_seq_len: int = 128, seed: int = 0,
+                 bm25=None, rows: Optional[Sequence[int]] = None,
+                 n_hard_negatives: int = 0) -> None:
         if not texts:
             raise ValueError("no embedded docs in the store to train on")
         if len(texts) < batch_size:
@@ -54,11 +63,38 @@ class ContrastivePairSampler:
         self.batch_size = batch_size
         self.max_seq_len = max_seq_len
         self.rng = np.random.default_rng(seed)
+        self.bm25 = bm25
+        self.rows = list(rows) if rows is not None else None
+        self.n_hard = int(n_hard_negatives)
+        if self.n_hard > 0 and (bm25 is None or self.rows is None):
+            raise ValueError("hard negatives need bm25 + rows")
+        self._row_to_text = (
+            {r: t for r, t in zip(self.rows, self.texts)} if self.rows else {})
 
     @classmethod
-    def from_store(cls, store, tokenizer, **kwargs) -> "ContrastivePairSampler":
-        texts = [store.get_doc(i).content for i in store.list_doc_ids_with_embeddings()]
-        return cls(texts, tokenizer, **kwargs)
+    def from_store(cls, store, tokenizer, bm25=None, **kwargs) -> "ContrastivePairSampler":
+        ids = store.list_doc_ids_with_embeddings()
+        texts = [store.get_doc(i).content for i in ids]
+        rows = [store.row_of(i) for i in ids] if bm25 is not None else None
+        return cls(texts, tokenizer, bm25=bm25, rows=rows, **kwargs)
+
+    def _mine_hard_negatives(self, queries: List[str], pos_idx: np.ndarray) -> List[str]:
+        """BM25 top hits per pseudo-query, positives excluded; random fill
+        when a query surfaces too few (rare terms)."""
+        _s, rows_out = self.bm25.search_rows_batch(
+            queries, top_k=self.n_hard + 2)
+        out: List[str] = []
+        for qi in range(len(queries)):
+            pos_row = self.rows[pos_idx[qi]]
+            negs = [int(r) for r in rows_out[qi]
+                    if r >= 0 and int(r) != pos_row and int(r) in self._row_to_text]
+            negs = negs[: self.n_hard]
+            while len(negs) < self.n_hard:  # fill from random non-positives
+                cand = self.rows[int(self.rng.integers(0, len(self.rows)))]
+                if cand != pos_row:
+                    negs.append(cand)
+            out.extend(self._row_to_text[r] for r in negs)
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
@@ -70,14 +106,19 @@ class ContrastivePairSampler:
         queries = [make_pseudo_query(d, self.rng) for d in docs]
         q_ids, q_mask, _ = self.tokenizer.encode_batch(queries, self.max_seq_len)
         d_ids, d_mask, _ = self.tokenizer.encode_batch(docs, self.max_seq_len)
-        # pad query/doc to a shared length so the encoder sees one shape
-        s = max(q_ids.shape[1], d_ids.shape[1])
+        parts = {"q": (q_ids, q_mask), "d": (d_ids, d_mask)}
+        if self.n_hard > 0:
+            negs = self._mine_hard_negatives(queries, idx)
+            parts["n"] = self.tokenizer.encode_batch(negs, self.max_seq_len)[:2]
+        # pad all sides to a shared length so the encoder sees one shape
+        s = max(ids.shape[1] for ids, _ in parts.values())
 
         def padto(a):
             return np.pad(a, ((0, 0), (0, s - a.shape[1])))
 
-        return {"q_ids": padto(q_ids), "q_mask": padto(q_mask),
-                "d_ids": padto(d_ids), "d_mask": padto(d_mask)}
+        return {f"{p}_{name}": padto(arr)
+                for p, (ids, mask) in parts.items()
+                for name, arr in (("ids", ids), ("mask", mask))}
 
 
 def train_embedder(
@@ -91,8 +132,17 @@ def train_embedder(
     log_every: int = 10,
     seed: int = 0,
     return_params: bool = False,
+    bm25=None,
+    hard_negatives: int = 0,
+    lr_schedule: bool = True,
+    init_params_tree=None,
 ):
-    """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh)."""
+    """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh).
+
+    bm25 + hard_negatives>0 mines lexically-close non-targets per query as
+    explicit negatives; lr_schedule enables warmup+cosine decay over `steps`
+    (essential for the 1k+ step schedules that make the dense leg contribute
+    to hybrid fusion — see tools/quality_harness.py --train-steps)."""
     import jax.numpy as jnp
 
     from radiant_rag_tpu.models.bert import BertConfig
@@ -117,12 +167,16 @@ def train_embedder(
             "batch_size %d not divisible by data axis %d; using %d",
             batch_size, n_data, adjusted)
         batch_size = adjusted
-    state, model, tx, _ = make_train_state(bert_cfg, mesh, learning_rate, seed=seed)
+    state, model, tx, _ = make_train_state(
+        bert_cfg, mesh, learning_rate, seed=seed,
+        schedule_steps=steps if lr_schedule else 0,
+        init_params_tree=init_params_tree)
     step_fn, place_batch = contrastive_train_step(model, tx, mesh)
     tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)
     sampler = ContrastivePairSampler.from_store(
-        store, tokenizer, batch_size=batch_size,
-        max_seq_len=min(cfg.max_seq_len, 128), seed=seed)
+        store, tokenizer, bm25=bm25, batch_size=batch_size,
+        max_seq_len=min(cfg.max_seq_len, 128), seed=seed,
+        n_hard_negatives=hard_negatives if bm25 is not None else 0)
 
     ckpt = None
     if checkpoint_dir:

