@@ -80,6 +80,7 @@ class RadiantTPU:
         self.processor = DocumentProcessor(
             chunk_size=self.config.ingestion.max_parent_chars // 10,
             overlap=self.config.ingestion.chunk_overlap,
+            pdf_strategy=self.config.ingestion.pdf_strategy,
         )
         self.orchestrator = RAGOrchestrator(
             self.config, self.store, self.bm25_index, self.local_models, self.llm,

@@ -300,6 +300,12 @@ class IngestionConfig:
     hierarchical: bool = True
     use_intelligent_chunking: bool = False
     translate_at_ingestion: bool = False
+    # PDF partition strategy (reference `ingestion/processor.py:236-273`):
+    # fast = text-layer extraction only; auto = text layer, falling back to
+    # unstructured/OCR per file when pages have no extractable text (scans);
+    # hi_res / ocr_only = force the corresponding unstructured strategy
+    # (degrades to fast with a warning when unstructured isn't installed)
+    pdf_strategy: str = "auto"  # auto | fast | hi_res | ocr_only
 
 
 @dataclass(frozen=True)

@@ -121,10 +121,12 @@ class DocumentProcessor:
     """Parse files into cleaned chunks."""
 
     def __init__(self, chunk_size: int = 2000, overlap: int = 100,
-                 clean_whitespace: bool = True, min_chunk_chars: int = 20) -> None:
+                 clean_whitespace: bool = True, min_chunk_chars: int = 20,
+                 pdf_strategy: str = "auto") -> None:
         self.splitter = ChunkSplitter(chunk_size, overlap)
         self.clean_whitespace = clean_whitespace
         self.min_chunk_chars = min_chunk_chars
+        self.pdf_strategy = pdf_strategy  # auto | fast | hi_res | ocr_only
 
     # -- parsing -----------------------------------------------------------
     def parse_file(self, path: Path) -> List[tuple]:
@@ -154,6 +156,27 @@ class DocumentProcessor:
             return []
 
     def _parse_pdf(self, path: Path) -> List[tuple]:
+        """PDF partition per self.pdf_strategy (reference strategy surface,
+        `ingestion/processor.py:236-273`): 'fast' reads the text layer only;
+        'hi_res'/'ocr_only' force the corresponding `unstructured` strategy;
+        'auto' reads the text layer and falls back to unstructured/OCR when
+        a page has no extractable text (scanned documents)."""
+        strategy = self.pdf_strategy
+        if strategy in ("hi_res", "ocr_only"):
+            out = self._parse_pdf_unstructured(path, strategy)
+            if out is not None:
+                return out
+            logger.warning(
+                "pdf_strategy=%s needs `unstructured`, which is unavailable; "
+                "degrading to text-layer extraction for %s", strategy, path)
+        out, empty_pages = self._parse_pdf_textlayer(path)
+        if strategy == "auto" and empty_pages and not out:
+            ocr = self._parse_pdf_unstructured(path, "auto")
+            if ocr:
+                return ocr
+        return out
+
+    def _parse_pdf_textlayer(self, path: Path):
         try:
             from pypdf import PdfReader  # optional
         except ImportError:
@@ -161,18 +184,45 @@ class DocumentProcessor:
                 from PyPDF2 import PdfReader  # type: ignore
             except ImportError:
                 logger.warning("no PDF library available; skipping %s", path)
-                return []
+                return [], 0
         try:
             reader = PdfReader(str(path))
-            out = []
+            out, empty = [], 0
             for i, page in enumerate(reader.pages):
                 text = page.extract_text() or ""
                 if text.strip():
                     out.append((text, {"page": i + 1}))
-            return out
+                else:
+                    empty += 1
+            return out, empty
         except Exception as exc:
             logger.warning("pdf parse failed for %s: %s", path, exc)
-            return []
+            return [], 0
+
+    @staticmethod
+    def _parse_pdf_unstructured(path: Path, strategy: str):
+        """unstructured partition with an explicit strategy; None when the
+        dependency (or its OCR stack) is unavailable."""
+        try:
+            from unstructured.partition.pdf import partition_pdf  # optional
+        except ImportError:
+            return None
+        try:
+            elements = partition_pdf(filename=str(path), strategy=strategy)
+        except Exception as exc:
+            logger.warning("unstructured(%s) failed for %s: %s",
+                           strategy, path, exc)
+            return None
+        out = []
+        for el in elements:
+            text = str(el).strip()
+            if text:
+                meta = {"partition_strategy": strategy}
+                page = getattr(getattr(el, "metadata", None), "page_number", None)
+                if page is not None:
+                    meta["page"] = page
+                out.append((text, meta))
+        return out
 
     def _parse_csv(self, path: Path) -> List[tuple]:
         import csv

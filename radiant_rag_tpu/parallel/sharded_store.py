@@ -1,19 +1,31 @@
-"""ShardedVectorStore: read-only pod-scale serving store.
+"""ShardedVectorStore: pod-scale serving store with incremental ingest.
 
 The serving topology for corpora beyond one chip (SURVEY.md §5.8): a
 TpuVectorStore (or its saved snapshot) is frozen into mesh-sharded arrays —
 vectors/codes/BM25 sketch/doc-major tables shard by row over ICI, queries
-replicate, per-shard top-k merges with collectives. Mutations go to the
-source single-chip store; `refresh()` rebuilds the sharded copy (the old copy
-keeps serving until the new one is constructed — double-buffered swap).
+replicate, per-shard top-k merges with collectives.
 
-Implements the BaseVectorStore read surface so retrieval agents and the
-orchestrator work unchanged on a pod.
+Steady ingest (reference steady-ingest mode, `redis_store.py:476-532`) uses
+a BASE + DELTA segment design rather than re-sharding per write: the frozen
+sharded base keeps serving while appends land in a small single-device delta
+segment (a DeviceVectorIndex + BM25Index pair); queries run both and merge
+per-leg on the host (k is tiny). Deletes tombstone base rows. When the delta
+or tombstones exceed `delta_rebase_fraction` of the base, `refresh()` folds
+everything into a newly sharded base (double-buffered: the old copy serves
+until the new one is constructed) — the immutable-segment + periodic-merge
+story every segmented search engine uses, applied to device arrays.
+
+Note on BM25 stats: the delta segment scores with its own (df, avgdl) until
+rebase — standard per-segment scoring skew, bounded by the rebase fraction.
+
+Implements the BaseVectorStore read/write surface so retrieval agents and
+the orchestrator work unchanged on a pod.
 """
 
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -24,12 +36,30 @@ from radiant_rag_tpu.parallel.sharded_index import ShardedFlatIndex, ShardedHybr
 
 logger = logging.getLogger(__name__)
 
-_READ_ONLY_MSG = ("ShardedVectorStore is a read-only serving copy; apply "
-                  "writes to the source store and call refresh()")
+
+def _host_rrf(d_rows: np.ndarray, b_rows: np.ndarray, fused_k: int,
+              rrf_k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """RRF over two merged runs, host-side (rows are (B, k), -1 = empty).
+    Matches `ops/fusion.rrf_fuse` semantics: rank starts at 1 per run."""
+    bq = d_rows.shape[0]
+    out_s = np.full((bq, fused_k), -np.inf, np.float32)
+    out_i = np.full((bq, fused_k), -1, np.int64)
+    for qi in range(bq):
+        agg: Dict[int, float] = {}
+        for run in (d_rows[qi], b_rows[qi]):
+            for rank, r in enumerate(run, start=1):
+                if r >= 0:
+                    agg[int(r)] = agg.get(int(r), 0.0) + 1.0 / (rrf_k + rank)
+        for j, (r, s) in enumerate(
+                sorted(agg.items(), key=lambda kv: -kv[1])[:fused_k]):
+            out_s[qi, j] = s
+            out_i[qi, j] = r
+    return out_s, out_i
 
 
 class ShardedVectorStore(BaseVectorStore):
-    def __init__(self, mesh, source_store, bm25_index=None) -> None:
+    def __init__(self, mesh, source_store, bm25_index=None,
+                 delta_rebase_fraction: float = 0.05) -> None:
         """source_store: a TpuVectorStore; bm25_index: its BM25Index (inner)
         for hybrid serving (optional — dense-only without it)."""
         self.mesh = mesh
@@ -37,6 +67,14 @@ class ShardedVectorStore(BaseVectorStore):
         self._bm25 = bm25_index
         self._flat: Optional[ShardedFlatIndex] = None
         self._hybrid: Optional[ShardedHybridIndex] = None
+        self.delta_rebase_fraction = delta_rebase_fraction
+        self._delta_lock = threading.RLock()
+        self._base_rows = 0
+        self._delta_engine = None
+        self._delta_bm25 = None
+        self._delta_rows: List[int] = []  # delta local row -> source global row
+        self._global_to_delta: Dict[int, int] = {}
+        self._tombstones: set = set()
         self.refresh()
 
     # -- build / refresh -----------------------------------------------------
@@ -74,6 +112,14 @@ class ShardedVectorStore(BaseVectorStore):
             new_hybrid.lang = jax.device_put(lng, row_sharding)
         self._flat = flat
         self._hybrid = new_hybrid
+        with self._delta_lock:
+            # everything in the source is now in the sharded base
+            self._base_rows = vecs.shape[0]
+            self._delta_engine = None
+            self._delta_bm25 = None
+            self._delta_rows = []
+            self._global_to_delta = {}
+            self._tombstones = set()
         logger.info("sharded store refreshed: %d rows over %s",
                     vecs.shape[0], dict(zip(self.mesh.axis_names,
                                             self.mesh.devices.shape)))
@@ -106,7 +152,7 @@ class ShardedVectorStore(BaseVectorStore):
     ) -> List[List[Tuple[StoredDoc, float]]]:
         embeddings = np.atleast_2d(np.asarray(embeddings, np.float32))
         b = embeddings.shape[0]
-        if self._flat is None:
+        if self._flat is None and self.delta_size == 0:
             return [[] for _ in range(b)]
         from radiant_rag_tpu.index.engine import LEVEL_CODES
 
@@ -118,9 +164,16 @@ class ShardedVectorStore(BaseVectorStore):
             if lang_code == -2:
                 return [[] for _ in range(b)]
         mode = "exact" if quantized is False else "binary"
-        scores, rows = self._flat.search(
-            embeddings, top_k, mode=mode,
-            level_code=level_code, lang_code=lang_code)
+        if self._flat is not None:
+            base = self._flat.search(
+                embeddings, top_k, mode=mode,
+                level_code=level_code, lang_code=lang_code)
+        else:
+            base = (np.full((b, top_k), -np.inf, np.float32),
+                    np.full((b, top_k), -1, np.int64))
+        delta = self._delta_dense(embeddings, top_k,
+                                  level_code=level_code, lang_code=lang_code)
+        scores, rows = self._merge_leg(base, delta, top_k)
         out: List[List[Tuple[StoredDoc, float]]] = []
         for qi in range(b):
             hits = []
@@ -142,14 +195,31 @@ class ShardedVectorStore(BaseVectorStore):
         fused_k: int = 15,
         rrf_k: int = 60,
     ) -> List[List[Tuple[StoredDoc, float]]]:
-        """Pod-scale hybrid retrieval, hydrated to documents."""
-        if self._hybrid is None:
+        """Pod-scale hybrid retrieval, hydrated to documents. Each leg merges
+        the sharded base with the delta segment before fusion, so freshly
+        ingested docs rank under the same RRF as the base corpus."""
+        if self._hybrid is None and self._bm25 is None:
             raise RuntimeError("hybrid serving requires a BM25 index at build")
-        res = self._hybrid.hybrid_search(
-            np.atleast_2d(np.asarray(embeddings, np.float32)),
-            list(queries_text), dense_k=top_k, bm25_k=top_k,
-            fused_k=fused_k, rrf_k=rrf_k)
-        scores, rows = res["fused"]
+        embeddings = np.atleast_2d(np.asarray(embeddings, np.float32))
+        b = embeddings.shape[0]
+        if self._hybrid is not None:
+            res = self._hybrid.hybrid_search(
+                embeddings, list(queries_text), dense_k=top_k, bm25_k=top_k,
+                fused_k=fused_k, rrf_k=rrf_k)
+            base_dense, base_bm25 = res["dense"], res["bm25"]
+        else:
+            empty = (np.full((b, top_k), -np.inf, np.float32),
+                     np.full((b, top_k), -1, np.int64))
+            base_dense = base_bm25 = empty
+        d_delta = self._delta_dense(embeddings, top_k)
+        s_delta = self._delta_sparse(queries_text, top_k)
+        if d_delta is None and s_delta is None and not self._tombstones \
+                and self._hybrid is not None:
+            scores, rows = res["fused"]  # pure base: on-device fusion stands
+        else:
+            d_s, d_i = self._merge_leg(base_dense, d_delta, top_k)
+            b_s, b_i = self._merge_leg(base_bm25, s_delta, top_k)
+            scores, rows = _host_rrf(d_i, b_i, fused_k, rrf_k)
         out = []
         for qi in range(rows.shape[0]):
             hits = []
@@ -181,12 +251,131 @@ class ShardedVectorStore(BaseVectorStore):
     def count_documents(self) -> int:
         return self.source.count_documents()
 
-    # -- writes: rejected ------------------------------------------------------
+    # -- writes: delta segment -------------------------------------------------
+    @property
+    def delta_size(self) -> int:
+        return len(self._delta_rows)
+
+    def _ensure_delta(self) -> None:
+        if self._delta_engine is None:
+            from radiant_rag_tpu.index.bm25 import BM25Index
+            from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+            self._delta_engine = DeviceVectorIndex(
+                self.source.engine.dim, initial_capacity=1024)
+            self._delta_bm25 = BM25Index()
+
     def upsert(self, content, meta=None, embedding=None) -> str:
-        raise NotImplementedError(_READ_ONLY_MSG)
+        return self.upsert_batch([(content, meta, embedding)])[0]
+
+    def upsert_batch(self, docs) -> List[str]:
+        """Write-through to the source store, then stage NEW rows in the
+        delta segment so they become retrievable immediately — no re-shard."""
+        from radiant_rag_tpu.index.bm25 import tokenize
+
+        ids = self.source.upsert_batch(docs)
+        with self._delta_lock:
+            stage: List[Tuple[int, str, np.ndarray]] = []
+            for doc_id, (content, _meta, emb) in zip(ids, docs):
+                row = self.source.row_of(doc_id)
+                if row is None or emb is None:
+                    continue  # doc-only upsert: no retrievable row
+                if row < self._base_rows or row in self._global_to_delta:
+                    continue  # already served (content-hash ids: same id ==
+                    # same content, so an existing row needs no restage)
+                stage.append((row, content, np.asarray(emb, np.float32)))
+            if stage:
+                self._ensure_delta()
+                vecs = np.stack([v for _, _, v in stage])
+                vecs = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                # level/lang codes were assigned by the source during upsert;
+                # one small device gather instead of fetching full arrays
+                import jax.numpy as jnp
+
+                rows_arr = jnp.asarray([r for r, _, _ in stage])
+                levels = np.asarray(self.source.engine.level[rows_arr])
+                langs = np.asarray(self.source.engine.lang[rows_arr])
+                doc_lens = np.asarray(
+                    [max(1, len(tokenize(c))) for _, c, _ in stage], np.float32)
+                local = self._delta_engine.append(vecs, levels, langs, doc_lens)
+                for (row, content, _v), lrow in zip(stage, local):
+                    self._delta_rows.append(row)
+                    self._global_to_delta[row] = int(lrow)
+                    self._delta_bm25.add_document(int(lrow), content)
+        self._maybe_rebase()
+        return ids
 
     def delete_doc(self, doc_id: str) -> bool:
-        raise NotImplementedError(_READ_ONLY_MSG)
+        with self._delta_lock:
+            row = self.source.row_of(doc_id)
+            ok = self.source.delete_doc(doc_id)
+            if ok and row is not None:
+                local = self._global_to_delta.pop(row, None)
+                if local is not None:
+                    self._delta_engine.invalidate(np.asarray([local]))
+                    self._delta_bm25.remove_document(local)
+                elif row < self._base_rows:
+                    self._tombstones.add(int(row))
+        self._maybe_rebase()
+        return ok
+
+    def _maybe_rebase(self) -> None:
+        base = max(self._base_rows, 1)
+        if (len(self._delta_rows) > self.delta_rebase_fraction * base
+                or len(self._tombstones) > self.delta_rebase_fraction * base):
+            logger.info("sharded store rebase: delta=%d tombstones=%d base=%d",
+                        len(self._delta_rows), len(self._tombstones), base)
+            self.refresh()
 
     def drop_index(self) -> None:
-        raise NotImplementedError(_READ_ONLY_MSG)
+        self.source.drop_index()
+        self.refresh()
+
+    # -- base+delta merge ------------------------------------------------------
+    def _delta_dense(self, embeddings: np.ndarray, k: int,
+                     level_code: int = -1, lang_code: int = -1):
+        """Exact scan of the delta segment (it is small by construction);
+        returns (scores, GLOBAL rows) or None when the delta is empty."""
+        with self._delta_lock:
+            eng = self._delta_engine
+            if eng is None or eng.count == 0:
+                return None
+            s, local = eng.search(embeddings, min(k, eng.count), mode="exact",
+                                  level_code=level_code, lang_code=lang_code)
+            mapping = np.asarray(self._delta_rows + [0], np.int64)
+            rows = np.where(local >= 0, mapping[np.clip(local, 0, None)], -1)
+        return s, rows
+
+    def _delta_sparse(self, queries_text, k: int):
+        with self._delta_lock:
+            bm = self._delta_bm25
+            eng = self._delta_engine
+            if bm is None or bm.num_docs == 0:
+                return None
+            s, local = bm.search_rows_batch(
+                list(queries_text), top_k=min(k, max(bm.num_docs, 1)),
+                valid_mask=eng.valid, num_rows=eng.capacity)
+            mapping = np.asarray(self._delta_rows + [0], np.int64)
+            rows = np.where(local >= 0, mapping[np.clip(local, 0, None)], -1)
+        return s, rows
+
+    def _merge_leg(self, base: Tuple[np.ndarray, np.ndarray],
+                   delta, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Merge base and delta (scores, rows) per query by score, dropping
+        tombstoned base rows. Host-side: k is tiny."""
+        bs, bi = base
+        if self._tombstones:
+            tomb = np.isin(bi, np.fromiter(self._tombstones, np.int64,
+                                           len(self._tombstones)))
+            bs = np.where(tomb, -np.inf, bs)
+            bi = np.where(tomb, -1, bi)
+        if delta is None:
+            return bs[:, :k], bi[:, :k]
+        ds, di = delta
+        s = np.concatenate([bs, ds], axis=1)
+        i = np.concatenate([bi, di], axis=1)
+        s = np.where(i >= 0, s, -np.inf)
+        order = np.argsort(-s, axis=1)[:, :k]
+        return (np.take_along_axis(s, order, axis=1),
+                np.take_along_axis(i, order, axis=1))

@@ -234,3 +234,60 @@ def test_jsonl_file(tmp_path):
     p.write_text('{"title": "a", "content": "xx"}\n{"title": "b", "content": "yy"}\n')
     out = StructuredJSONParser().parse_file(str(p))
     assert len(out) == 2
+
+
+class TestPdfStrategy:
+    """pdf_strategy routing (reference strategy surface
+    `ingestion/processor.py:236-273`): fast = text layer only, hi_res /
+    ocr_only force unstructured, auto falls back to OCR only when the text
+    layer is empty. Parsers are stubbed — the routing is the contract."""
+
+    def _stub(self, monkeypatch, proc, text_pages, empty, unstructured):
+        monkeypatch.setattr(DocumentProcessor, "_parse_pdf_textlayer",
+                            lambda self, p: (list(text_pages), empty))
+        calls = []
+
+        def fake_unstructured(path, strategy):
+            calls.append(strategy)
+            return unstructured
+        monkeypatch.setattr(DocumentProcessor, "_parse_pdf_unstructured",
+                            staticmethod(fake_unstructured))
+        return calls
+
+    def test_fast_never_ocrs(self, monkeypatch, tmp_path):
+        proc = DocumentProcessor(pdf_strategy="fast")
+        calls = self._stub(monkeypatch, proc, [("page text", {"page": 1})], 0,
+                           [("ocr text", {})])
+        out = proc.parse_file(tmp_path / "x.pdf")
+        assert out == [("page text", {"page": 1})]
+        assert calls == []
+
+    def test_hi_res_forces_unstructured(self, monkeypatch, tmp_path):
+        proc = DocumentProcessor(pdf_strategy="hi_res")
+        calls = self._stub(monkeypatch, proc, [("layer", {})], 0,
+                           [("hi res text", {"partition_strategy": "hi_res"})])
+        out = proc.parse_file(tmp_path / "x.pdf")
+        assert out[0][0] == "hi res text"
+        assert calls == ["hi_res"]
+
+    def test_hi_res_degrades_without_unstructured(self, monkeypatch, tmp_path):
+        proc = DocumentProcessor(pdf_strategy="hi_res")
+        self._stub(monkeypatch, proc, [("layer", {"page": 1})], 0, None)
+        out = proc.parse_file(tmp_path / "x.pdf")
+        assert out == [("layer", {"page": 1})]
+
+    def test_auto_ocr_fallback_on_empty_text_layer(self, monkeypatch, tmp_path):
+        proc = DocumentProcessor(pdf_strategy="auto")
+        calls = self._stub(monkeypatch, proc, [], 3,
+                           [("scanned content", {"partition_strategy": "auto"})])
+        out = proc.parse_file(tmp_path / "scan.pdf")
+        assert out[0][0] == "scanned content"
+        assert calls == ["auto"]
+
+    def test_auto_keeps_text_layer_when_present(self, monkeypatch, tmp_path):
+        proc = DocumentProcessor(pdf_strategy="auto")
+        calls = self._stub(monkeypatch, proc, [("real text", {"page": 1})], 0,
+                           [("should not be used", {})])
+        out = proc.parse_file(tmp_path / "x.pdf")
+        assert out == [("real text", {"page": 1})]
+        assert calls == []

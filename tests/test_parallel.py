@@ -226,9 +226,8 @@ def test_sharded_vector_store_serving(rng):
     hy = served.search_hybrid(q[:1], ["token3 shared"], top_k=5)[0]
     assert hy and any("token3" in d.content or "shared" in d.content for d, _ in hy)
 
-    # writes rejected; refresh picks up new source docs
-    with pytest.raises(NotImplementedError):
-        served.upsert("x", {}, np.ones(32))
+    # writes land in the delta segment and are served immediately (the
+    # explicit-refresh path still works too)
     source.upsert_batch([("brand new doc about qq17", {"doc_level": "leaf"},
                           rng.standard_normal(32))])
     served.refresh()
@@ -429,3 +428,74 @@ def test_invalidate_calibration(rng):
     hy.invalidate_calibration()
     assert hy.needs_calibration()
     np.testing.assert_allclose(hy.leg_weights, [0.5, 0.5])
+
+
+def test_sharded_store_incremental_ingest(rng):
+    """VERDICT r2 #8: appends while serving become retrievable WITHOUT a
+    full re-shard (delta segment), deletes tombstone base rows, and
+    crossing the rebase fraction folds the delta into a fresh base."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.parallel.sharded_store import ShardedVectorStore
+
+    mesh = create_mesh(data=4, model=2)
+    dim, n = 32, 120
+    source = TpuVectorStore(dim=dim, index_config=IndexConfig(dim=dim, initial_capacity=256))
+    embs = rng.standard_normal((n, dim)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    ids = source.upsert_batch([
+        (f"base doc {i} with marker base{i}", {"doc_level": "leaf"}, embs[i])
+        for i in range(n)])
+    bm25 = BM25Index()
+    bm25.bulk_build([source.row_of(i) for i in ids],
+                    [source.get_doc(i).content for i in ids])
+    served = ShardedVectorStore(mesh, source, bm25_index=bm25,
+                                delta_rebase_fraction=0.5)
+    base_rows_before = served._base_rows
+
+    # append while serving: new docs retrievable dense + hybrid, no re-shard
+    new_embs = rng.standard_normal((8, dim)).astype(np.float32)
+    new_embs /= np.linalg.norm(new_embs, axis=1, keepdims=True)
+    new_ids = served.upsert_batch([
+        (f"fresh doc {i} with rare term zzfresh{i}", {"doc_level": "leaf"}, new_embs[i])
+        for i in range(8)])
+    assert served._base_rows == base_rows_before  # no rebase happened
+    assert served.delta_size == 8
+    assert served.count_documents() == n + 8
+
+    hits = served.retrieve_by_embedding_batch(new_embs[:2], top_k=5,
+                                              min_similarity=-1.0)
+    assert new_ids[0] in [d.doc_id for d, _ in hits[0]]
+    assert new_ids[1] in [d.doc_id for d, _ in hits[1]]
+
+    hy = served.search_hybrid(new_embs[2:3], ["zzfresh2"], top_k=5)[0]
+    assert new_ids[2] in [d.doc_id for d, _ in hy]
+
+    # delete a BASE doc: tombstoned out of results without re-shard
+    served.delete_doc(ids[5])
+    assert served._base_rows == base_rows_before
+    hits = served.retrieve_by_embedding_batch(embs[5:6], top_k=5,
+                                              min_similarity=-1.0)
+    assert ids[5] not in [d.doc_id for d, _ in hits[0]]
+
+    # delete a DELTA doc
+    served.delete_doc(new_ids[0])
+    hits = served.retrieve_by_embedding_batch(new_embs[:1], top_k=5,
+                                              min_similarity=-1.0)
+    assert new_ids[0] not in [d.doc_id for d, _ in hits[0]]
+
+    # crossing the rebase fraction folds the delta into the base
+    many = rng.standard_normal((70, dim)).astype(np.float32)
+    many /= np.linalg.norm(many, axis=1, keepdims=True)
+    more_ids = served.upsert_batch([
+        (f"bulk doc {i} term qbulk{i}", {"doc_level": "leaf"}, many[i])
+        for i in range(70)])
+    assert served._base_rows > base_rows_before  # rebased
+    assert served.delta_size == 0
+    # and everything is still retrievable from the new base
+    hits = served.retrieve_by_embedding_batch(many[10:11], top_k=5,
+                                              min_similarity=-1.0)
+    assert more_ids[10] in [d.doc_id for d, _ in hits[0]]
+    hy = served.search_hybrid(new_embs[3:4], ["zzfresh3"], top_k=5)[0]
+    assert new_ids[3] in [d.doc_id for d, _ in hy]
