@@ -367,6 +367,11 @@ class DeviceVectorIndex:
             # the operator validated
             fits = [b for b in self.QUERY_BUCKETS if b <= int(override)]
             return fits[-1] if fits else self.QUERY_BUCKETS[0]
+        if self.stage1_select.endswith("chunked"):
+            # chunked stage-1 never materializes (B, N): peak transient is
+            # (B, SCAN_CHUNK), so the score-buffer gate does not apply —
+            # this is the >=10M fp32-free serving configuration
+            return self.QUERY_BUCKETS[-1]
         cap = self.QUERY_BUCKETS[-1]
         while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
             cap //= 2

@@ -208,7 +208,13 @@ def nn_descent_graph(
     # ~2x budget at 1M, ~4x at 10M (capped: per-round cost grows with C)
     n_reverse = max(n_reverse, min(64, n // 16384))
     n_random = max(n_random, min(32, n // 32768))
-    vdev = jnp.asarray(vecs)
+    # bf16 residency for big corpora: _refine_block scores in bf16 either
+    # way (the cast just moves before upload), and fp32 at 10M x 384 is
+    # 15.4 GB — it would not fit next to the descent transients in 16 GB HBM
+    if vecs.nbytes > (4 << 30):
+        vdev = jnp.asarray(vecs, jnp.bfloat16)
+    else:
+        vdev = jnp.asarray(vecs)
     live = np.ones(n, bool) if valid is None else np.asarray(valid, bool).copy()
     pool = np.nonzero(live)[0]
     if len(pool) == 0:

@@ -331,3 +331,15 @@ def test_max_query_bucket_override_clamps_to_real_bucket(monkeypatch):
         monkeypatch.setenv("RAD_MAX_QUERY_BUCKET", env)
         assert eng.max_query_bucket() == expect, (env, expect)
         assert eng.max_query_bucket() in DeviceVectorIndex.QUERY_BUCKETS
+
+
+def test_max_query_bucket_chunked_select_ungated(monkeypatch):
+    """Chunked stage-1 select never materializes (B, N), so the score-buffer
+    gate must not shrink the bucket (the >=10M fp32-free configuration)."""
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+    monkeypatch.delenv("RAD_MAX_QUERY_BUCKET", raising=False)
+    eng = DeviceVectorIndex(16, initial_capacity=256,
+                            stage1_select="bf16_chunked")
+    eng.capacity = 1 << 24  # 16.7M rows
+    assert eng.max_query_bucket() == DeviceVectorIndex.QUERY_BUCKETS[-1]
