@@ -230,6 +230,9 @@ def main(argv=None) -> int:
                         help="fine-tune the embedder (ICT contrastive) and re-evaluate dense")
     parser.add_argument("--hard-negatives", type=int, default=2,
                         help="BM25-mined hard negatives per query during training")
+    parser.add_argument("--layers", type=int, default=2,
+                        help="encoder depth (capacity knob for the training study)")
+    parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--corpus", choices=("synthetic", "real"),
                         default="synthetic",
                         help="real = offline technical prose (reference repo "
@@ -259,9 +262,10 @@ def main(argv=None) -> int:
     else:
         queries = make_queries(rng, docs, args.queries)
 
-    emb_cfg = EmbeddingConfig(dim=args.dim, num_layers=2, num_heads=4,
-                              hidden_dim=args.dim * 2, vocab_size=8192,
-                              max_seq_len=64, batch_size=64)
+    emb_cfg = EmbeddingConfig(dim=args.dim, num_layers=args.layers,
+                              num_heads=4, hidden_dim=args.dim * 2,
+                              vocab_size=8192, max_seq_len=64, batch_size=64,
+                              checkpoint_dir="")
     embedder = Embedder(emb_cfg)
     store = TpuVectorStore(dim=args.dim,
                            index_config=IndexConfig(dim=args.dim, initial_capacity=args.docs))
@@ -333,7 +337,7 @@ def main(argv=None) -> int:
 
         metrics, params = train_embedder(
             store, emb_cfg, mesh=create_mesh(), steps=args.train_steps,
-            batch_size=64, learning_rate=1e-4,
+            batch_size=64, learning_rate=args.lr,
             bm25=bm25, hard_negatives=args.hard_negatives,
             log_every=max(args.train_steps // 5, 1), return_params=True)
         report["train"] = metrics
