@@ -84,13 +84,43 @@ def _mock_llm(fail_critic_once: bool):
 
 
 def _local_llm(cfg):
+    """Real transformers generation loop (zero-egress: a tiny random-weight
+    GPT-2 through the same AutoTokenizer/generate path real weights use —
+    measures the local-backend integration cost, not a production model's
+    decode time)."""
     import dataclasses
+    import tempfile
 
-    from radiant_rag_tpu.llm.backends import create_llm_backend
+    import torch
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import (AutoTokenizer, GPT2Config, GPT2LMHeadModel,
+                              PreTrainedTokenizerFast)
+
     from radiant_rag_tpu.llm.client import LLMClient
+    from radiant_rag_tpu.llm.local_backend import LocalTransformersLLMBackend
 
-    llm_cfg = dataclasses.replace(cfg.llm, backend="local")
-    return LLMClient(backend=create_llm_backend(llm_cfg)), (lambda: None)
+    words = ["<unk>", "<eos>", "User", "Assistant", "System", ":", "atp",
+             "is", "the", "energy", "currency", "of", "cells", "produced",
+             "in", "mitochondria", "good", "answer", "ok"]
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                                   eos_token="<eos>", pad_token="<eos>")
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_tok_")
+    fast.save_pretrained(tmp)
+    tokenizer = AutoTokenizer.from_pretrained(tmp)
+    gcfg = GPT2Config(vocab_size=len(vocab), n_positions=512, n_embd=64,
+                      n_layer=4, n_head=4, bos_token_id=1, eos_token_id=1)
+    torch.manual_seed(0)
+    model = GPT2LMHeadModel(gcfg).eval()
+    llm_cfg = dataclasses.replace(cfg.llm, backend="local", device="cpu",
+                                  temperature=0.0)
+    backend = LocalTransformersLLMBackend(llm_cfg, model=model,
+                                          tokenizer=tokenizer)
+    return LLMClient(backend=backend), (lambda: None)
 
 
 def build_stack(n_docs: int, dim: int):
