@@ -162,8 +162,18 @@ class DeviceVectorIndex:
         self.vec_dtype = _jnp.bfloat16 if vec_dtype == "bfloat16" else _jnp.float32
         self.use_pallas_scan = use_pallas_scan
         # resolve the stage-1 selection policy HERE (host), not inside the
-        # jit trace: compiled-program cache keys must be concrete
-        self.stage1_select = stage1_select or sim._default_select()
+        # jit trace: compiled-program cache keys must be concrete.
+        # Auto policy (nothing explicit anywhere): f32 for small corpora
+        # (measured faster at 1M x B<=1024: 98.7 vs 107.1 ms — bf16 only
+        # adds convert work when HBM pressure is low), bf16 at >=1M rows
+        # where the top admitted bucket's (B, N) traffic is HBM-bound
+        # (chip-measured at 1M x B=2048: bf16 21.9k pipelined QPS vs f32
+        # 15.0k same-day, recall unchanged at 0.988 — BENCH_NOTES r2/r3).
+        import os as _os
+
+        explicit = stage1_select or _os.environ.get("RAD_STAGE1_SELECT", "")
+        self._select_explicit = bool(explicit)
+        self.stage1_select = explicit or self._auto_select()
         self._calibrated = False
         self.calibration_sample = calibration_sample
         self._alloc(self.capacity)
@@ -172,6 +182,10 @@ class DeviceVectorIndex:
         self.i8_hi = jnp.full((dim,), 1.0, jnp.float32)
         # optional graph engine (HNSW-equivalent; built on demand)
         self.graph = None
+
+    def _auto_select(self) -> str:
+        """Capacity-aware stage-1 select default (see __init__ comment)."""
+        return "bf16" if self.capacity >= (1 << 20) else "f32"
 
     # -- allocation --------------------------------------------------------
     def _alloc(self, cap: int) -> None:
@@ -202,6 +216,11 @@ class DeviceVectorIndex:
         self.lang = grow(self.lang)
         self.doc_len = grow(self.doc_len)
         self.capacity = new_cap
+        if not self._select_explicit:
+            # growth across the HBM-pressure boundary flips the auto select
+            # policy (new programs compile under the new key; cached small-
+            # corpus programs are simply unused)
+            self.stage1_select = self._auto_select()
 
     # -- writes ------------------------------------------------------------
     def append(

@@ -343,3 +343,30 @@ def test_max_query_bucket_chunked_select_ungated(monkeypatch):
                             stage1_select="bf16_chunked")
     eng.capacity = 1 << 24  # 16.7M rows
     assert eng.max_query_bucket() == DeviceVectorIndex.QUERY_BUCKETS[-1]
+
+
+def test_stage1_select_auto_policy(monkeypatch):
+    """Auto stage-1 select: f32 below 1M rows, bf16 at >=1M (HBM-bound
+    bucket); explicit config/env always wins; growth across the boundary
+    re-resolves."""
+    from radiant_rag_tpu.index.engine import DeviceVectorIndex
+
+    monkeypatch.delenv("RAD_STAGE1_SELECT", raising=False)
+    assert DeviceVectorIndex(16, initial_capacity=256).stage1_select == "f32"
+    big = DeviceVectorIndex.__new__(DeviceVectorIndex)
+    big.capacity = 1 << 20
+    assert DeviceVectorIndex._auto_select(big) == "bf16"
+
+    eng = DeviceVectorIndex(16, initial_capacity=256)
+    eng._grow(1 << 20)
+    assert eng.stage1_select == "bf16"
+
+    monkeypatch.setenv("RAD_STAGE1_SELECT", "bf16_chunked")
+    eng2 = DeviceVectorIndex(16, initial_capacity=256)
+    assert eng2.stage1_select == "bf16_chunked"
+    eng2._grow(1 << 20)
+    assert eng2.stage1_select == "bf16_chunked"  # explicit survives growth
+
+    explicit = DeviceVectorIndex(16, initial_capacity=256, stage1_select="f32")
+    explicit._grow(1 << 20)
+    assert explicit.stage1_select == "f32"
