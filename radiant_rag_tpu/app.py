@@ -631,10 +631,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("serve", help="HTTP JSON API server")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--warmup", type=int, default=0, metavar="MAX_BATCH",
+    p.add_argument("--warmup", type=int, default=-1, metavar="MAX_BATCH",
                    help="progressively compile search programs up to this "
                         "batch size before serving (avoids a multi-minute "
-                        "first-request compile on large corpora)")
+                        "first-request compile on large corpora). Default: "
+                        "the coalescer's server.max_batch; 0 disables")
 
     p = sub.add_parser(
         "warmup", help="precompile the serving bucket ladder into the "
@@ -707,9 +708,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif args.command == "serve":
         from radiant_rag_tpu.server import serve
 
-        if args.warmup > 0:
-            print(f"warming search programs up to batch {args.warmup}…")
-            print(app.warmup(max_batch=args.warmup))
+        # warm by default: the bucket the coalescer will actually use —
+        # operators should not need a flag to avoid a minutes-long first
+        # request on large corpora (persistent cache makes this one-time)
+        warm_to = config.server.max_batch if args.warmup < 0 else args.warmup
+        if warm_to > 0 and app.store.count_documents() > 0:
+            print(f"warming search programs up to batch {warm_to}…")
+            print(app.warmup(max_batch=warm_to))
         serve(app, host=args.host, port=args.port)
     elif args.command == "warmup":
         from radiant_rag_tpu.utils.compile_cache import DEFAULT_CACHE_DIR
