@@ -43,7 +43,13 @@ class ContrastivePairSampler:
     def __init__(self, texts: Sequence[str], tokenizer, batch_size: int = 32,
                  max_seq_len: int = 128, seed: int = 0,
                  bm25=None, rows: Optional[Sequence[int]] = None,
-                 n_hard_negatives: int = 0) -> None:
+                 n_hard_negatives: int = 0,
+                 query_augment=None) -> None:
+        """query_augment: optional (query_text, rng) -> str applied to each
+        pseudo-query — e.g. domain synonym substitution so the encoder
+        learns paraphrase correspondences instead of only verbatim spans
+        (ICT queries are literal substrings; an encoder trained on them
+        never sees the synonym gap that paraphrase-style eval measures)."""
         if not texts:
             raise ValueError("no embedded docs in the store to train on")
         if len(texts) < batch_size:
@@ -66,6 +72,7 @@ class ContrastivePairSampler:
         self.bm25 = bm25
         self.rows = list(rows) if rows is not None else None
         self.n_hard = int(n_hard_negatives)
+        self.query_augment = query_augment
         if self.n_hard > 0 and (bm25 is None or self.rows is None):
             raise ValueError("hard negatives need bm25 + rows")
         self._row_to_text = (
@@ -104,6 +111,8 @@ class ContrastivePairSampler:
         idx = self.rng.choice(len(self.texts), self.batch_size, replace=self._replace)
         docs = [self.texts[i] for i in idx]
         queries = [make_pseudo_query(d, self.rng) for d in docs]
+        if self.query_augment is not None:
+            queries = [self.query_augment(q, self.rng) for q in queries]
         q_ids, q_mask, _ = self.tokenizer.encode_batch(queries, self.max_seq_len)
         d_ids, d_mask, _ = self.tokenizer.encode_batch(docs, self.max_seq_len)
         parts = {"q": (q_ids, q_mask), "d": (d_ids, d_mask)}
@@ -136,6 +145,7 @@ def train_embedder(
     hard_negatives: int = 0,
     lr_schedule: bool = True,
     init_params_tree=None,
+    query_augment=None,
 ):
     """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh).
 
@@ -176,7 +186,8 @@ def train_embedder(
     sampler = ContrastivePairSampler.from_store(
         store, tokenizer, bm25=bm25, batch_size=batch_size,
         max_seq_len=min(cfg.max_seq_len, 128), seed=seed,
-        n_hard_negatives=hard_negatives if bm25 is not None else 0)
+        n_hard_negatives=hard_negatives if bm25 is not None else 0,
+        query_augment=query_augment)
 
     ckpt = None
     if checkpoint_dir:

@@ -232,6 +232,10 @@ def main(argv=None) -> int:
                         help="BM25-mined hard negatives per query during training")
     parser.add_argument("--layers", type=int, default=2,
                         help="encoder depth (capacity knob for the training study)")
+    parser.add_argument("--augment-queries", action="store_true",
+                        help="synonym-augment training pseudo-queries (the "
+                             "paraphrase map) so the encoder learns the "
+                             "correspondences paraphrase eval measures")
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--corpus", choices=("synthetic", "real"),
                         default="synthetic",
@@ -335,10 +339,19 @@ def main(argv=None) -> int:
         from radiant_rag_tpu.parallel.data import train_embedder
         from radiant_rag_tpu.parallel.mesh import create_mesh
 
+        augment = None
+        if args.augment_queries:
+            def augment(q, arng):
+                out = []
+                for w in q.split():
+                    m = _SYNONYMS.get(w.lower())
+                    out.extend(m.split() if (m and arng.random() < 0.5) else [w])
+                return " ".join(out)
         metrics, params = train_embedder(
             store, emb_cfg, mesh=create_mesh(), steps=args.train_steps,
             batch_size=64, learning_rate=args.lr,
             bm25=bm25, hard_negatives=args.hard_negatives,
+            query_augment=augment,
             log_every=max(args.train_steps // 5, 1), return_params=True)
         report["train"] = metrics
 
