@@ -394,6 +394,21 @@ def main(argv=None) -> int:
                                        fused_k=k, fusion="equal")
         report["hybrid_after_training_equal_rrf"] = evaluate2(
             lambda qi: [store2.id_for_row(int(r)) for r in hy2_eq["fused"][1][qi] if r >= 0])
+
+        # fusion weight sweep: what dense weight actually maximizes hybrid
+        # MRR at this leg quality? Data for the calibration gate (the 0.5x
+        # demotion threshold is a measured-at-two-points heuristic; this
+        # sweep re-measures it at every training run's operating point).
+        sweep = {}
+        for wd in (0.0, 0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5):
+            searcher2.leg_weights = np.asarray([wd, 1.0 - wd], np.float32)
+            hy_w = searcher2.search_rows(q_embs2, q_texts, dense_k=k,
+                                         bm25_k=k, fused_k=k)
+            sweep[f"{wd:.2f}"] = evaluate2(
+                lambda qi: [store2.id_for_row(int(r))
+                            for r in hy_w["fused"][1][qi] if r >= 0])["mrr"]
+        report["fusion_weight_sweep_mrr"] = sweep
+        report["best_dense_weight"] = max(sweep, key=sweep.get)
         print(json.dumps(report, indent=2))
         return 0
 
