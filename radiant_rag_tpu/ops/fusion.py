@@ -87,7 +87,7 @@ def weighted_rrf_fuse(
 
 
 def calibrated_leg_weights(leg_mrrs, floor: float = 0.002, gamma: float = 2.0,
-                           gate: float = 0.5, tiebreak: float = 0.005):
+                           gate: float = 0.75, tiebreak: float = 0.005):
     """Measured per-leg quality -> RRF weights (host-side; plain python).
 
     `leg_mrrs` are unsupervised self-retrieval MRRs measured by probing each
@@ -99,9 +99,13 @@ def calibrated_leg_weights(leg_mrrs, floor: float = 0.002, gamma: float = 2.0,
     * gate: a leg below `gate` x the best leg's MRR is demoted to `tiebreak`
       x the best weight — under RRF's smallest within-top-10 rank-gap ratio
       ((1/69-1/70)/(1/61) ~ 1.3%), so it can only order docs the good leg
-      did not rank at all. Measured twice on the quality harness: a leg at
-      <=0.2x the other's MRR net-LOSES fused MRR at any rank-disturbing
-      weight, so there is no useful weight between tiebreak and ~0.15.
+      did not rank at all. Measured three times on the quality harness:
+      a leg at <=0.2x the other's MRR net-LOSES fused MRR at any
+      rank-disturbing weight; at 0.51x (dense 0.37 vs bm25 0.72 after a
+      6k-step train) the smooth mrr^2 weight 0.21 ALSO lost 0.09 fused MRR
+      and the full weight sweep was monotone down from w=0 — so the gate
+      sits at 0.75: RRF's rank-only perturbation only pays once the legs
+      are near parity (see tools/quality_harness.py fusion_weight_sweep).
 
     The reference has no such mechanism (equal weights always,
     `agents/fusion.py:79-102`) and measurably loses half its hybrid MRR when

@@ -232,6 +232,10 @@ def main(argv=None) -> int:
                         help="BM25-mined hard negatives per query during training")
     parser.add_argument("--layers", type=int, default=2,
                         help="encoder depth (capacity knob for the training study)")
+    parser.add_argument("--save-ckpt", default="",
+                        help="save trained params (orbax dir) for --load-ckpt reuse")
+    parser.add_argument("--load-ckpt", default="",
+                        help="skip training; evaluate params from this orbax dir")
     parser.add_argument("--augment-queries", action="store_true",
                         help="synonym-augment training pseudo-queries (the "
                              "paraphrase map) so the encoder learns the "
@@ -347,13 +351,19 @@ def main(argv=None) -> int:
                     m = _SYNONYMS.get(w.lower())
                     out.extend(m.split() if (m and arng.random() < 0.5) else [w])
                 return " ".join(out)
-        metrics, params = train_embedder(
-            store, emb_cfg, mesh=create_mesh(), steps=args.train_steps,
-            batch_size=64, learning_rate=args.lr,
-            bm25=bm25, hard_negatives=args.hard_negatives,
-            query_augment=augment,
-            log_every=max(args.train_steps // 5, 1), return_params=True)
-        report["train"] = metrics
+        if args.load_ckpt:
+            from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+            params = TrainCheckpointer(args.load_ckpt).restore()["params"]
+            report["train"] = {"loaded": args.load_ckpt}
+        else:
+            metrics, params = train_embedder(
+                store, emb_cfg, mesh=create_mesh(), steps=args.train_steps,
+                batch_size=64, learning_rate=args.lr,
+                bm25=bm25, hard_negatives=args.hard_negatives,
+                query_augment=augment, checkpoint_dir=args.save_ckpt,
+                log_every=max(args.train_steps // 5, 1), return_params=True)
+            report["train"] = metrics
 
         trained = Embedder(emb_cfg, params=params)
         store2 = TpuVectorStore(dim=args.dim, index_config=IndexConfig(
@@ -409,6 +419,40 @@ def main(argv=None) -> int:
                             for r in hy_w["fused"][1][qi] if r >= 0])["mrr"]
         report["fusion_weight_sweep_mrr"] = sweep
         report["best_dense_weight"] = max(sweep, key=sweep.get)
+
+        # score-aware fusion experiment: RRF is rank-only, so ANY dense
+        # weight perturbs bm25's correct head. Score interpolation only
+        # promotes a dense candidate when dense is confident about it:
+        # fused = w_d * znorm(dense) + w_b * znorm(bm25) over the union.
+        hy_legs = searcher2.search_rows(q_embs2, q_texts, dense_k=k,
+                                        bm25_k=k, fused_k=k)
+        d_s, d_r = hy_legs["dense"]
+        b_s, b_r = hy_legs["bm25"]
+
+        def znorm(s, live):
+            vals = s[live]
+            if vals.size < 2:
+                return np.zeros_like(s)
+            mu, sd = vals.mean(), vals.std() + 1e-6
+            return np.where(live, (s - mu) / sd, -1e9)
+
+        score_sweep = {}
+        for wd in (0.0, 0.1, 0.2, 0.3, 0.5):
+            def ranked(qi, wd=wd):
+                cand = {}
+                dz = znorm(d_s[qi], d_r[qi] >= 0)
+                bz = znorm(b_s[qi], b_r[qi] >= 0)
+                for z, r in zip(dz, d_r[qi]):
+                    if r >= 0:
+                        cand[int(r)] = cand.get(int(r), 0.0) + wd * z
+                for z, r in zip(bz, b_r[qi]):
+                    if r >= 0:
+                        cand[int(r)] = cand.get(int(r), 0.0) + (1 - wd) * z
+                top = sorted(cand, key=cand.get, reverse=True)[:k]
+                return [store2.id_for_row(r) for r in top]
+            score_sweep[f"{wd:.2f}"] = evaluate2(ranked)["mrr"]
+        report["score_fusion_sweep_mrr"] = score_sweep
+        report["best_score_dense_weight"] = max(score_sweep, key=score_sweep.get)
         print(json.dumps(report, indent=2))
         return 0
 
