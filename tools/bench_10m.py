@@ -29,6 +29,10 @@ import time
 
 import numpy as np
 
+import logging
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 

@@ -21,6 +21,10 @@ import sys
 
 import numpy as np
 
+import logging
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
