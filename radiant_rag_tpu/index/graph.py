@@ -37,6 +37,7 @@ full build for rebuild policies.
 from __future__ import annotations
 
 import logging
+import time as _time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -153,6 +154,9 @@ def _refine_block(
     return top_s, ids
 
 
+_refine_block_jit = partial(jax.jit, static_argnames=("k",))(_refine_block)
+
+
 @jax.jit
 def _nearest_sample_block(sample_vecs: jax.Array, qblk: jax.Array) -> jax.Array:
     """Index (into the sample) of each block row's nearest sample vector."""
@@ -174,6 +178,7 @@ def nn_descent_graph(
     n_random: int = 8,
     converge_frac: float = 0.001,
     two_level: bool = False,
+    polish: bool = True,
 ) -> np.ndarray:
     """Approximate KNN graph by NN-descent; returns (N, R+L) int32.
 
@@ -303,12 +308,96 @@ def nn_descent_graph(
                         it + 1, changed)
             break
 
+    if polish:
+        t_p = _time.time()
+        adj = _cluster_polish(vdev, mask_dev, adj, pool, rng, block=block // 2)
+        logger.info("cluster polish: %.1fs", _time.time() - t_p)
+
     out = np.full((n, r + n_long_edges), -1, np.int32)
     out[:, :r] = adj
     if n_long_edges > 0:
         out[:, r:] = rng.choice(pool, size=(n, n_long_edges),
                                 replace=True).astype(np.int32)
     return out
+
+
+@partial(jax.jit, static_argnames=("n_probe",))
+def _topk_centroids(cent_vecs: jax.Array, qblk: jax.Array, n_probe: int) -> jax.Array:
+    """ids of each row's n_probe nearest centroids (bf16 matmul)."""
+    s = jax.lax.dot_general(
+        qblk.astype(jnp.bfloat16), cent_vecs.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    _, ids = jax.lax.top_k(s, n_probe)
+    return ids.astype(jnp.int32)
+
+
+def _cluster_polish(vdev, mask_dev, adj: np.ndarray, pool: np.ndarray,
+                    rng: np.random.Generator, block: int = 2048,
+                    n_centroids: int = 4096, n_probe: int = 2) -> np.ndarray:
+    """Exact within-cluster refinement after NN-descent converges.
+
+    The 1M edge study (tools/graph_edge_study.py, BENCH_NOTES r3) showed the
+    descent plateau is NOT tail tie-noise: misses spread across ALL true
+    ranks (6.7% of rank-1 neighbors), 94% have real positive margins
+    (median cosine gap 0.005), 100% are intra-cluster, and missed targets
+    have normal in-degree — i.e. two-hop exploration saturates before
+    resolving fine ranking among ~1000 near-equidistant cluster members.
+    The structural fix: partition rows by nearest sample centroid and score
+    every node EXACTLY against its n_probe nearest partitions' members
+    (union'd with its descent edges, top-R kept). One _refine_block pass at
+    candidate width R + n_probe*cap — cost of ~2-3 descent rounds, exact
+    within the probed partitions."""
+    n, r = adj.shape
+    take = max(16, min(n_centroids, len(pool) // 4 or 1))
+    # member cap bounds the gather transient; 3x the mean partition size
+    # covers skew (overflow rows keep their descent edges)
+    cap = min(512, max(64, 3 * n // take))
+    cent_rows = rng.choice(pool, size=take, replace=False).astype(np.int32)
+    cent_vecs = jnp.take(vdev, jnp.asarray(cent_rows), axis=0)
+
+    probes = np.empty((n, n_probe), np.int32)
+    ablk = 8192
+    pend = []
+    for s0 in range(0, n, ablk):
+        e0 = min(s0 + ablk, n)
+        qb = vdev[s0:e0]
+        if e0 - s0 < ablk:
+            qb = jnp.pad(qb, ((0, ablk - (e0 - s0)), (0, 0)))
+        pend.append((s0, e0, _topk_centroids(cent_vecs, qb, n_probe)))
+    for s0, e0, ids in pend:
+        probes[s0:e0] = np.asarray(ids)[: e0 - s0]
+
+    # bucket rows by top-1 centroid (host, vectorized fill)
+    member_table = np.full((take, cap), -1, np.int32)
+    top1 = probes[:, 0]
+    order = np.argsort(top1, kind="stable").astype(np.int32)
+    sorted_c = top1[order]
+    starts = np.searchsorted(sorted_c, np.arange(take))
+    ends = np.searchsorted(sorted_c, np.arange(take), side="right")
+    for c in range(take):
+        members = order[starts[c]: ends[c]][:cap]
+        member_table[c, : len(members)] = members
+
+    # candidates read only the PRE-polish adjacency, so all blocks dispatch
+    # asynchronously and fetch at the end (per-call latency overlaps compute)
+    pend2 = []
+    for s0 in range(0, n, block):
+        e0 = min(s0 + block, n)
+        b = e0 - s0
+        extra = member_table[probes[s0:e0]].reshape(b, n_probe * cap)
+        qb = vdev[s0:e0]
+        qrows = np.arange(s0, s0 + block, dtype=np.int32)
+        cand = np.concatenate([adj[s0:e0], extra], axis=1)
+        if b < block:
+            qb = jnp.pad(qb, ((0, block - b), (0, 0)))
+            cand = np.concatenate(
+                [cand, np.full((block - b, cand.shape[1]), -1, np.int32)])
+        _, ids = _refine_block_jit(vdev, mask_dev, qb, jnp.asarray(qrows),
+                                   jnp.asarray(cand), k=r)
+        pend2.append((s0, e0, ids))
+    for s0, e0, ids in pend2:
+        adj[s0:e0] = np.asarray(ids)[: e0 - s0]
+    return adj
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -82,6 +82,9 @@ def main(argv=None) -> int:
                         help="timed batches per throughput measurement")
     parser.add_argument("--graph", action="store_true",
                         help="also build + measure the NN-descent graph")
+    parser.add_argument("--iters", type=int, default=12,
+                        help="NN-descent round ceiling for the 10M graph "
+                             "(cluster polish recovers fine ranking)")
     parser.add_argument("--append-chunk", type=int, default=500_000)
     args = parser.parse_args(argv)
 
@@ -161,12 +164,18 @@ def main(argv=None) -> int:
     }
 
     if args.graph:
-        from radiant_rag_tpu.index.graph import GraphIndex
+        from radiant_rag_tpu.index.graph import GraphIndex, nn_descent_graph
 
-        log("NN-descent graph build at scale (bf16 scoring)...")
+        log("NN-descent graph build at scale (bf16 scoring + polish)...")
+        import jax.numpy as _jnp
         t0 = time.time()
         g = GraphIndex(degree=16, n_long_edges=4)
-        g.build(vecs, method="nn_descent")
+        adj = nn_descent_graph(vecs, 16, 4, iters=args.iters)
+        g.neighbors = _jnp.asarray(adj)
+        g.entry_points = _jnp.asarray(
+            rng.choice(n, size=16, replace=False).astype(np.int32))
+        g._refresh_entry_sample(vecs, np.arange(n), rng)
+        g.built_rows = n
         gb = time.time() - t0
         log(f"graph build: {gb:.1f}s")
         import jax.numpy as jnp

@@ -95,6 +95,8 @@ def main(argv=None) -> int:
     parser.add_argument("--load-adj", default="")
     parser.add_argument("--iters", type=int, default=0,
                         help="override NN-descent rounds (0 = recipe default)")
+    parser.add_argument("--no-polish", action="store_true",
+                        help="disable the cluster-polish pass (A/B)")
     parser.add_argument("--tie-eps", type=float, default=1e-3,
                         help="margin below which a miss counts as tie-noise")
     args = parser.parse_args(argv)
@@ -119,7 +121,8 @@ def main(argv=None) -> int:
             method = "exact"
         else:
             kw = {"iters": args.iters} if args.iters else {}
-            adj = nn_descent_graph(vecs, R, 0, seed=0, **kw)
+            adj = nn_descent_graph(vecs, R, 0, seed=0,
+                                   polish=not args.no_polish, **kw)
             method = "nn_descent"
         build_s = time.time() - t0
         print(f"{method} build: {build_s:.1f}s", file=sys.stderr)
