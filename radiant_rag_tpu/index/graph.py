@@ -348,7 +348,9 @@ def _cluster_polish(vdev, mask_dev, adj: np.ndarray, pool: np.ndarray,
     candidate width R + n_probe*cap — cost of ~2-3 descent rounds, exact
     within the probed partitions."""
     n, r = adj.shape
-    take = max(16, min(n_centroids, len(pool) // 4 or 1))
+    # partitions must be much larger than the degree for the exact pass to
+    # contain each node's true neighbors: target ~64 members per centroid
+    take = max(4, min(n_centroids, len(pool) // 64 or 1))
     # member cap bounds the gather transient; 3x the mean partition size
     # covers skew (overflow rows keep their descent edges)
     cap = min(512, max(64, 3 * n // take))
