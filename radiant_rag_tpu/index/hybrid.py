@@ -30,18 +30,23 @@ from radiant_rag_tpu.ops import similarity as sim
 from radiant_rag_tpu.ops.bm25 import (
     bm25_candidate_rescore, bm25_pages_scores, bm25_sketch_select,
 )
-from radiant_rag_tpu.ops.fusion import rrf_fuse, weighted_rrf_fuse
+from radiant_rag_tpu.ops.fusion import rrf_fuse, score_fuse, weighted_rrf_fuse
 
 
-def _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion):
-    """Equal-weight RRF (reference parity) or calibration-weighted RRF (the
+def _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion,
+                dense_s=None, bm_s=None):
+    """Equal-weight RRF (reference parity), calibration-weighted RRF (the
     quality-aware default: a leg measured to be unreliable — e.g. an
     untrained dense encoder — is down-weighted to a tiebreaker instead of
-    dragging fused MRR below the better single leg). leg_w: (2,) f32."""
+    dragging fused MRR below the better single leg), or z-normalized score
+    interpolation ("score": safe for mid-quality legs — promotes a weak-leg
+    candidate only when that leg is confident about it). leg_w: (2,) f32."""
     if fusion == "equal":
         return rrf_fuse((dense_i, bm_i), k=fused_k, rrf_k=rrf_k)
     b = dense_i.shape[0]
     w = jnp.broadcast_to(leg_w[None, :], (b, 2))
+    if fusion == "score":
+        return score_fuse((dense_i, bm_i), (dense_s, bm_s), w, k=fused_k)
     return weighted_rrf_fuse((dense_i, bm_i), w, k=fused_k, rrf_k=rrf_k)
 
 
@@ -105,7 +110,8 @@ def _hybrid_sketch_core(
         bm_s, bm_i = bm25_sketch_select(sketch, sketch_scale, qind, mask, bm25_k, select)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
-    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
+    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k,
+                                   fusion, dense_s, bm_s)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
 
 
@@ -249,7 +255,8 @@ def _hybrid_program(
     bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
-    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion)
+    fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k,
+                                   fusion, dense_s, bm_s)
     return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
 
 

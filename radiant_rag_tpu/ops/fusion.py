@@ -86,6 +86,45 @@ def weighted_rrf_fuse(
     return _dedup_topk(cand, score, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def score_fuse(
+    runs: Tuple[jax.Array, ...],        # each (B, K_r) int32 rows, -1 pad
+    run_scores: Tuple[jax.Array, ...],  # each (B, K_r) f32 leg scores
+    run_weights: jax.Array,             # (B, n_runs) f32
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query z-normalized score interpolation over the union of runs.
+
+    Rank-only RRF perturbs a strong leg's correct head whenever the weak leg
+    merely disagrees; score interpolation only promotes a candidate the weak
+    leg is CONFIDENT about. Measured on the quality harness (round 3): at
+    dense = 0.5x bm25 self-retrieval MRR, EVERY rank-disturbing RRF weight
+    loses fused MRR (monotone down from w=0) while score fusion at w=0.2-0.3
+    breaks even — the safe fusion for mid-quality legs.
+
+    Each run's live scores are z-normalized then shifted so the run's WORST
+    live candidate sits at a small positive floor: a candidate a leg
+    retrieved always outranks one it did not (absence contributes exactly 0
+    -- no negative evidence), a run's internal order is preserved under any
+    weights (w=[0,1] reproduces that leg's list exactly), and a confident
+    head still towers (z range ~3 vs floor 0.05)."""
+    cand = jnp.concatenate(runs, axis=1)  # (B, C)
+    total = jnp.zeros(cand.shape, jnp.float32)
+    for ri, (ids, s) in enumerate(zip(runs, run_scores)):
+        live = ids >= 0
+        cnt = jnp.maximum(live.sum(axis=1, keepdims=True), 1)
+        mu = jnp.where(live, s, 0.0).sum(axis=1, keepdims=True) / cnt
+        var = jnp.where(live, (s - mu) ** 2, 0.0).sum(axis=1, keepdims=True) / cnt
+        z = (s - mu) * jax.lax.rsqrt(var + 1e-12)
+        zmin = jnp.min(jnp.where(live, z, jnp.inf), axis=1, keepdims=True)
+        zmin = jnp.where(jnp.isfinite(zmin), zmin, 0.0)
+        z = jnp.where(live, z - zmin + 0.05, 0.0)
+        match = (cand[:, :, None] == ids[:, None, :]) & live[:, None, :]
+        contrib = jnp.sum(match * z[:, None, :], axis=-1)
+        total = total + run_weights[:, ri][:, None] * contrib
+    return _dedup_topk(cand, total, k)
+
+
 def calibrated_leg_weights(leg_mrrs, floor: float = 0.002, gamma: float = 2.0,
                            gate: float = 0.75, tiebreak: float = 0.005):
     """Measured per-leg quality -> RRF weights (host-side; plain python).

@@ -345,3 +345,23 @@ def test_blob_sketch_matches_explicit_program(setup):
     for leg in ("dense", "bm25", "fused"):
         np.testing.assert_array_equal(res[leg][1], ref[leg][1])
         np.testing.assert_allclose(res[leg][0], ref[leg][0], rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("bm25_mode", ["pages", "sketch"])
+def test_hybrid_score_fusion_mode(setup, bm25_mode):
+    """fusion='score' runs in both device programs and respects leg weights:
+    with all weight on bm25, fused head == bm25 head."""
+    vecs, texts, searcher = setup
+    q = vecs[20:22]
+    old_w = searcher.leg_weights
+    try:
+        searcher.leg_weights = np.asarray([0.0, 1.0], np.float32)
+        res = searcher.search_rows(
+            q, ["kilo lima mike", "alpha bravo charlie"], dense_k=5, bm25_k=5,
+            fused_k=5, fusion="score", bm25_mode=bm25_mode)
+        for qi in range(2):
+            bm_head = [int(r) for r in res["bm25"][1][qi] if r >= 0]
+            fused = [int(r) for r in res["fused"][1][qi] if r >= 0]
+            assert fused[: len(bm_head)] == bm_head
+    finally:
+        searcher.leg_weights = old_w

@@ -177,6 +177,54 @@ def test_rrf_dedup_within_run():
     assert list(rows).count(5) == 1
 
 
+def test_score_fuse_matches_numpy_oracle():
+    from radiant_rag_tpu.ops.fusion import score_fuse
+
+    rng = np.random.default_rng(3)
+    b, kr = 4, 5
+    r1 = rng.choice(50, size=(b, kr), replace=False).astype(np.int32)
+    r2 = rng.choice(50, size=(b, kr), replace=False).astype(np.int32)
+    s1 = np.sort(rng.normal(size=(b, kr)).astype(np.float32))[:, ::-1].copy()
+    s2 = np.sort(rng.normal(size=(b, kr)).astype(np.float32))[:, ::-1].copy()
+    r2[0, -1] = -1  # pad entry must not contribute
+    w = np.asarray([[0.3, 0.7]] * b, np.float32)
+    s, rows = score_fuse((jnp.asarray(r1), jnp.asarray(r2)),
+                         (jnp.asarray(s1), jnp.asarray(s2)),
+                         jnp.asarray(w), k=6)
+    s, rows = np.asarray(s), np.asarray(rows)
+
+    for qi in range(b):
+        expect = {}
+        for wi, (ids, sc) in enumerate(((r1, s1), (r2, s2))):
+            live = ids[qi] >= 0
+            vals = sc[qi][live]
+            mu, sd = vals.mean(), np.sqrt(((vals - vals.mean()) ** 2).mean())
+            z = (vals - mu) / sd
+            z = z - z.min() + 0.05  # shifted floor: retrieved > not-retrieved
+            for r, v in zip(ids[qi][live], z):
+                expect[int(r)] = expect.get(int(r), 0.0) + w[qi, wi] * v
+        top = sorted(expect, key=expect.get, reverse=True)[:6]
+        got = [int(r) for r in rows[qi] if r >= 0]
+        assert got == top
+        for r, v in zip(got, s[qi]):
+            np.testing.assert_allclose(v, expect[r], rtol=2e-3, atol=2e-3)
+
+
+def test_score_fuse_absence_is_not_negative_evidence():
+    from radiant_rag_tpu.ops.fusion import score_fuse
+
+    # strong leg ranks doc 7 first; weak leg does not contain doc 7 at all.
+    # doc 7 must still win: absence from the weak run contributes 0, and the
+    # weak leg's own confident head (doc 9, small weight) must not displace it.
+    r_strong = jnp.asarray([[7, 3, 4]], jnp.int32)
+    s_strong = jnp.asarray([[0.9, 0.2, 0.1]], jnp.float32)
+    r_weak = jnp.asarray([[9, 5, 6]], jnp.int32)
+    s_weak = jnp.asarray([[0.8, 0.3, 0.2]], jnp.float32)
+    w = jnp.asarray([[0.9, 0.1]], jnp.float32)
+    _s, rows = score_fuse((r_strong, r_weak), (s_strong, s_weak), w, k=4)
+    assert int(np.asarray(rows)[0, 0]) == 7
+
+
 # ---------------------------------------------------------------- bm25 -----
 def _bm25_oracle(doc_tokens, query_terms, k1=1.5, b=0.75):
     import math

@@ -424,37 +424,19 @@ def main(argv=None) -> int:
         report["fusion_weight_sweep_mrr"] = sweep
         report["best_dense_weight"] = max(sweep, key=sweep.get)
 
-        # score-aware fusion experiment: RRF is rank-only, so ANY dense
-        # weight perturbs bm25's correct head. Score interpolation only
-        # promotes a dense candidate when dense is confident about it:
-        # fused = w_d * znorm(dense) + w_b * znorm(bm25) over the union.
-        hy_legs = searcher2.search_rows(q_embs2, q_texts, dense_k=k,
-                                        bm25_k=k, fused_k=k)
-        d_s, d_r = hy_legs["dense"]
-        b_s, b_r = hy_legs["bm25"]
-
-        def znorm(s, live):
-            vals = s[live]
-            if vals.size < 2:
-                return np.zeros_like(s)
-            mu, sd = vals.mean(), vals.std() + 1e-6
-            return np.where(live, (s - mu) / sd, -1e9)
-
+        # score-aware fusion sweep: RRF is rank-only, so ANY dense weight
+        # perturbs bm25's correct head; fusion="score" (ops/fusion.score_fuse,
+        # shifted-z interpolation) only promotes a dense candidate when dense
+        # is confident about it. Uses the shipped device op so this measures
+        # production behavior.
         score_sweep = {}
         for wd in (0.0, 0.1, 0.2, 0.3, 0.5):
-            def ranked(qi, wd=wd):
-                cand = {}
-                dz = znorm(d_s[qi], d_r[qi] >= 0)
-                bz = znorm(b_s[qi], b_r[qi] >= 0)
-                for z, r in zip(dz, d_r[qi]):
-                    if r >= 0:
-                        cand[int(r)] = cand.get(int(r), 0.0) + wd * z
-                for z, r in zip(bz, b_r[qi]):
-                    if r >= 0:
-                        cand[int(r)] = cand.get(int(r), 0.0) + (1 - wd) * z
-                top = sorted(cand, key=cand.get, reverse=True)[:k]
-                return [store2.id_for_row(r) for r in top]
-            score_sweep[f"{wd:.2f}"] = evaluate2(ranked)["mrr"]
+            searcher2.leg_weights = np.asarray([wd, 1.0 - wd], np.float32)
+            hy_sf = searcher2.search_rows(q_embs2, q_texts, dense_k=k,
+                                          bm25_k=k, fused_k=k, fusion="score")
+            score_sweep[f"{wd:.2f}"] = evaluate2(
+                lambda qi: [store2.id_for_row(int(r))
+                            for r in hy_sf["fused"][1][qi] if r >= 0])["mrr"]
         report["score_fusion_sweep_mrr"] = score_sweep
         report["best_score_dense_weight"] = max(score_sweep, key=score_sweep.get)
         print(json.dumps(report, indent=2))
