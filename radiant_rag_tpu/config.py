@@ -107,11 +107,14 @@ class RetrievalConfig:
     min_similarity: float = 0.0
     search_scope: str = "leaves"  # leaves | parents | all
     retrieval_mode: str = "hybrid"  # hybrid | dense | bm25
-    # "confidence": per-query per-leg weighted RRF (an uninformative leg is
-    # down-weighted by its own score dispersion — keeps hybrid MRR at or
-    # above the better single leg). "equal": reference parity
+    # "auto": the calibration probe pass picks the best-measured fusion
+    # config for THIS corpus (calibrated-weight RRF vs z-score interpolation
+    # over a weight grid; `index/hybrid.py:calibrate_fusion`).
+    # "confidence": calibration-weighted RRF (an unreliable leg is demoted to
+    # a tiebreaker — keeps hybrid MRR at or above the better single leg).
+    # "score": z-normalized score interpolation. "equal": reference parity
     # (`agents/fusion.py:79-102`).
-    fusion_weighting: str = "confidence"
+    fusion_weighting: str = "auto"
 
 
 @dataclass(frozen=True)

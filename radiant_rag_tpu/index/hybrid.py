@@ -269,6 +269,9 @@ class HybridSearcher:
         # per-leg RRF weights (dense, bm25); set by calibrate_fusion(). The
         # default is equal mass = reference behavior until calibrated.
         self.leg_weights = np.asarray([0.5, 0.5], np.float32)
+        # resolved by calibrate_fusion()'s probe-measured config selection;
+        # "auto" queries resolve to this ("confidence" until calibrated)
+        self.fusion_mode = "confidence"
         self._calibrated_at = -1  # engine.count when last calibrated
         self.last_calibration = None
 
@@ -334,12 +337,42 @@ class HybridSearcher:
 
         mrr_d = leg_mrr(res["dense"][1])
         mrr_b = leg_mrr(res["bm25"][1])
-        self.leg_weights = np.asarray(
-            calibrated_leg_weights([mrr_d, mrr_b]), np.float32)
+        cal_w = np.asarray(calibrated_leg_weights([mrr_d, mrr_b]), np.float32)
+
+        # Config selection: the calibrated-RRF weights are one candidate; the
+        # score-interpolation mode (ops/fusion.score_fuse) at a small weight
+        # grid is the rest. Each is evaluated on the SAME probes (fused MRR,
+        # target = source doc) and the argmax ships as the "auto" default —
+        # fusion mode and weight become a per-corpus measurement, not a
+        # config guess. Calibrated RRF wins ties (eps) for stability.
+        candidates = [("confidence", cal_w)]
+        for wd in (0.15, 0.3, 0.5, 0.7, 0.85):
+            candidates.append(
+                ("score", np.asarray([wd, 1.0 - wd], np.float32)))
+        probe_mrrs = {}
+        best = ("confidence", cal_w, -1.0)
+        saved_w = self.leg_weights
+        try:
+            for mode, w in candidates:
+                self.leg_weights = w
+                out = self.search_rows(np.asarray(q_embs, np.float32),
+                                       q_texts, dense_k=top_k, bm25_k=top_k,
+                                       fused_k=top_k, fusion=mode)
+                m = leg_mrr(out["fused"][1])
+                key = mode if mode == "confidence" else f"score@{w[0]:.2f}"
+                probe_mrrs[key] = round(m, 4)
+                if m > best[2] + 0.005:  # eps: earlier (RRF) wins ties
+                    best = (mode, w, m)
+        finally:
+            self.leg_weights = saved_w
+
+        self.fusion_mode, self.leg_weights = best[0], best[1]
         self._calibrated_at = self.engine.count
         self.last_calibration = {"dense_mrr": round(mrr_d, 4),
                                  "bm25_mrr": round(mrr_b, 4),
                                  "weights": self.leg_weights.tolist(),
+                                 "fusion_mode": self.fusion_mode,
+                                 "probe_fused_mrr": probe_mrrs,
                                  "n_probes": len(probes)}
         return self.leg_weights
 
@@ -358,6 +391,7 @@ class HybridSearcher:
         until the corpus grew 20%), or rebuilding BM25 with new analyzers."""
         self._calibrated_at = -1
         self.leg_weights = np.asarray([0.5, 0.5], np.float32)
+        self.fusion_mode = "confidence"
         self.last_calibration = None
 
     def search_rows(
@@ -373,7 +407,7 @@ class HybridSearcher:
         level_code: int = -1,
         lang_code: int = -1,
         bm25_mode: str = "auto",  # auto | sketch (MXU stage-1) | pages (exact)
-        fusion: str = "confidence",  # confidence (quality-weighted) | equal
+        fusion: str = "auto",  # auto (calibration-selected) | confidence | score | equal
         select: str = "",  # stage-1 selection policy ("" = engine/env default)
         fetch: bool = True,  # False -> (device_result, unpack_fn) for pipelining
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
@@ -382,6 +416,8 @@ class HybridSearcher:
         # resolve the selection policy on the host so the jitted programs'
         # static cache keys are concrete (never the env-dependent "")
         select = select or getattr(eng, "stage1_select", "") or sim._default_select()
+        if fusion == "auto":  # calibration-selected mode ("confidence" until calibrated)
+            fusion = self.fusion_mode
         b = queries_dense.shape[0]
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))

@@ -365,3 +365,80 @@ def test_hybrid_score_fusion_mode(setup, bm25_mode):
             assert fused[: len(bm_head)] == bm_head
     finally:
         searcher.leg_weights = old_w
+
+
+def test_calibration_selects_fusion_mode(rng):
+    """calibrate_fusion evaluates candidate fusion configs on its probes and
+    ships the argmax as the "auto" default: with a PERFECT dense leg (query
+    embedding == doc embedding) and near-parity bm25, the selected config
+    must score >= calibrated RRF on the probes, and fusion='auto' resolves
+    to the selected mode."""
+    import numpy as np
+
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+    from radiant_rag_tpu.index.store import TpuVectorStore
+
+    texts = [f"unique{i} subject{i % 7} verb{i % 11} object{i}" for i in range(64)]
+    embs = rng.standard_normal((64, 16)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    by_text = {t: embs[i] for i, t in enumerate(texts)}
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=64))
+    store.upsert_batch([(t, {}, embs[i]) for i, t in enumerate(texts)])
+    bm25 = BM25Index(sketch_dim=128)
+    rows = [store.row_of(store.make_doc_id(t, {})) for t in texts]
+    bm25.bulk_build(rows, texts)
+    searcher = HybridSearcher(store.engine, bm25)
+
+    def text_of(row):
+        doc_id = store.id_for_row(row)
+        doc = store.get_doc(doc_id) if doc_id else None
+        return doc.content if doc else None
+
+    def embed(qs):
+        # oracle encoder: a probe made from doc words maps to that doc's
+        # embedding (word -> source doc via the unique{i} token)
+        out = np.zeros((len(qs), 16), np.float32)
+        for qi, q in enumerate(qs):
+            hit = None
+            for w in q.split():
+                if w.startswith("unique"):
+                    hit = by_text[texts[int(w[6:])]]
+                    break
+            out[qi] = hit if hit is not None else rng.standard_normal(16)
+        return out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+
+    searcher.calibrate_fusion(embed, text_of, n_probes=32)
+    cal = searcher.last_calibration
+    assert cal["fusion_mode"] in ("confidence", "score")
+    assert "probe_fused_mrr" in cal and "confidence" in cal["probe_fused_mrr"]
+    best = max(cal["probe_fused_mrr"].values())
+    chosen_key = ("confidence" if cal["fusion_mode"] == "confidence"
+                  else f"score@{cal['weights'][0]:.2f}")
+    assert cal["probe_fused_mrr"][chosen_key] >= best - 0.005
+
+    # 'auto' resolves to the selected mode: identical results
+    q = embed(["unique5 subject5"])
+    auto = searcher.search_rows(q, ["unique5 subject5"], dense_k=5, bm25_k=5,
+                                fused_k=5, fusion="auto")
+    explicit = searcher.search_rows(q, ["unique5 subject5"], dense_k=5,
+                                    bm25_k=5, fused_k=5,
+                                    fusion=cal["fusion_mode"])
+    assert auto["fused"][1].tolist() == explicit["fused"][1].tolist()
+
+
+def test_invalidate_resets_fusion_mode(rng):
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    import numpy as np
+
+    store = TpuVectorStore(dim=8, index_config=IndexConfig(dim=8, initial_capacity=8))
+    searcher = HybridSearcher(store.engine, BM25Index(sketch_dim=64))
+    searcher.fusion_mode = "score"
+    searcher.leg_weights = np.asarray([0.3, 0.7], np.float32)
+    searcher.invalidate_calibration()
+    assert searcher.fusion_mode == "confidence"
+    np.testing.assert_allclose(searcher.leg_weights, [0.5, 0.5])
