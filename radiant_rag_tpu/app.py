@@ -351,6 +351,29 @@ class RadiantTPU:
                 timings[f"{mode}/b{b}"] = round(_time.time() - t0, 2)
                 if progress is not None:
                     progress(f"{mode}/b{b}", timings[f"{mode}/b{b}"])
+        if full_ladder and "hybrid" in modes:
+            # fusion="auto" can resolve to either device-program variant after
+            # a (re)calibration, so the deploy-time ladder precompiles BOTH —
+            # the already-selected one is a compile-cache hit, the other won't
+            # ambush the first post-recalibration query.
+            searcher = self._fused_searcher()
+            if searcher is not None:
+                import numpy as _np
+
+                e1 = _np.asarray(self.local_models.embed([probe]), _np.float32)
+                dmode = (self.store._default_mode()
+                         if hasattr(self.store, "_default_mode") else "int8")
+                for b in dict.fromkeys(buckets):
+                    embs = _np.repeat(e1, b, axis=0)
+                    for fv in ("confidence", "score"):
+                        t0 = _time.time()
+                        searcher.search_rows(
+                            embs, [probe] * b, dense_k=top_k, bm25_k=top_k,
+                            fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
+                            mode=dmode, fusion=fv)
+                        timings[f"hybrid/{fv}/b{b}"] = round(_time.time() - t0, 2)
+                        if progress is not None:
+                            progress(f"hybrid/{fv}/b{b}", timings[f"hybrid/{fv}/b{b}"])
         logger.info("warmup compiled %s", timings)
         return timings
 
