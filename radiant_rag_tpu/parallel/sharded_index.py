@@ -167,6 +167,7 @@ def _shard_hybrid_body(
     q_idfs: jax.Array,  # (B, T) replicated
     sketch_scale: jax.Array,  # () f32
     avgdl: jax.Array,  # () f32
+    leg_w: jax.Array,  # (2,) f32 replicated — calibrated (dense, bm25) weights
     dense_k: int,
     bm25_k: int,
     fused_k: int,
@@ -174,15 +175,18 @@ def _shard_hybrid_body(
     kc: int,
     mode: str,
     rows_per_shard: int,
+    fusion: str = "equal",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full hybrid on each shard; global merge + fusion over ICI.
 
     Dense and sparse runs are merged ACROSS shards first (all_gather of
     per-shard top-k), so RRF sees globally-correct ranks; fusion itself is
     then computed redundantly on every device (k is tiny) — no extra
-    communication round."""
+    communication round. `fusion` carries the single-chip calibration
+    semantics (`index/hybrid._fuse_stage`) to the pod: equal RRF (reference
+    parity), calibration-weighted RRF, or z-score interpolation."""
+    from radiant_rag_tpu.index.hybrid import _fuse_stage
     from radiant_rag_tpu.ops.bm25 import bm25_candidate_rescore, bm25_sketch_scores
-    from radiant_rag_tpu.ops.fusion import rrf_fuse
 
     shard = jax.lax.axis_index(("data", "model"))
 
@@ -217,7 +221,7 @@ def _shard_hybrid_body(
     b_s, sel = jax.lax.top_k(all_bs, bm25_k)
     b_i = jnp.take_along_axis(all_bi, sel, axis=1)
 
-    f_s, f_i = rrf_fuse((d_i, b_i), k=fused_k, rrf_k=rrf_k)
+    f_s, f_i = _fuse_stage(d_i, b_i, leg_w, fused_k, rrf_k, fusion, d_s, b_s)
     packed = jnp.concatenate([
         d_s, d_i.astype(jnp.float32), b_s, b_i.astype(jnp.float32),
         f_s, f_i.astype(jnp.float32),
@@ -256,14 +260,26 @@ class ShardedHybridIndex(ShardedFlatIndex):
             pad_rows(np.asarray(bm25._dl_dev)[:n], np.float32), row_sharding)
         self.sketch_scale = jnp.asarray(np.asarray(bm25._sketch_scale), jnp.float32)
         self.avgdl = jnp.asarray(bm25.avgdl, jnp.float32)
+        # calibration carried from the single-chip HybridSearcher via
+        # set_fusion() (ShardedVectorStore re-installs it on refresh)
+        self.fusion_mode = "equal"
+        self.leg_weights = np.asarray([0.5, 0.5], np.float32)
         self._hybrid_cache = {}
 
-    def _get_hybrid_program(self, dense_k, bm25_k, fused_k, rrf_k, kc, mode):
-        key = (dense_k, bm25_k, fused_k, rrf_k, kc, mode)
+    def set_fusion(self, mode: str, weights) -> None:
+        """Install the calibrated fusion config (mode + per-leg weights) for
+        subsequent hybrid_search calls. Weights are a dynamic program input,
+        so changing them never recompiles; a mode change compiles once."""
+        self.fusion_mode = mode
+        self.leg_weights = np.asarray(weights, np.float32)
+
+    def _get_hybrid_program(self, dense_k, bm25_k, fused_k, rrf_k, kc, mode,
+                            fusion):
+        key = (dense_k, bm25_k, fused_k, rrf_k, kc, mode, fusion)
         if key not in self._hybrid_cache:
             body = partial(_shard_hybrid_body, dense_k=dense_k, bm25_k=bm25_k,
                            fused_k=fused_k, rrf_k=rrf_k, kc=kc, mode=mode,
-                           rows_per_shard=self.rows_per_shard)
+                           rows_per_shard=self.rows_per_shard, fusion=fusion)
             mapped = jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(P(("data", "model"), None),  # vecs
@@ -274,7 +290,7 @@ class ShardedHybridIndex(ShardedFlatIndex):
                           P(("data", "model"),),  # doc_lens
                           P(("data", "model"),),  # valid
                           P(), P(), P(), P(), P(),  # queries, qcodes, qind, q_tids, q_idfs
-                          P(), P()),  # sketch_scale, avgdl
+                          P(), P(), P()),  # sketch_scale, avgdl, leg_w
                 out_specs=P(),
                 check_vma=False,
             )
@@ -291,9 +307,11 @@ class ShardedHybridIndex(ShardedFlatIndex):
         rrf_k: int = 60,
         mode: str = "binary",
         rescore_multiplier: float = 4.0,
+        fusion: str = "",  # "" = the set_fusion()-installed config
     ):
         q = np.asarray(queries_dense, np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        fusion = fusion or self.fusion_mode
         dk = min(dense_k, self.rows_per_shard)
         bk = min(bm25_k, self.rows_per_shard)
         fk = min(fused_k, dk + bk)
@@ -302,12 +320,13 @@ class ShardedHybridIndex(ShardedFlatIndex):
         qcodes = qz.pack_binary(qdev)
         qind = self.bm25.make_query_indicator(queries_text)
         q_tids, q_idfs = self.bm25.make_query_terms(queries_text)
-        prog = self._get_hybrid_program(dk, bk, fk, rrf_k, kc, mode)
+        prog = self._get_hybrid_program(dk, bk, fk, rrf_k, kc, mode, fusion)
         packed = np.asarray(prog(
             self.vecs, self.codes, self.sketch, self.dm_tids, self.dm_tfs,
             self.doc_lens, self.valid,
             qdev, qcodes, jnp.asarray(qind), jnp.asarray(q_tids),
-            jnp.asarray(q_idfs), self.sketch_scale, self.avgdl))
+            jnp.asarray(q_idfs), self.sketch_scale, self.avgdl,
+            jnp.asarray(self.leg_weights, jnp.float32)))
         out = {}
         off = 0
         for name, k in (("dense", dk), ("bm25", bk), ("fused", fk)):

@@ -37,19 +37,48 @@ from radiant_rag_tpu.parallel.sharded_index import ShardedFlatIndex, ShardedHybr
 logger = logging.getLogger(__name__)
 
 
-def _host_rrf(d_rows: np.ndarray, b_rows: np.ndarray, fused_k: int,
-              rrf_k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """RRF over two merged runs, host-side (rows are (B, k), -1 = empty).
-    Matches `ops/fusion.rrf_fuse` semantics: rank starts at 1 per run."""
+def _host_fuse(d_leg: Tuple[np.ndarray, np.ndarray],
+               b_leg: Tuple[np.ndarray, np.ndarray], fused_k: int,
+               rrf_k: int, fusion: str = "equal",
+               leg_w: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side fusion over two merged (scores, rows) runs — the base+delta
+    merge path. Mirrors the device semantics: "equal"/"confidence" =
+    (weighted) RRF (`ops/fusion.rrf_fuse`, rank starts at 1); "score" =
+    per-query z-normalized interpolation with the retrieved-floor shift
+    (`ops/fusion.score_fuse`)."""
+    (d_scores, d_rows), (b_scores, b_rows) = d_leg, b_leg
+    w = np.asarray([1.0, 1.0] if (leg_w is None or fusion == "equal")
+                   else leg_w, np.float32)
     bq = d_rows.shape[0]
     out_s = np.full((bq, fused_k), -np.inf, np.float32)
     out_i = np.full((bq, fused_k), -1, np.int64)
+
+    def z_shift(scores, rows):
+        live = rows >= 0
+        if not live.any():
+            return np.zeros_like(scores)
+        s = scores[live]
+        z = (s - s.mean()) / np.sqrt(s.var() + 1e-12)
+        out = np.zeros_like(scores)
+        out[live] = z - z.min() + 0.05
+        return out
+
     for qi in range(bq):
         agg: Dict[int, float] = {}
-        for run in (d_rows[qi], b_rows[qi]):
-            for rank, r in enumerate(run, start=1):
-                if r >= 0:
-                    agg[int(r)] = agg.get(int(r), 0.0) + 1.0 / (rrf_k + rank)
+        if fusion == "score":
+            for wi, (scores, rows) in enumerate(((d_scores, d_rows),
+                                                 (b_scores, b_rows))):
+                contrib = z_shift(np.asarray(scores[qi], np.float64), rows[qi])
+                for r, c in zip(rows[qi], contrib):
+                    if r >= 0:
+                        agg[int(r)] = agg.get(int(r), 0.0) + float(w[wi]) * c
+        else:
+            for wi, run in enumerate((d_rows[qi], b_rows[qi])):
+                for rank, r in enumerate(run, start=1):
+                    if r >= 0:
+                        agg[int(r)] = (agg.get(int(r), 0.0)
+                                       + float(w[wi]) / (rrf_k + rank))
         for j, (r, s) in enumerate(
                 sorted(agg.items(), key=lambda kv: -kv[1])[:fused_k]):
             out_s[qi, j] = s
@@ -75,7 +104,20 @@ class ShardedVectorStore(BaseVectorStore):
         self._delta_rows: List[int] = []  # delta local row -> source global row
         self._global_to_delta: Dict[int, int] = {}
         self._tombstones: set = set()
+        # calibrated fusion config (survives refresh; see set_fusion)
+        self._fusion_mode = "equal"
+        self._fusion_weights = np.asarray([0.5, 0.5], np.float32)
         self.refresh()
+
+    def set_fusion(self, mode: str, weights) -> None:
+        """Install a calibrated fusion config (mode + per-leg weights) — the
+        pod-serving carrier for `HybridSearcher.calibrate_fusion`'s result,
+        so a leg measured unreliable on the source corpus is demoted on the
+        pod too instead of silently reverting to equal RRF."""
+        self._fusion_mode = mode
+        self._fusion_weights = np.asarray(weights, np.float32)
+        if self._hybrid is not None:
+            self._hybrid.set_fusion(mode, self._fusion_weights)
 
     # -- build / refresh -----------------------------------------------------
     def refresh(self) -> None:
@@ -112,6 +154,8 @@ class ShardedVectorStore(BaseVectorStore):
             new_hybrid.lang = jax.device_put(lng, row_sharding)
         self._flat = flat
         self._hybrid = new_hybrid
+        if new_hybrid is not None:
+            new_hybrid.set_fusion(self._fusion_mode, self._fusion_weights)
         with self._delta_lock:
             # everything in the source is now in the sharded base
             self._base_rows = vecs.shape[0]
@@ -217,9 +261,10 @@ class ShardedVectorStore(BaseVectorStore):
                 and self._hybrid is not None:
             scores, rows = res["fused"]  # pure base: on-device fusion stands
         else:
-            d_s, d_i = self._merge_leg(base_dense, d_delta, top_k)
-            b_s, b_i = self._merge_leg(base_bm25, s_delta, top_k)
-            scores, rows = _host_rrf(d_i, b_i, fused_k, rrf_k)
+            d_leg = self._merge_leg(base_dense, d_delta, top_k)
+            b_leg = self._merge_leg(base_bm25, s_delta, top_k)
+            scores, rows = _host_fuse(d_leg, b_leg, fused_k, rrf_k,
+                                      self._fusion_mode, self._fusion_weights)
         out = []
         for qi in range(rows.shape[0]):
             hits = []

@@ -499,3 +499,55 @@ def test_sharded_store_incremental_ingest(rng):
     assert more_ids[10] in [d.doc_id for d, _ in hits[0]]
     hy = served.search_hybrid(new_embs[3:4], ["zzfresh3"], top_k=5)[0]
     assert new_ids[3] in [d.doc_id for d, _ in hy]
+
+
+def test_sharded_fusion_carries_calibration(rng):
+    """Pod serving honors the calibrated fusion config: with a garbage dense
+    leg demoted by set_fusion, the fused head tracks bm25 on BOTH the pure-
+    base device path and the delta host-merge path (previously both were
+    hard-wired equal RRF — the exact failure calibration exists to prevent),
+    and refresh() re-installs the config."""
+    from radiant_rag_tpu.config import IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.parallel.sharded_store import ShardedVectorStore
+
+    mesh = create_mesh(data=4, model=2)
+    dim, n = 32, 96
+    source = TpuVectorStore(dim=dim, index_config=IndexConfig(dim=dim, initial_capacity=256))
+    embs = rng.standard_normal((n, dim)).astype(np.float32)  # random = garbage dense
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    texts = [f"unique{i} subject{i % 7} verb{i % 11}" for i in range(n)]
+    ids = source.upsert_batch([(texts[i], {"doc_level": "leaf"}, embs[i])
+                               for i in range(n)])
+    bm25 = BM25Index(sketch_dim=256)
+    bm25.bulk_build([source.row_of(i) for i in ids], texts)
+    served = ShardedVectorStore(mesh, source, bm25_index=bm25,
+                                delta_rebase_fraction=0.9)
+    served.set_fusion("confidence", [0.005, 0.995])
+
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # pure base (device fusion): fused head == bm25's lexical match
+    hy = served.search_hybrid(q, ["unique5 subject5"], top_k=5)[0]
+    assert hy and hy[0][0].doc_id == ids[5]
+
+    # stage a delta append -> host-merge fusion path
+    new_emb = rng.standard_normal((1, dim)).astype(np.float32)
+    new_emb /= np.linalg.norm(new_emb)
+    served.upsert_batch([("delta doc rare zzdelta0", {"doc_level": "leaf"},
+                          new_emb[0])])
+    assert served.delta_size == 1
+    hy = served.search_hybrid(q, ["unique5 subject5"], top_k=5)[0]
+    assert hy and hy[0][0].doc_id == ids[5]
+
+    # refresh keeps the calibrated config installed
+    served.refresh()
+    assert served._hybrid.fusion_mode == "confidence"
+    hy = served.search_hybrid(q, ["unique7 subject0"], top_k=5)[0]
+    assert hy and hy[0][0].doc_id == ids[7]
+
+    # score mode compiles and runs on the pod program too
+    served.set_fusion("score", [0.3, 0.7])
+    hy = served.search_hybrid(q, ["unique9 subject2"], top_k=5)[0]
+    assert hy and ids[9] in [d.doc_id for d, _ in hy]
