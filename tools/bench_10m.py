@@ -71,6 +71,55 @@ def host_exact_topk(vecs, queries, k, chunk=2_000_000):
             np.take_along_axis(best_i, order, axis=1))
 
 
+def run_traversal_bound(args, rng, vecs) -> int:
+    """Beam-search traversal cost at N with a RANDOM adjacency.
+
+    The beam kernel (`index/graph.graph_search`) executes the same gathers,
+    einsums and top_k regardless of edge quality, so a random adjacency
+    prices a perfectly-built graph's search exactly; recall is bounded above
+    by the measured converged-build 1M beam recall (BENCH_NOTES). Skipping
+    the descent build turns a multi-hour 10M experiment into minutes.
+    """
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.index.graph import GraphIndex
+
+    n, d = args.docs, args.dim
+    g = GraphIndex(degree=16, n_long_edges=4)
+    log("random adjacency (traversal-cost bound, no descent)...")
+    adj = rng.integers(0, n, (n, 20), dtype=np.int64).astype(np.int32)
+    g.neighbors = jnp.asarray(adj)
+    g.entry_points = jnp.asarray(
+        rng.choice(n, size=16, replace=False).astype(np.int32))
+    g._refresh_entry_sample(vecs, np.arange(n), rng)
+    g.built_rows = n
+
+    nq = 256
+    qidx = rng.integers(0, n, nq)
+    qs = vecs[qidx] + 0.25 * rng.standard_normal((nq, d)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    vdev = jnp.asarray(vecs, jnp.bfloat16)
+    report = {"docs": n, "dim": d, "mode": "graph_traversal_bound",
+              "hbm_gb": round((adj.nbytes + vdev.nbytes) / 2**30, 2)}
+    for ef in (32, 64, 128):
+        t0 = time.time()
+        g.search(vdev, qs, 10, ef=ef)
+        warm = time.time() - t0
+        times = []
+        for _ in range(args.batches):
+            t0 = time.time()
+            g.search(vdev, qs, 10, ef=ef)
+            times.append(time.time() - t0)
+        ms = float(np.median(times)) * 1000
+        log(f"beam ef={ef}: {ms:.1f} ms / {nq} queries (warm {warm:.1f}s) "
+            f"-> {nq / (ms / 1000):.0f} QPS")
+        report[f"ef{ef}"] = {"ms_per_batch": round(ms, 1),
+                             "qps": round(nq / (ms / 1000), 1)}
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=10_000_000)
@@ -82,6 +131,13 @@ def main(argv=None) -> int:
                         help="timed batches per throughput measurement")
     parser.add_argument("--graph", action="store_true",
                         help="also build + measure the NN-descent graph")
+    parser.add_argument("--graph-traversal-only", action="store_true",
+                        help="measure beam-search traversal cost at --docs "
+                             "with a RANDOM adjacency (no descent build): "
+                             "gather/traversal cost depends only on N, "
+                             "degree, ef and steps — not edge quality — so "
+                             "this bounds what a perfectly-built graph could "
+                             "cost, without the multi-hour 10M build")
     parser.add_argument("--iters", type=int, default=12,
                         help="NN-descent round ceiling for the 10M graph "
                              "(cluster polish recovers fine ranking)")
@@ -98,6 +154,12 @@ def main(argv=None) -> int:
     t0 = time.time()
     vecs = make_corpus_chunks(rng, n, d)
     log(f"corpus: {time.time()-t0:.1f}s ({vecs.nbytes/2**30:.1f} GB host)")
+
+    if args.graph_traversal_only:
+        # the flat engine (6.9 GB at 10M) cannot co-reside with the graph's
+        # bf16 corpus (7.7 GB) + adjacency (0.8 GB) in 16 GB HBM; flat
+        # numbers come from the non-graph run of this tool
+        return run_traversal_bound(args, rng, vecs)
 
     log("building fp32-free engine (int8 + binary residency)...")
     t0 = time.time()
@@ -166,10 +228,10 @@ def main(argv=None) -> int:
     if args.graph:
         from radiant_rag_tpu.index.graph import GraphIndex, nn_descent_graph
 
-        log("NN-descent graph build at scale (bf16 scoring + polish)...")
         import jax.numpy as _jnp
         t0 = time.time()
         g = GraphIndex(degree=16, n_long_edges=4)
+        log("NN-descent graph build at scale (bf16 scoring + polish)...")
         adj = nn_descent_graph(vecs, 16, 4, iters=args.iters)
         g.neighbors = _jnp.asarray(adj)
         g.entry_points = _jnp.asarray(

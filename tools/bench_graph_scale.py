@@ -37,8 +37,13 @@ def main() -> None:
     from radiant_rag_tpu.utils.profiling import device_timer
 
     rng = np.random.default_rng(42)
-    centers = rng.standard_normal((1024, d)).astype(np.float32)
-    assign = rng.integers(0, 1024, n)
+    # CLUSTERS controls tie density: points-per-cluster = N / CLUSTERS. The
+    # 1M run uses 1024 clusters (~1000 pts/cluster); setting CLUSTERS so a
+    # smaller N reproduces the same density isolates near-tie effects from
+    # corpus size (see BENCH_NOTES "graph search-side diagnosis").
+    n_clusters = int(os.environ.get("CLUSTERS", 1024))
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
     vecs = np.empty((n, d), np.float32)
     for s in range(0, n, 131072):
         e = min(s + 131072, n)
@@ -80,10 +85,15 @@ def main() -> None:
     vdev = jnp.asarray(vecs)
     qdev = jnp.asarray(q)
 
-    # oracle: exact f32 scan
+    # oracle: exact f32 scan (top-50 kept to separate fine-ranking loss from
+    # coverage loss: a beam hit inside oracle-top-50 but outside top-10 is a
+    # near-tie mis-ranking, not a navigation failure)
     t0 = time.perf_counter()
-    _, oracle = exact_topk(vdev, qdev, None, 10)
-    oracle = np.asarray(oracle)
+    oracle_s50, oracle50 = exact_topk(vdev, qdev, None, 50)
+    oracle50 = np.asarray(oracle50)
+    oracle_s50 = np.asarray(oracle_s50)
+    oracle = oracle50[:, :10]
+    oracle_top10_mean = float(oracle_s50[:, :10].mean())
     exact_ms = (time.perf_counter() - t0) * 1000
     print(f"exact scan (cold): {exact_ms:.1f} ms / {batch} queries", flush=True)
     exact_t = device_timer(lambda: exact_topk(vdev, qdev, None, 10), iters=5)
@@ -91,7 +101,7 @@ def main() -> None:
 
     for ef, steps in ((32, 8), (64, 8), (128, 8), (64, 16), (128, 16), (128, 24)):
         t0 = time.perf_counter()
-        _, rows = gi.search(vdev, q, k=10, ef=ef, steps=steps)
+        scores, rows = gi.search(vdev, q, k=10, ef=ef, steps=steps)
         cold = (time.perf_counter() - t0) * 1000
         t = device_timer(lambda: gi.search(vdev, q, k=10, ef=ef, steps=steps),
                          iters=5)
@@ -99,8 +109,19 @@ def main() -> None:
             len(set(rows[i][rows[i] >= 0]) & set(oracle[i])) / 10
             for i in range(batch)
         ])
+        # near-tie diagnostics: recall against the oracle's top-50 (coverage
+        # of the right neighborhood) and mean cosine regret of the beam's
+        # top-10 vs the oracle's top-10 (how much score is actually lost)
+        rec50 = np.mean([
+            len(set(rows[i][rows[i] >= 0]) & set(oracle50[i])) / 10
+            for i in range(batch)
+        ])
+        valid = rows >= 0
+        beam_mean = float(np.where(valid, scores, 0.0).sum() / valid.sum())
+        regret = oracle_top10_mean - beam_mean
         print(f"graph ef={ef:3d} steps={steps:2d}: {t['median_ms']:7.1f} ms/batch "
-              f"(cold {cold:.0f} ms)  recall@10={rec:.3f}", flush=True)
+              f"(cold {cold:.0f} ms)  recall@10={rec:.3f}  "
+              f"in-oracle50={rec50:.3f}  score-regret={regret:.5f}", flush=True)
 
 
 if __name__ == "__main__":
