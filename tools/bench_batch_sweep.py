@@ -48,13 +48,15 @@ def main() -> None:
     searcher = HybridSearcher(engine, bm25)
     print(f"build {time.perf_counter() - t0:.1f}s ({n} docs)", flush=True)
 
-    nq = 4096
+    batches = tuple(int(x) for x in
+                    os.environ.get("BATCHES", "256,512,1024").split(","))
+    nq = max(4096, 2 * max(batches))
     qidx = rng.integers(0, n, nq)
     qd = vecs[qidx] + 0.25 * rng.standard_normal((nq, dim)).astype(np.float32)
     qd /= np.linalg.norm(qd, axis=1, keepdims=True)
     qt = [" ".join(texts[i].split()[:6]) for i in qidx]
 
-    for b in (256, 512, 1024):
+    for b in batches:
         searcher.search_rows(qd[:b], qt[:b], dense_k=10, bm25_k=10,
                              fused_k=15, mode="int8")  # warm/compile
         ts = []
