@@ -217,16 +217,21 @@ def _scan_topk_kernel(k: int):
 
 BLOCKMAX_TILE = 512
 BLOCKMAX_GROUP = 128  # tile-columns per output block (Mosaic lane width)
+# query rows per grid block: the kernel's live intermediates (raw/scores/
+# iota/rest) are (bb, TILE) f32/i32, ~4 blocks at once — bb=1024 keeps that
+# ~8 MB, inside the 16 MB scoped-vmem limit (b=2048 unsplit OOMs by 96 KB)
+BLOCKMAX_BATCH = 1024
 INT_NEG = -(2**31) + 1
 
 
 def _blockmax2_kernel(group, codes_ref, qi_ref, mask_ref, s1_ref, i1_ref, s2_ref, i2_ref):
     """One corpus tile -> per-query top-2 (scores int32, LOCAL argmax i32).
 
-    Output blocks hold `group` tile-columns; the grid revisits the same block
-    for `group` consecutive steps (index_map i -> i // group), so Mosaic
-    keeps it VMEM-resident and each step stores one column dynamically."""
-    step = pl.program_id(0)
+    Grid is (batch blocks, corpus tiles), tiles innermost. Output blocks hold
+    `group` tile-columns; the grid revisits the same block for `group`
+    consecutive steps (index_map i -> i // group), so Mosaic keeps it
+    VMEM-resident and each step stores one column dynamically."""
+    step = pl.program_id(1)
     col = jax.lax.rem(step, group)
     tile_n = codes_ref.shape[0]
     b = qi_ref.shape[0]
@@ -277,17 +282,20 @@ def blockmax2_pallas(
     # dim. Engine capacities are pow2, so nt is either a multiple of 128 or
     # small enough (<128) for a whole-array block.
     group = BLOCKMAX_GROUP if nt % BLOCKMAX_GROUP == 0 else nt
+    # split large batches across a second grid axis (engine query buckets are
+    # pow2, so bb always divides b; odd external batches run un-split as before)
+    bb = BLOCKMAX_BATCH if b % BLOCKMAX_BATCH == 0 else b
     mask_i8 = mask.astype(jnp.int8).reshape(n, 1)
     ms = pltpu.VMEM
     interp = pltpu.InterpretParams() if interpret else False
-    col = pl.BlockSpec((b, group), lambda i: (0, i // group), memory_space=ms)
+    col = pl.BlockSpec((bb, group), lambda j, i: (j, i // group), memory_space=ms)
     s1, i1, s2, i2 = pl.pallas_call(
         functools.partial(_blockmax2_kernel, group),
-        grid=(nt,),
+        grid=(b // bb, nt),
         in_specs=[
-            pl.BlockSpec((BLOCKMAX_TILE, d), lambda i: (i, 0), memory_space=ms),
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=ms),
-            pl.BlockSpec((BLOCKMAX_TILE, 1), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((BLOCKMAX_TILE, d), lambda j, i: (i, 0), memory_space=ms),
+            pl.BlockSpec((bb, d), lambda j, i: (j, 0), memory_space=ms),
+            pl.BlockSpec((BLOCKMAX_TILE, 1), lambda j, i: (i, 0), memory_space=ms),
         ],
         out_specs=(col, col, col, col),
         out_shape=(jax.ShapeDtypeStruct((b, nt), jnp.float32),

@@ -183,3 +183,30 @@ def test_blockmax_select_two_stage_parity():
         assert res["blockmax"][1][q][0] == res["f32"][1][q][0]
         overlap = len(set(res["blockmax"][1][q]) & set(res["f32"][1][q]))
         assert overlap >= 4, (q, res["blockmax"][1][q], res["f32"][1][q])
+
+
+def test_blockmax2_batch_split_matches_unsplit(monkeypatch):
+    """Batch-axis grid tiling (bb < b) returns identical results.
+
+    The split exists because at b=2048 the kernel's (b, TILE) intermediates
+    exceed the 16 MB scoped-vmem limit (measured: +96 KB over); correctness
+    must not depend on the batch block size."""
+    import numpy as np
+
+    from radiant_rag_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(12)
+    n, d, b = 4 * pk.BLOCKMAX_TILE, 64, 8
+    codes = rng.integers(-127, 128, (n, d), dtype=np.int8)
+    qi = rng.integers(-127, 128, (b, d), dtype=np.int8)
+    mask = np.ones(n, bool)
+    mask[3] = False
+    s_ref, r_ref = pk.blockmax2_pallas(jnp.asarray(codes), jnp.asarray(qi),
+                                       jnp.asarray(mask), interpret=True)
+    monkeypatch.setattr(pk, "BLOCKMAX_BATCH", 4)  # forces grid=(2, nt)
+    pk.blockmax2_pallas.clear_cache()
+    s_split, r_split = pk.blockmax2_pallas(jnp.asarray(codes), jnp.asarray(qi),
+                                           jnp.asarray(mask), interpret=True)
+    pk.blockmax2_pallas.clear_cache()
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_split))
+    np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_split))
