@@ -687,9 +687,17 @@ class BM25Index:
 
         method='pages' traverses every query term's full posting list
         (exhaustive-exact); 'sketch' scans the int8 impact sketch and EXACTLY
-        rescores the top-(k x rescore_multiplier) candidates — same scores,
-        ~10x faster on common-term queries, recall bounded by the candidate
-        margin; 'auto' picks sketch when built/available."""
+        rescores the top-(k x rescore_multiplier) candidates — returned docs
+        carry exact scores, ~10x faster on common-term queries, recall
+        bounded by the candidate margin. That margin is the honest caveat:
+        on common-term queries the stage-1 candidate set is hash-collision
+        limited (rare high-idf terms sharing a query term's bin outrank the
+        near-tied common-word tail), and the limit is intrinsic to hashed
+        bins — signed hashing, count-min, per-bin scales and fp32 sketches
+        all measure identically (BENCH_NOTES "sketch stage-1 fidelity";
+        tools/bench_sketch_dim.py). Discriminative-term matches always
+        survive, and 'auto' routes rare-term queries to exact pages; raise
+        rescore_multiplier where exact common-word-tail fidelity matters."""
         bq = len(queries)
         if self.num_docs == 0:
             return (np.full((bq, top_k), -1e30, np.float32),
