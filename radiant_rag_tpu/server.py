@@ -165,6 +165,13 @@ def make_server(app, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPSe
     api = RagAPI(app)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every JSON response carries Content-Length, so
+        # clients can reuse the connection — per-request TCP setup/teardown
+        # was measurable under concurrent load (tools/bench_serving.py). The
+        # SSE stream path has no Content-Length and closes its connection
+        # explicitly instead.
+        protocol_version = "HTTP/1.1"
+
         def _respond(self, method: str) -> None:
             length = int(self.headers.get("Content-Length", 0) or 0)
             try:
@@ -209,6 +216,10 @@ def make_server(app, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPSe
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
+            # unbounded body: under HTTP/1.1 the client detects end-of-stream
+            # by connection close, so opt this response out of keep-alive
+            self.send_header("Connection", "close")
+            self.close_connection = True
             self.end_headers()
             try:
                 for ev in api.stream_query(question,

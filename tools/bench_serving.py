@@ -1,0 +1,144 @@
+"""End-to-end HTTP serving load test on the real chip (round 3).
+
+The README's serving rates are inferred from bench.py's pipelined device
+numbers; this probe measures the rate a user actually observes: concurrent
+HTTP clients -> ThreadingHTTPServer -> request coalescer (cross-request
+batching + pipeline_depth in-flight batches) -> query EMBEDDING on device ->
+fused hybrid program -> JSON responses. Also reports the e2e ingest rate
+(embed + quantize + engine append + BM25 + docstore persist) while building
+the corpus.
+
+Usage: N_DOCS=100000 CLIENTS=64 REQUESTS=2000 python tools/bench_serving.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    n = int(os.environ.get("N_DOCS", 100_000))
+    clients = int(os.environ.get("CLIENTS", 64))
+    total_requests = int(os.environ.get("REQUESTS", 2000))
+    port = int(os.environ.get("PORT", 8329))
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from dataclasses import replace
+
+    from radiant_rag_tpu.app import create_app
+    from radiant_rag_tpu.config import AppConfig
+    from radiant_rag_tpu.ingestion.processor import IngestedChunk
+    from radiant_rag_tpu.server import make_server
+
+    rng = np.random.default_rng(42)
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    base = AppConfig()
+    cfg = replace(
+        base,
+        index=replace(base.index, data_dir=os.path.join(tmp, "index"),
+                      auto_persist=False),  # measure serving, not disk
+        conversation=replace(base.conversation,
+                             data_dir=os.path.join(tmp, "conv")),
+        ingestion=replace(base.ingestion, hierarchical=False),
+        bm25=replace(base.bm25, index_path=os.path.join(tmp, "bm25.json.gz")),
+        strategy_memory=replace(base.strategy_memory,
+                                path=os.path.join(tmp, "sm.json.gz")),
+    )
+    app = create_app(cfg)
+
+    # vocabulary of pseudo-words so BM25 has structure
+    vocab = [f"tok{i}" for i in range(20_000)]
+    zipf = rng.zipf(1.3, size=(n, 24)) % len(vocab)
+    print(f"ingesting {n} docs through the full pipeline...", flush=True)
+    t0 = time.time()
+    chunks = [IngestedChunk(" ".join(vocab[t] for t in row), {"i": int(i)})
+              for i, row in enumerate(zipf)]
+    gen_s = time.time() - t0
+    t0 = time.time()
+    app.ingest_chunks(chunks)
+    ingest_s = time.time() - t0
+    print(f"e2e ingest: {ingest_s:.1f}s -> {n / ingest_s:.0f} chunks/s "
+          f"(corpus gen {gen_s:.1f}s excluded)", flush=True)
+
+    app.warmup(max_batch=0, full_ladder=False)  # serving default warmup
+    server = make_server(app, host="127.0.0.1", port=port)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    queries = [" ".join(vocab[t] for t in zipf[i][:4])
+               for i in rng.integers(0, n, 512)]
+
+    lat = []
+    lat_lock = threading.Lock()
+    counter = {"left": total_requests}
+
+    def client():
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        try:
+            while True:
+                with lat_lock:
+                    if counter["left"] <= 0:
+                        return
+                    counter["left"] -= 1
+                    q = queries[counter["left"] % len(queries)]
+                body = json.dumps({"query": q, "top_k": 10,
+                                   "mode": "hybrid"})
+                t0 = time.perf_counter()
+                try:
+                    conn.request("POST", "/search", body=body,
+                                 headers={"Content-Type": "application/json"})
+                    conn.getresponse().read()
+                except (http.client.HTTPException, OSError):
+                    conn.close()  # server closed the keep-alive; reconnect
+                    conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                      timeout=120)
+                    continue
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+        finally:
+            conn.close()
+
+    # warmup pass (compile + coalescer spin-up)
+    counter["left"] = clients * 2
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.time()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    print(f"warmup pass ({clients * 2} reqs): {time.time() - t0:.1f}s", flush=True)
+
+    lat.clear()
+    counter["left"] = total_requests
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.time()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.time() - t0
+    lat_arr = np.asarray(lat) * 1000
+    report = {
+        "docs": n, "clients": clients, "requests": total_requests,
+        "ingest_chunks_per_s": round(n / ingest_s, 1),
+        "qps": round(total_requests / wall, 1),
+        "p50_ms": round(float(np.percentile(lat_arr, 50)), 1),
+        "p90_ms": round(float(np.percentile(lat_arr, 90)), 1),
+        "p99_ms": round(float(np.percentile(lat_arr, 99)), 1),
+    }
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as resp:
+        stats = json.loads(resp.read())
+    report["coalescer"] = stats.get("serving", {})
+    server.shutdown()
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
