@@ -421,7 +421,14 @@ class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 8080
     coalesce: bool = True
-    max_batch: int = 32
+    # Peak queries folded into one device batch. Only reached under heavy
+    # concurrency (a batch dispatches as soon as max_wait_ms passes), so a
+    # large cap costs idle deployments nothing while lifting the loaded
+    # ceiling: pipeline_depth x max_batch / batch_time. 256 is chip-measured
+    # at 56-62 ms/batch for 100k-1M docs (bench_batch_sweep) — ~8-9k QPS
+    # ceiling vs ~1.4k at the old cap of 32. The engine's HBM gate still
+    # bounds the actual bucket; `serve --warmup` precompiles up to this.
+    max_batch: int = 256
     max_wait_ms: float = 4.0
     # batches kept in flight by the coalescer worker (device->host fetch of
     # one batch overlaps the next batch's dispatch); 1 = sequential
