@@ -335,10 +335,15 @@ class RadiantTPU:
         engine = getattr(self.store, "engine", None)
         if max_batch <= 0:
             max_batch = engine.max_query_bucket() if engine is not None else 256
-        if full_ladder and engine is not None:
-            # every bucket the coalescer can round a batch up to
-            buckets = [1, 32] + [b for b in engine.QUERY_BUCKETS
-                                 if 64 <= b <= max_batch]
+        if engine is not None:
+            # EVERY bucket the coalescer can round a live batch up to: an
+            # unwarmed bucket ambushes a request with the per-process
+            # first-execution stall (seconds on a tunneled chip), so serving
+            # warmup must walk the full reachable ladder, small ones first
+            # (the progressive-compile trick). full_ladder additionally walks
+            # past max_batch via the CLI's explicit --max-batch.
+            buckets = [1] + [b for b in engine.QUERY_BUCKETS
+                             if 4 <= b <= max_batch]
         else:
             buckets = [b for b in (1, 32, max_batch) if b <= max(max_batch, 1)]
         timings: Dict[str, float] = {}
@@ -463,14 +468,31 @@ class RadiantTPU:
 
     def _dispatch_fused(self, searcher, queries: List[str], top_k: int,
                         fetch: bool = True):
-        embs = self.local_models.embed(queries)
+        # Device-resident hand-off: embed to a device array padded to the
+        # engine's query bucket and pass it straight into the fused program —
+        # the embeddings never visit the host (saves a blocking d2h fetch +
+        # re-upload per batch; ~27 ms each way on a tunneled chip). Falls
+        # back to host embeddings for non-JAX embedding backends, oversized
+        # batches, and dim mismatches (the engine fail-fast guards).
+        embs = qdev = None
+        eng = getattr(searcher, "engine", None)
+        if (hasattr(self.local_models, "embed_device") and eng is not None
+                and self.local_models.embedding_dimension == eng.dim
+                and len(queries) <= eng.max_query_bucket()):
+            try:
+                qdev = self.local_models.embed_device(
+                    queries, pad_to=eng._bucket_of(len(queries)))
+            except Exception:  # cache-only backends, tokenizer quirks: fall back
+                qdev = None
+        if qdev is None:
+            embs = self.local_models.embed(queries)
         return searcher.search_rows(
             embs, list(queries), dense_k=top_k, bm25_k=top_k,
             fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
             mode=self.store._default_mode() if hasattr(self.store, "_default_mode") else "int8",
             rescore_multiplier=self.config.quantization.rescore_multiplier,
             fusion=getattr(self.config.retrieval, "fusion_weighting", "confidence"),
-            fetch=fetch)
+            fetch=fetch, _qdev=qdev)
 
     def _resolve_fused_rows(self, res, n_queries: int) -> List[List[Tuple[Any, float]]]:
         scores, rows = res["fused"]

@@ -230,6 +230,32 @@ def _hybrid_program_sketch_blob(
         dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion, select)
 
 
+@partial(jax.jit, static_argnames=("bq", "t", "dense_k", "bm25_k", "fused_k",
+                                   "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
+                                   "fusion", "select"))
+def _hybrid_program_sketch_blob_qdev(
+    qdev,  # (bq, D) device-resident L2-normalized queries (rows >= n_valid are zero)
+    vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+    sketch, sketch_scale, dm_tids, dm_tfs, doc_lens,
+    blob, bq: int, t: int,
+    dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
+    mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
+    select: str = "",
+):
+    """The blob program with DEVICE queries: the blob carries only the BM25
+    sections (d=0 layout — no fp16 dense block), so an embed program's output
+    feeds retrieval without ever visiting the host."""
+    s = sketch.shape[1]
+    (_, qvalid, q_tids, q_idfs, qind,
+     level_code, lang_code, leg_w, avgdl) = _unpack_query_blob(blob, bq, 0, t, s)
+    return _hybrid_sketch_core(
+        vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
+        sketch, sketch_scale, qind,
+        dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
+        qdev.astype(jnp.float32), qvalid, level_code, lang_code, leg_w,
+        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion, select)
+
+
 @partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion", "select"))
 def _hybrid_program(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
@@ -410,6 +436,12 @@ class HybridSearcher:
         fusion: str = "auto",  # auto (calibration-selected) | confidence | score | equal
         select: str = "",  # stage-1 selection policy ("" = engine/env default)
         fetch: bool = True,  # False -> (device_result, unpack_fn) for pipelining
+        _qdev: Optional[jax.Array] = None,  # device-resident queries, shape
+        # (engine bucket, D), pre-padded (Embedder.embed_device). When given,
+        # queries_dense is ignored and the blob ships WITHOUT the fp16 dense
+        # section — the embed->search hand-off stays on device (saves the
+        # ~27 ms host fetch + blocking sync per serving batch on a tunneled
+        # chip, plus the re-upload).
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Returns {'dense'|'bm25'|'fused': (scores (B,k), rows (B,k) i64)}."""
         eng = self.engine
@@ -418,12 +450,16 @@ class HybridSearcher:
         select = select or getattr(eng, "stage1_select", "") or sim._default_select()
         if fusion == "auto":  # calibration-selected mode ("confidence" until calibrated)
             fusion = self.fusion_mode
-        b = queries_dense.shape[0]
+        b = len(queries_text) if _qdev is not None else queries_dense.shape[0]
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
             res = {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
             return (None, lambda: res) if not fetch else res
         max_b = eng.max_query_bucket()
+        if _qdev is not None and b > max_b:
+            # oversized batches take the host chunking path below
+            queries_dense = np.asarray(_qdev)[:b]
+            _qdev = None
         if not fetch and b > max_b:
             # pipelining only makes sense within one device program
             res = self.search_rows(queries_dense, queries_text, dense_k, bm25_k,
@@ -456,7 +492,13 @@ class HybridSearcher:
                          else "sketch")
         num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
 
-        qhost = np.asarray(queries_dense, np.float32)
+        if _qdev is not None and bm25_mode != "sketch":
+            # the exact-pages program takes host-bucketed queries; this path
+            # serves rare-term (low posting volume) queries, so the fetch is
+            # off the hot path
+            queries_dense = np.asarray(_qdev)[:b]
+            _qdev = None
+        qhost = None if _qdev is not None else np.asarray(queries_dense, np.float32)
         dk = min(dense_k, eng.capacity)
         bk = min(bm25_k, num_docs)
         fk = min(fused_k, dk + bk)
@@ -478,17 +520,26 @@ class HybridSearcher:
                 q_bins = np.pad(q_bins, ((0, pad), (0, 0)), constant_values=-1)
                 q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
                 q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
-            qpad = np.zeros((bq, eng.dim), np.float32)
-            qpad[:b] = qhost
             bm_kc = min(max(bk, int(round(bk * rescore_multiplier))), num_docs)
             # ONE h2d upload per batch (fp16 queries + sparse bins; see
             # pack_query_blob) — per-batch transfer cost dominated the fused
             # program itself at <=100k docs before this.
+            if _qdev is not None:
+                # device-resident queries: the blob ships WITHOUT its fp16
+                # dense section (d=0 layout) and the program takes _qdev raw
+                if _qdev.shape != (bq, eng.dim):
+                    raise ValueError(
+                        f"_qdev shape {_qdev.shape} != bucket ({bq}, {eng.dim});"
+                        " pad with Embedder.embed_device(texts, pad_to=bucket)")
+                qpad = np.zeros((bq, 0), np.float32)
+            else:
+                qpad = np.zeros((bq, eng.dim), np.float32)
+                qpad[:b] = qhost
             blob = pack_query_blob(qpad, q_tids, q_idfs, q_bins, b,
                                    level_code, lang_code, self.leg_weights,
                                    self.bm25.sketch_dim,
                                    avgdl=float(self.bm25.avgdl))
-            packed = _hybrid_program_sketch_blob(
+            sketch_args = (
                 *common,
                 self.bm25._sketch, self.bm25._sketch_scale,
                 self.bm25._dm_tids, self.bm25._dm_tfs,
@@ -497,6 +548,10 @@ class HybridSearcher:
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
                 self.bm25.k1, self.bm25.b, fusion, select,
             )
+            if _qdev is not None:
+                packed = _hybrid_program_sketch_blob_qdev(_qdev, *sketch_args)
+            else:
+                packed = _hybrid_program_sketch_blob(*sketch_args)
         else:
             qdev, qvalid, _ = eng._bucket_queries(qhost)
             codes_args = (

@@ -141,6 +141,28 @@ class Embedder:
             out[start : start + n] = np.asarray(emb)[:n]
         return out
 
+    def embed_device(self, texts: Sequence[str], pad_to: int) -> "jax.Array":
+        """Embed a batch and KEEP it on device, padded to `pad_to` rows.
+
+        The serving fast path: embeddings feed the fused hybrid program as a
+        device array, so the embed->search hand-off never round-trips through
+        the host (the host fetch alone costs ~27 ms on a tunneled chip, and
+        the fetch is a blocking sync). Bypasses the host embedding cache —
+        cache hits would require host values, and serving dedup happens at
+        the app's query cache. Padded rows come back as zero vectors
+        (all-zero attention mask -> guarded mean pool)."""
+        if pad_to < len(texts):
+            raise ValueError(f"pad_to {pad_to} < batch {len(texts)}")
+        ids, attn, types = self.tokenizer.encode_batch(
+            list(texts), self.config.max_seq_len)
+        pad = pad_to - len(texts)
+        if pad:
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            attn = np.pad(attn, ((0, pad), (0, 0)))
+            types = np.pad(types, ((0, pad), (0, 0)))
+        return self._forward(self.params, jnp.asarray(ids), jnp.asarray(attn),
+                             jnp.asarray(types))
+
     def embed(self, texts: Sequence[str]) -> np.ndarray:
         """Cache-aware batch embedding (reference `local_models.py:137-210`)."""
         if len(texts) == 0:

@@ -43,6 +43,11 @@ class LocalNLPModels:
     def embed(self, texts: Sequence[str]) -> np.ndarray:
         return self.embedder.embed(texts)
 
+    def embed_device(self, texts: Sequence[str], pad_to: int):
+        """Device-resident batch embedding (serving fast path; see
+        Embedder.embed_device)."""
+        return self.embedder.embed_device(texts, pad_to)
+
     def embed_single(self, text: str) -> np.ndarray:
         return self.embedder.embed_single(text)
 

@@ -240,7 +240,10 @@ def test_warmup_compiles_buckets(app):
     """warmup() must run clean through the search program buckets and
     report per-stage timings (serve --warmup path)."""
     timings = app.warmup(max_batch=8, modes=("hybrid", "dense"))
-    assert set(timings) == {"hybrid/b1", "hybrid/b8", "dense/b1", "dense/b8"}
+    # every coalescer-reachable bucket <= max_batch (an unwarmed bucket
+    # ambushes a live request with the first-execution stall)
+    assert set(timings) == {f"{m}/b{b}" for m in ("hybrid", "dense")
+                            for b in (1, 4, 8)}
     assert all(t >= 0 for t in timings.values())
     # empty store short-circuits
     from radiant_rag_tpu.app import RadiantTPU

@@ -442,3 +442,42 @@ def test_invalidate_resets_fusion_mode(rng):
     searcher.invalidate_calibration()
     assert searcher.fusion_mode == "confidence"
     np.testing.assert_allclose(searcher.leg_weights, [0.5, 0.5])
+
+
+def test_device_resident_queries_match_host(setup):
+    """search_rows(_qdev=...) == search_rows(host vectors): the serving fast
+    path that keeps embeddings on device (no d2h fetch between the embed and
+    hybrid programs) must not change any leg's results."""
+    import jax.numpy as jnp
+
+    vecs, texts, searcher = setup
+    qtexts = ["alpha bravo doc1", "echo foxtrot", "zulu yankee", "kilo lima"]
+    q = vecs[:4]
+    host = searcher.search_rows(q, qtexts, dense_k=5, bm25_k=5, fused_k=8,
+                                bm25_mode="sketch")
+    bq = searcher.engine._bucket_of(len(qtexts))
+    qdev = jnp.zeros((bq, q.shape[1]), jnp.float32).at[:4].set(jnp.asarray(q))
+    dev = searcher.search_rows(None, qtexts, dense_k=5, bm25_k=5, fused_k=8,
+                               bm25_mode="sketch", _qdev=qdev)
+    for leg in ("dense", "bm25", "fused"):
+        np.testing.assert_array_equal(host[leg][1], dev[leg][1])
+        np.testing.assert_allclose(host[leg][0], dev[leg][0], rtol=2e-3,
+                                   atol=1e-5)
+
+
+def test_device_resident_queries_pages_fallback(setup):
+    """A _qdev batch routed to the exact-pages program falls back to host
+    queries transparently (rare-term routing)."""
+    import jax.numpy as jnp
+
+    vecs, texts, searcher = setup
+    qtexts = ["alpha bravo doc1", "echo foxtrot"]
+    q = vecs[:2]
+    host = searcher.search_rows(q, qtexts, dense_k=5, bm25_k=5, fused_k=8,
+                                bm25_mode="pages")
+    bq = searcher.engine._bucket_of(2)
+    qdev = jnp.zeros((bq, q.shape[1]), jnp.float32).at[:2].set(jnp.asarray(q))
+    dev = searcher.search_rows(None, qtexts, dense_k=5, bm25_k=5, fused_k=8,
+                               bm25_mode="pages", _qdev=qdev)
+    for leg in ("dense", "bm25", "fused"):
+        np.testing.assert_array_equal(host[leg][1], dev[leg][1])

@@ -69,7 +69,8 @@ def main() -> None:
     print(f"e2e ingest: {ingest_s:.1f}s -> {n / ingest_s:.0f} chunks/s "
           f"(corpus gen {gen_s:.1f}s excluded)", flush=True)
 
-    app.warmup(max_batch=0, full_ladder=False)  # serving default warmup
+    # mirror `serve --warmup`: precompile every coalescer-reachable bucket
+    app.warmup(max_batch=cfg.server.max_batch, full_ladder=False)
     server = make_server(app, host="127.0.0.1", port=port)
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
