@@ -471,19 +471,11 @@ class RadiantTPU:
         # Device-resident hand-off: embed to a device array padded to the
         # engine's query bucket and pass it straight into the fused program —
         # the embeddings never visit the host (saves a blocking d2h fetch +
-        # re-upload per batch; ~27 ms each way on a tunneled chip). Falls
-        # back to host embeddings for non-JAX embedding backends, oversized
-        # batches, and dim mismatches (the engine fail-fast guards).
-        embs = qdev = None
-        eng = getattr(searcher, "engine", None)
-        if (hasattr(self.local_models, "embed_device") and eng is not None
-                and self.local_models.embedding_dimension == eng.dim
-                and len(queries) <= eng.max_query_bucket()):
-            try:
-                qdev = self.local_models.embed_device(
-                    queries, pad_to=eng._bucket_of(len(queries)))
-            except Exception:  # cache-only backends, tokenizer quirks: fall back
-                qdev = None
+        # re-upload per batch; ~27 ms each way on a tunneled chip).
+        from radiant_rag_tpu.index.hybrid import embed_queries_device
+
+        embs = None
+        qdev = embed_queries_device(self.local_models, searcher.engine, queries)
         if qdev is None:
             embs = self.local_models.embed(queries)
         return searcher.search_rows(

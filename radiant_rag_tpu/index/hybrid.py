@@ -152,6 +152,25 @@ def _blob_layout(bq: int, d: int, t: int, s: int) -> Dict[str, Tuple[int, int]]:
     return lay
 
 
+def embed_queries_device(local_models, engine, texts: Sequence[str]):
+    """Device-resident query embeddings for search_rows(_qdev=...), or None.
+
+    Shared acquisition logic for the serving (`app._dispatch_fused`) and
+    pipeline (`orchestrator._run_hybrid_fused`) call sites: the JAX embedder
+    pads to the engine's query bucket and the embeddings never visit the
+    host. Returns None (caller falls back to host `embed`) for non-JAX
+    embedding backends, dim mismatches, and oversized batches."""
+    if (not hasattr(local_models, "embed_device")
+            or getattr(local_models, "embedding_dimension", None) != engine.dim
+            or len(texts) > engine.max_query_bucket()):
+        return None
+    try:
+        return local_models.embed_device(list(texts),
+                                         pad_to=engine._bucket_of(len(texts)))
+    except Exception:  # cache-only backends, tokenizer quirks: fall back
+        return None
+
+
 def pack_query_blob(queries: np.ndarray, q_tids: np.ndarray, q_idfs: np.ndarray,
                     q_bins: np.ndarray, n_valid: int, level_code: int,
                     lang_code: int, leg_w: np.ndarray, sketch_dim: int,

@@ -579,10 +579,18 @@ class RAGOrchestrator:
         # re-resolve the live BM25 index: load/rebuild replaces the object
         self._hybrid.rebind_bm25(self.bm25_index.index)
         self._ensure_fusion_calibration()
-        embeddings = self.local_models.embed(list(queries))
+        # device-resident embed->search hand-off when available (saves the
+        # blocking d2h fetch + re-upload; see hybrid.embed_queries_device)
+        from radiant_rag_tpu.index.hybrid import embed_queries_device
+
+        embeddings = None
+        qdev = embed_queries_device(self.local_models, self._hybrid.engine,
+                                    list(queries))
+        if qdev is None:
+            embeddings = self.local_models.embed(list(queries))
         level = {"leaves": 0, "parents": 1, "all": -1}.get(cfg.search_scope, -1)
         res = self._hybrid.search_rows(
-            embeddings, list(queries),
+            embeddings, list(queries), _qdev=qdev,
             dense_k=cfg.dense_top_k, bm25_k=cfg.bm25_top_k,
             fused_k=cfg.fused_top_k, rrf_k=cfg.rrf_k,
             mode=self.store.default_search_mode,
