@@ -481,3 +481,45 @@ def test_device_resident_queries_pages_fallback(setup):
                                bm25_mode="pages", _qdev=qdev)
     for leg in ("dense", "bm25", "fused"):
         np.testing.assert_array_equal(host[leg][1], dev[leg][1])
+
+
+def test_embed_queries_device_fallback_contract(setup):
+    """embed_queries_device returns None (host fallback) for non-JAX
+    backends, dim mismatches, and oversized batches; a device array
+    otherwise."""
+    import jax
+
+    from radiant_rag_tpu.index.hybrid import embed_queries_device
+
+    vecs, texts, searcher = setup
+    eng = searcher.engine
+
+    class FakeEmbedder:
+        embedding_dimension = eng.dim
+
+        def embed_device(self, texts, pad_to):
+            import jax.numpy as jnp
+            return jnp.zeros((pad_to, eng.dim), jnp.float32)
+
+    out = embed_queries_device(FakeEmbedder(), eng, ["a", "b", "c"])
+    assert isinstance(out, jax.Array)
+    assert out.shape == (eng._bucket_of(3), eng.dim)
+
+    class NoDevice:  # HTTP/torch-style backend
+        embedding_dimension = eng.dim
+
+    assert embed_queries_device(NoDevice(), eng, ["a"]) is None
+
+    class WrongDim(FakeEmbedder):
+        embedding_dimension = eng.dim + 1
+
+    assert embed_queries_device(WrongDim(), eng, ["a"]) is None
+
+    oversized = ["q"] * (eng.max_query_bucket() + 1)
+    assert embed_queries_device(FakeEmbedder(), eng, oversized) is None
+
+    class Raises(FakeEmbedder):
+        def embed_device(self, texts, pad_to):
+            raise RuntimeError("tokenizer quirk")
+
+    assert embed_queries_device(Raises(), eng, ["a"]) is None
