@@ -64,7 +64,25 @@ def main() -> None:
               for i, row in enumerate(zipf)]
     gen_s = time.time() - t0
     t0 = time.time()
-    app.ingest_chunks(chunks)
+    if os.environ.get("FAST_CORPUS", "0") == "1":
+        # corpus-build shortcut for big-N serving measurements: upsert with
+        # precomputed random embeddings instead of running the embedder over
+        # every chunk (the SERVING path still embeds every query on device;
+        # hybrid program cost is shape-dependent, not content-dependent, so
+        # throughput/latency stay representative — dense-leg relevance does
+        # not, which is fine for a load test)
+        dim = app.local_models.embedding_dimension
+        bs = 8192
+        for s in range(0, n, bs):
+            batch = chunks[s : s + bs]
+            embs = rng.standard_normal((len(batch), dim)).astype(np.float32)
+            embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+            app.store.upsert_batch([
+                (c.content, {**c.meta, "doc_level": "leaf"}, embs[i])
+                for i, c in enumerate(batch)])
+        app.bm25_index.sync_with_store()
+    else:
+        app.ingest_chunks(chunks)
     ingest_s = time.time() - t0
     print(f"e2e ingest: {ingest_s:.1f}s -> {n / ingest_s:.0f} chunks/s "
           f"(corpus gen {gen_s:.1f}s excluded)", flush=True)
