@@ -26,9 +26,11 @@ simultaneous clients cost ~one search (the engine is batched-first).
 
 from __future__ import annotations
 
+import collections
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
 
@@ -47,6 +49,11 @@ class RagAPI:
                  max_wait_ms: Optional[float] = None) -> None:
         self.app = app
         self._lock = threading.Lock()
+        # per-request /search wall-time ring for /stats latency percentiles
+        # (bounded: last 4096 requests; ~32 KB)
+        self._lat = collections.deque(maxlen=4096)
+        self._lat_lock = threading.Lock()
+        self._lat_count = 0
         scfg = getattr(getattr(app, "config", None), "server", None)
         if coalesce is None:
             coalesce = scfg.coalesce if scfg is not None else True
@@ -101,6 +108,15 @@ class RagAPI:
                 stats = dict(self.app.get_stats())
                 if self._coalescer is not None:
                     stats["serving"] = dict(self._coalescer.stats)
+                with self._lat_lock:
+                    lat = sorted(self._lat)
+                    total = self._lat_count
+                if lat:
+                    pick = lambda q: round(lat[min(len(lat) - 1,
+                                                   int(q * len(lat)))] * 1000, 1)
+                    stats["search_latency_ms"] = {
+                        "count": total, "window": len(lat),
+                        "p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99)}
                 return 200, stats
             if method == "POST" and path == "/query":
                 question = body.get("question", "")
@@ -118,11 +134,15 @@ class RagAPI:
                 if mode not in _SEARCH_MODES:
                     return 400, {"error": f"mode must be one of {_SEARCH_MODES}"}
                 top_k = int(body.get("top_k", 10))
+                t0 = time.perf_counter()
                 if self._coalescer is not None:
                     hits = self._coalescer.submit((mode, top_k), query, timeout=120.0)
                 else:
                     with self._lock:
                         hits = self.app.search(query, mode=mode, top_k=top_k)
+                with self._lat_lock:
+                    self._lat.append(time.perf_counter() - t0)
+                    self._lat_count += 1
                 return 200, {"hits": [
                     {"doc_id": d.doc_id, "score": s, "source": d.source,
                      "content": d.content[:1000], "meta": d.meta}

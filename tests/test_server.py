@@ -401,3 +401,15 @@ def test_app_search_batch_async_matches_sync(served_app):
         assert [d.doc_id for d, _ in s_hits] == [d.doc_id for d, _ in p_hits]
         for (_, ss), (_, ps) in zip(s_hits, p_hits):
             assert abs(ss - ps) < 2e-3
+
+
+def test_stats_search_latency_percentiles(served_app):
+    """/stats exposes a latency distribution over recent /search requests."""
+    _app, port = served_app
+    for _ in range(3):
+        _req(port, "POST", "/search", {"query": "coherent light", "top_k": 2})
+    status, body = _req(port, "GET", "/stats")
+    assert status == 200
+    lat = body["search_latency_ms"]
+    assert lat["count"] >= 3 and lat["window"] >= 3
+    assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"]
