@@ -141,7 +141,10 @@ class EmbeddingConfig:
     hidden_dim: int = 1536
     vocab_size: int = 30522
     max_seq_len: int = 256
-    batch_size: int = 128  # 2.5x ingest throughput vs 32 (see BENCH_NOTES.md)
+    # chip-measured embed throughput sweep (BENCH_NOTES round 3): 128 ->
+    # 2830 chunks/s, 512 -> 7905, 1024 -> 11458 (peak; 2048 regresses).
+    # The per-dispatch fixed cost dominates small batches.
+    batch_size: int = 1024
     normalize: bool = True
     cache_size: int = 10000
     dtype: str = "bfloat16"
@@ -299,7 +302,9 @@ class IngestionConfig:
     chunk_overlap: int = 50
     max_parent_chars: int = 50000
     embed_batch_size: int = 32
-    upsert_batch_size: int = 256
+    # >= embedding.batch_size so each ingest embed call can fill the
+    # embedder's optimal device batch
+    upsert_batch_size: int = 2048
     hierarchical: bool = True
     use_intelligent_chunking: bool = False
     translate_at_ingestion: bool = False
