@@ -123,6 +123,10 @@ class RadiantTPU:
             children = [(c.content, {**c.meta, "doc_level": "leaf"}) for c in chunks]
 
         # batched embed on device + upsert (quantized side-cars always written)
+        # pre-size the index for the whole load: the chunk count is known
+        # here, so one growth replaces a recompile per capacity doubling
+        if hasattr(self.store, "reserve"):
+            self.store.reserve(len(children))
         n = 0
         bs = max(cfg.upsert_batch_size, 1)
         for start in range(0, len(children), bs):

@@ -197,6 +197,18 @@ class DeviceVectorIndex:
         self.lang = jnp.zeros((cap,), jnp.int32)
         self.doc_len = jnp.zeros((cap,), jnp.float32)
 
+    def reserve(self, total_rows: int) -> None:
+        """Grow capacity for `total_rows` rows in ONE step.
+
+        Every capacity change re-specializes the append/quantize programs at
+        the new static shape, so incremental doubling during a bulk load pays
+        one recompile per doubling (~seconds each on a tunneled chip;
+        BENCH_NOTES "ingest bottleneck isolated"). Callers that know the
+        final size (ingest knows its chunk count before upserting) reserve
+        once instead."""
+        if total_rows > self.capacity:
+            self._grow(total_rows)
+
     def _grow(self, need: int) -> None:
         new_cap = self.capacity
         while new_cap < need:

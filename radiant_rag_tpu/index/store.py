@@ -109,6 +109,11 @@ class TpuVectorStore(BaseVectorStore):
     def ping(self) -> bool:
         return True
 
+    def reserve(self, additional_docs: int) -> None:
+        """Pre-size the device index for a bulk load (one growth instead of
+        one recompile-per-doubling; see engine.reserve)."""
+        self.engine.reserve(self.engine.count + max(0, int(additional_docs)))
+
     def upsert(self, content: str, meta: Optional[Dict[str, Any]] = None,
                embedding: Optional[np.ndarray] = None) -> str:
         ids = self.upsert_batch([(content, meta, embedding)])
