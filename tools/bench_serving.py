@@ -72,6 +72,7 @@ def main() -> None:
         # throughput/latency stay representative — dense-leg relevance does
         # not, which is fine for a load test)
         dim = app.local_models.embedding_dimension
+        app.store.reserve(n)  # one growth instead of log2(N/4096) recompiles
         bs = 8192
         for s in range(0, n, bs):
             batch = chunks[s : s + bs]
