@@ -383,12 +383,13 @@ class RadiantTPU:
                         timings[f"hybrid/{fv}/b{b}"] = round(_time.time() - t0, 2)
                         if progress is not None:
                             progress(f"hybrid/{fv}/b{b}", timings[f"hybrid/{fv}/b{b}"])
-        # ingest-side embed program: the bulk-embed bucket
+        # ingest-side embed program (deploy-time `warmup` CLI only — serve's
+        # startup warmup should not pay it): the bulk-embed bucket
         # (embedding.batch_size, default 1024) is a different shape from the
         # serving query buckets above, and its cold compile (~100 s on a
         # tunneled chip) otherwise lands inside the user's first ingest
         emb = getattr(self.local_models, "embedder", None)
-        if emb is not None and hasattr(emb, "_compute"):
+        if full_ladder and emb is not None and hasattr(emb, "_compute"):
             bs = self.config.embedding.batch_size
             t0 = _time.time()
             emb._compute([f"{probe} {i}" for i in range(bs)])

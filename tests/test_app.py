@@ -241,11 +241,13 @@ def test_warmup_compiles_buckets(app):
     report per-stage timings (serve --warmup path)."""
     timings = app.warmup(max_batch=8, modes=("hybrid", "dense"))
     # every coalescer-reachable bucket <= max_batch (an unwarmed bucket
-    # ambushes a live request with the first-execution stall), plus the
-    # ingest-side bulk-embed bucket
-    expected = {f"{m}/b{b}" for m in ("hybrid", "dense") for b in (1, 4, 8)}
-    expected.add(f"ingest_embed/b{app.config.embedding.batch_size}")
-    assert set(timings) == expected
+    # ambushes a live request with the first-execution stall)
+    assert set(timings) == {f"{m}/b{b}" for m in ("hybrid", "dense")
+                            for b in (1, 4, 8)}
+    # the deploy-time full ladder additionally warms the ingest-side
+    # bulk-embed bucket (a distinct program shape)
+    full = app.warmup(max_batch=1, modes=("dense",), full_ladder=True)
+    assert f"ingest_embed/b{app.config.embedding.batch_size}" in full
     assert all(t >= 0 for t in timings.values())
     # empty store short-circuits
     from radiant_rag_tpu.app import RadiantTPU
