@@ -5,6 +5,11 @@ sample embeddings from a saved index, compute per-dimension ranges, save as a
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 import sys
 

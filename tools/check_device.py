@@ -8,6 +8,11 @@ round-trip with timing, and mesh viability.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import json
 import sys
 import time

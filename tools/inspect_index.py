@@ -4,6 +4,11 @@ search, fetch by id, stats — against a saved index directory."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 import json
 import sys

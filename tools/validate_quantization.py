@@ -5,9 +5,14 @@ presence, and a small end-to-end recall check."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+# direct `python tools/validate_quantization.py` puts the script dir (not the
+# repo root) on sys.path — the other tools carry the same shim
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CHECKS = []
 
