@@ -369,15 +369,31 @@ class RadiantTPU:
             if searcher is not None:
                 import numpy as _np
 
+                from radiant_rag_tpu.index.hybrid import embed_queries_device
+
                 e1 = _np.asarray(self.local_models.embed([probe]), _np.float32)
                 dmode = (self.store._default_mode()
                          if hasattr(self.store, "_default_mode") else "int8")
                 for b in dict.fromkeys(buckets):
+                    texts = [probe] * b
                     embs = _np.repeat(e1, b, axis=0)
+                    # Serving dispatch (`_dispatch_fused`) runs the
+                    # device-resident qdev program variant, whose jit cache
+                    # key includes the fusion string — warm THAT for both
+                    # fusion modes, plus the host-blob variant as the
+                    # fallback-path warm (qdev unavailable => host embed).
+                    qdev = embed_queries_device(
+                        self.local_models, searcher.engine, texts)
                     for fv in ("confidence", "score"):
                         t0 = _time.time()
+                        if qdev is not None:
+                            searcher.search_rows(
+                                None, texts, dense_k=top_k, bm25_k=top_k,
+                                fused_k=top_k,
+                                rrf_k=self.config.retrieval.rrf_k,
+                                mode=dmode, fusion=fv, _qdev=qdev)
                         searcher.search_rows(
-                            embs, [probe] * b, dense_k=top_k, bm25_k=top_k,
+                            embs, texts, dense_k=top_k, bm25_k=top_k,
                             fused_k=top_k, rrf_k=self.config.retrieval.rrf_k,
                             mode=dmode, fusion=fv)
                         timings[f"hybrid/{fv}/b{b}"] = round(_time.time() - t0, 2)

@@ -16,6 +16,7 @@ parallel/sharded_index.py is the intended regime long before then).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -152,6 +153,9 @@ def _blob_layout(bq: int, d: int, t: int, s: int) -> Dict[str, Tuple[int, int]]:
     return lay
 
 
+_EMBED_DEVICE_WARNED = False
+
+
 def embed_queries_device(local_models, engine, texts: Sequence[str]):
     """Device-resident query embeddings for search_rows(_qdev=...), or None.
 
@@ -167,7 +171,17 @@ def embed_queries_device(local_models, engine, texts: Sequence[str]):
     try:
         return local_models.embed_device(list(texts),
                                          pad_to=engine._bucket_of(len(texts)))
-    except Exception:  # cache-only backends, tokenizer quirks: fall back
+    except Exception as exc:  # cache-only backends, tokenizer quirks: fall back
+        # A persistent failure here silently demotes every serving query to
+        # the host embed path (~27 ms/batch on a tunneled chip) — log the
+        # first occurrence so a regression in embed_device is visible instead
+        # of masquerading as a permanent perf loss.
+        global _EMBED_DEVICE_WARNED
+        if not _EMBED_DEVICE_WARNED:
+            _EMBED_DEVICE_WARNED = True
+            logging.getLogger(__name__).warning(
+                "embed_device failed (%s: %s); falling back to host embed "
+                "path for this and future batches", type(exc).__name__, exc)
         return None
 
 

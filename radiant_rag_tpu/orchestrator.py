@@ -570,6 +570,11 @@ class RAGOrchestrator:
         try:
             hy.calibrate_fusion(self.local_models.embed, text_of)
             logger.info("fusion calibration: %s", hy.last_calibration)
+            # Pod serving: carry the calibrated config onto a sharded store,
+            # which otherwise serves equal-weight RRF regardless of what the
+            # probes measured (`parallel/sharded_store.set_fusion`).
+            if hasattr(self.store, "set_fusion"):
+                self.store.set_fusion(hy.fusion_mode, hy.leg_weights)
         except Exception as exc:  # never block retrieval on calibration
             logger.warning("fusion calibration failed (%s); equal weights", exc)
 

@@ -259,3 +259,26 @@ def test_warmup_compiles_buckets(app):
     bare = RadiantTPU.__new__(RadiantTPU)
     bare.store = EmptyStore()
     assert bare.warmup() == {}
+
+
+def test_warmup_full_ladder_warms_qdev_fusion_variants(app, monkeypatch):
+    """The deploy-time full ladder must warm the device-resident (qdev)
+    program for BOTH fusion modes — serving dispatch uses the qdev variant,
+    whose jit cache key includes the fusion string, so a host-blob-only warm
+    leaves the first post-recalibration query on a cold compile."""
+    searcher = app._fused_searcher()
+    assert searcher is not None
+    calls = []
+    orig = searcher.search_rows
+
+    def spy(queries_dense, queries_text, *args, **kwargs):
+        calls.append((kwargs.get("fusion"), kwargs.get("_qdev") is not None))
+        return orig(queries_dense, queries_text, *args, **kwargs)
+
+    monkeypatch.setattr(searcher, "search_rows", spy)
+    timings = app.warmup(max_batch=1, modes=("hybrid",), full_ladder=True)
+    assert "hybrid/score/b1" in timings and "hybrid/confidence/b1" in timings
+    # each fusion variant saw a device-resident warm AND a host-blob warm
+    for fv in ("score", "confidence"):
+        assert (fv, True) in calls, f"qdev variant not warmed for {fv}"
+        assert (fv, False) in calls, f"host-blob variant not warmed for {fv}"

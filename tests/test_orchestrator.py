@@ -330,3 +330,20 @@ def test_single_query_fused_order_preserved(stack):
     assert ctx.fused_docs, "fused results expected"
     ids = [d.doc_id for d, _ in ctx.fused_docs]
     assert len(ids) == len(set(ids))
+
+
+def test_calibration_propagates_to_sharded_store(stack):
+    """A store exposing set_fusion (the pod sharded store) must receive the
+    calibrated fusion config — otherwise pod serving silently stays on
+    equal-weight RRF regardless of what the probes measured."""
+    orch = _orch(stack)
+    received = {}
+    orch.store.set_fusion = lambda mode, w: received.update(
+        mode=mode, weights=list(map(float, w)))
+    try:
+        orch._hybrid.invalidate_calibration()
+        orch._ensure_fusion_calibration()
+    finally:
+        del orch.store.set_fusion
+    assert received["mode"] == orch._hybrid.fusion_mode
+    assert received["weights"] == [float(x) for x in orch._hybrid.leg_weights]
