@@ -417,22 +417,39 @@ class RadiantTPU:
 
     def train(self, steps: int = 100, batch_size: int = 32,
               learning_rate: float = 2e-5, checkpoint_dir: str = "",
-              hard_negatives: int = 2) -> Dict[str, float]:
+              hard_negatives: int = 2, auto: bool = False) -> Dict[str, float]:
         """Fine-tune the embedder on the indexed corpus and make the result
         LIVE: BM25-mined hard negatives + warmup/cosine LR
         (`parallel/data.train_embedder`), then hot-swap the serving encoder's
         params (embedding cache cleared) and invalidate fusion calibration so
         the newly-trained dense leg is re-weighted instead of keeping its
         pre-train (often ~0) weight. A later fresh process restores the same
-        params from the checkpoint (`models/embedder.py`)."""
-        from radiant_rag_tpu.parallel.data import train_embedder
+        params from the checkpoint (`models/embedder.py`).
 
+        auto=True runs the measured capacity recipe as a product path (no
+        harness flags): 12k-step ceiling with accuracy-plateau stopping,
+        batch 64, lr 1e-4 warmup+cosine, BM25-mined hard negatives, and
+        synonym query augmentation so the encoder learns the paraphrase
+        correspondences retrieval is measured on. Pairs with the
+        `trainable-small` embedding preset (`config.py`). The reference
+        deploys with pretrained MiniLM weights
+        (`llm/local_models.py:61-135`); this is the weightless-deploy
+        equivalent: ingest -> train --auto -> a contributing dense leg."""
+        from radiant_rag_tpu.parallel.data import synonym_augment, train_embedder
+
+        if auto:
+            steps = max(steps, 12000)
+            batch_size = max(batch_size, 64)
+            learning_rate = 1e-4
+            hard_negatives = max(hard_negatives, 2)
         metrics, params = train_embedder(
             self.store, self.config.embedding, steps=steps,
             batch_size=batch_size, learning_rate=learning_rate,
             checkpoint_dir=checkpoint_dir or self.config.embedding.checkpoint_dir,
             bm25=self.bm25_index.index if hard_negatives > 0 else None,
-            hard_negatives=hard_negatives, return_params=True)
+            hard_negatives=hard_negatives, return_params=True,
+            query_augment=synonym_augment if auto else None,
+            auto_stop=auto)
         self.local_models.embedder.set_params(params)
         self.query_cache.clear()  # search results embed with the old encoder
         if hasattr(self.orchestrator, "invalidate_fusion_calibration"):
@@ -697,6 +714,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax output dir (default: embedding.checkpoint_dir)")
     p.add_argument("--hard-negatives", type=int, default=2, metavar="H",
                    help="BM25-mined hard negatives per query (0 disables)")
+    p.add_argument("--auto", action="store_true",
+                   help="measured capacity recipe: 12k-step ceiling with "
+                        "accuracy-plateau stopping, hard negatives, synonym "
+                        "query augmentation (weightless-deploy bootstrap)")
 
     p = sub.add_parser("serve", help="HTTP JSON API server")
     p.add_argument("--host", default="0.0.0.0")
@@ -806,7 +827,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         metrics = app.train(
             steps=args.steps, batch_size=args.batch_size,
             learning_rate=args.lr, checkpoint_dir=args.checkpoint_dir,
-            hard_negatives=args.hard_negatives)
+            hard_negatives=args.hard_negatives, auto=args.auto)
         print(json.dumps(metrics))
     elif args.command == "stats":
         display_stats(app.get_stats())

@@ -115,6 +115,14 @@ class RetrievalConfig:
     # "score": z-normalized score interpolation. "equal": reference parity
     # (`agents/fusion.py:79-102`).
     fusion_weighting: str = "auto"
+    # fusion-calibration probe budget and style mix (`calibrate_fusion`):
+    # probes are ICT spans + synonym paraphrases, split select/confirm for
+    # unbiased config selection. calibration_seeds > 1 re-draws probes and
+    # requires the selected config to agree across seeds (probe count
+    # auto-doubles when it doesn't).
+    calibration_probes: int = 128
+    calibration_paraphrase_fraction: float = 0.5
+    calibration_seeds: int = 2
 
 
 @dataclass(frozen=True)
@@ -135,6 +143,19 @@ class EmbeddingConfig:
     backend: str = "jax"  # jax | openai_compatible
     model_name: str = "minilm-l12"
     weights_path: str = ""  # local flax/HF weights; empty => deterministic init
+    # Architecture preset (resolved by load_config, never by this class —
+    # explicitly-set YAML/env fields always win over the preset):
+    #   "auto" (default): weightless jax deployments (no weights_path) get
+    #     "trainable-small"; anything else resolves to "none".
+    #   "trainable-small": the measured capacity recipe for training an
+    #     encoder from scratch on the indexed corpus (dim 128 / 6 layers —
+    #     the config `train --auto` is built for; dim-64-class encoders
+    #     measurably cannot learn real-text paraphrase, BENCH_NOTES r3).
+    #     Matches the checkpoint shipped in data/embedder_ckpt, so a fresh
+    #     deploy starts from trained real-text weights instead of random
+    #     init (reference ships MiniLM weights: `llm/local_models.py:61-135`).
+    #   "none": use the explicit fields below as-is.
+    preset: str = "auto"
     dim: int = 384
     num_layers: int = 12
     num_heads: int = 12
@@ -618,9 +639,54 @@ def load_config(path: Optional[str] = None) -> AppConfig:
     sections = {}
     for name, cls in _SECTIONS.items():
         sections[name] = _build_section(cls, data.get(name, {}) or {}, name)
+    _apply_embedding_preset(sections, data)
     cfg = AppConfig(**sections)
     cfg.quantization.validate()
     return cfg
+
+
+# the measured capacity recipe for from-scratch corpus training: dim-64-class
+# encoders cannot learn real-text paraphrase (0.093 MRR); dim-128/6-layer
+# reaches a contributing dense leg (BENCH_NOTES round 3 capacity study)
+_TRAINABLE_SMALL = {
+    "dim": 128, "num_layers": 6, "num_heads": 4, "hidden_dim": 256,
+    "vocab_size": 8192, "max_seq_len": 64,
+}
+
+
+def _explicit_keys(section: str, data: Dict[str, Any]) -> set:
+    """Field names the user pinned for `section` via YAML or env."""
+    keys = set((data.get(section) or {}).keys())
+    prefix = f"{ENV_PREFIX}_{section}_".upper()
+    for k in os.environ:
+        if k.startswith(prefix):
+            keys.add(k[len(prefix):].lower())
+    return keys
+
+
+def _apply_embedding_preset(sections: Dict[str, Any], data: Dict[str, Any]) -> None:
+    """Resolve embedding.preset into concrete architecture fields.
+
+    Only load_config applies presets — direct dataclass construction (tests,
+    embedded use) is never rewritten. Explicit YAML/env fields win over the
+    preset; index.dim follows embedding.dim unless the user pinned it."""
+    emb = sections["embedding"]
+    preset = getattr(emb, "preset", "none")
+    if preset == "auto":
+        preset = ("trainable-small"
+                  if emb.backend == "jax" and not emb.weights_path else "none")
+    if preset in ("none", ""):
+        return
+    if preset != "trainable-small":
+        logger.warning("unknown embedding.preset %r ignored", preset)
+        return
+    explicit = _explicit_keys("embedding", data)
+    overrides = {k: v for k, v in _TRAINABLE_SMALL.items() if k not in explicit}
+    if overrides:
+        sections["embedding"] = dataclasses.replace(emb, **overrides)
+    if "dim" not in _explicit_keys("index", data):
+        sections["index"] = dataclasses.replace(
+            sections["index"], dim=sections["embedding"].dim)
 
 
 def config_to_dict(cfg: AppConfig, redact_secrets: bool = True) -> Dict[str, Any]:

@@ -567,8 +567,14 @@ class RAGOrchestrator:
             doc = self.store.get_doc(doc_id) if doc_id else None
             return doc.content if doc is not None else None
 
+        rcfg = self.config.retrieval
         try:
-            hy.calibrate_fusion(self.local_models.embed, text_of)
+            hy.calibrate_fusion(
+                self.local_models.embed, text_of,
+                n_probes=getattr(rcfg, "calibration_probes", 128),
+                paraphrase_fraction=getattr(
+                    rcfg, "calibration_paraphrase_fraction", 0.5),
+                seeds=getattr(rcfg, "calibration_seeds", 1))
             logger.info("fusion calibration: %s", hy.last_calibration)
             # Pod serving: carry the calibrated config onto a sharded store,
             # which otherwise serves equal-weight RRF regardless of what the

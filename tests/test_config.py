@@ -9,11 +9,34 @@ from radiant_rag_tpu.config import AppConfig, load_config, config_to_dict
 
 def test_defaults():
     cfg = load_config(path="/nonexistent/nope.yaml")
-    assert cfg.index.dim == 384
+    # weightless jax deployments resolve preset=auto -> trainable-small:
+    # the dim-128/6-layer architecture `train --auto` is built for (and the
+    # shipped data/embedder_ckpt matches); index dim follows embedding dim
+    assert cfg.embedding.dim == 128 and cfg.embedding.num_layers == 6
+    assert cfg.index.dim == 128
     assert cfg.retrieval.rrf_k == 60
     assert cfg.bm25.k1 == 1.5
     assert cfg.quantization.precision == "both"
     assert cfg.rerank.candidate_multiplier == 4
+
+
+def test_embedding_preset_resolution(tmp_path, monkeypatch):
+    # explicit fields beat the preset; index.dim follows unless pinned
+    p = tmp_path / "c.yaml"
+    p.write_text("embedding:\n  dim: 384\n")
+    cfg = load_config(path=str(p))
+    assert cfg.embedding.dim == 384 and cfg.index.dim == 384
+    assert cfg.embedding.num_layers == 6  # non-pinned preset field applies
+    # preset: none leaves the dataclass defaults untouched
+    p.write_text("embedding:\n  preset: none\n")
+    cfg = load_config(path=str(p))
+    assert cfg.embedding.dim == 384 and cfg.embedding.num_layers == 12
+    # a weights_path makes preset=auto resolve to none (pretrained deploy)
+    p.write_text("embedding:\n  weights_path: /models/minilm\n")
+    cfg = load_config(path=str(p))
+    assert cfg.embedding.dim == 384 and cfg.embedding.num_layers == 12
+    # direct dataclass construction is never rewritten
+    assert AppConfig().embedding.dim == 384
 
 
 def test_yaml_override(tmp_path):

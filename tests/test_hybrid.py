@@ -413,10 +413,17 @@ def test_calibration_selects_fusion_mode(rng):
     cal = searcher.last_calibration
     assert cal["fusion_mode"] in ("confidence", "score")
     assert "probe_fused_mrr" in cal and "confidence" in cal["probe_fused_mrr"]
-    best = max(cal["probe_fused_mrr"].values())
+    # held-out selection: every candidate carries select + confirm MRR and
+    # the chosen config is a top-select finalist (within eps of the best
+    # select MRR is not required — the confirm half arbitrates finalists)
     chosen_key = ("confidence" if cal["fusion_mode"] == "confidence"
                   else f"score@{cal['weights'][0]:.2f}")
-    assert cal["probe_fused_mrr"][chosen_key] >= best - 0.005
+    table = cal["probe_fused_mrr"]
+    assert chosen_key in table
+    assert set(table[chosen_key]) == {"select", "confirm"}
+    select_ranked = sorted((v["select"] for v in table.values()), reverse=True)
+    assert table[chosen_key]["select"] >= select_ranked[min(2, len(select_ranked) - 1)]
+    assert cal["n_seeds"] >= 1 and cal["seed_configs"]
 
     # 'auto' resolves to the selected mode: identical results
     q = embed(["unique5 subject5"])

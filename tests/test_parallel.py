@@ -176,6 +176,32 @@ def test_contrastive_sampler_and_train_embedder(tmp_path, rng):
     assert TrainCheckpointer(str(tmp_path / "ckpt")).latest_step() == 3
 
 
+def test_train_embedder_auto_stop(rng):
+    """auto_stop halts on the accuracy plateau well before the step ceiling
+    (the `train --auto` stopping criterion): a 40-doc corpus saturates
+    in-batch accuracy almost immediately."""
+    from radiant_rag_tpu.config import EmbeddingConfig, IndexConfig
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.parallel.data import synonym_augment, train_embedder
+
+    r = np.random.default_rng(1)
+    store = TpuVectorStore(dim=16, index_config=IndexConfig(dim=16, initial_capacity=64))
+    store.upsert_batch([
+        (f"document number {i} about error handling topic {i % 5}", {},
+         r.standard_normal(16)) for i in range(40)])
+    cfg = EmbeddingConfig(dim=16, num_layers=1, num_heads=2, hidden_dim=32,
+                          vocab_size=300, max_seq_len=32, batch_size=8,
+                          dtype="float32", checkpoint_dir="")
+    metrics = train_embedder(store, cfg, mesh=create_mesh(data=4, model=2),
+                             steps=500, batch_size=8, log_every=5,
+                             auto_stop=True, min_steps=20, plateau_window=15,
+                             plateau_eps=0.01, query_augment=synonym_augment)
+    assert metrics["stop_reason"] in ("accuracy_plateau", "steps_exhausted")
+    assert metrics["steps_run"] <= 500
+    if metrics["stop_reason"] == "accuracy_plateau":
+        assert metrics["steps_run"] < 500
+
+
 def test_sharded_vector_store_serving(rng):
     from radiant_rag_tpu.config import IndexConfig
     from radiant_rag_tpu.index.store import TpuVectorStore

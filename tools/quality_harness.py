@@ -80,60 +80,12 @@ _REAL_ROOTS = [
 ]
 
 # paraphrase map for query generation: replace a chunk's content words with
-# synonyms that do NOT appear verbatim, so lexical overlap genuinely fails
-_SYNONYMS = {
-    "fast": "quick", "quick": "rapid", "slow": "sluggish", "speed": "pace",
-    "error": "fault", "errors": "faults", "failure": "breakdown",
-    "function": "routine", "functions": "routines", "method": "procedure",
-    "methods": "procedures", "parameter": "argument", "parameters": "arguments",
-    "argument": "input value", "arguments": "input values",
-    "return": "give back", "returns": "gives back", "result": "outcome",
-    "results": "outcomes", "value": "quantity", "values": "quantities",
-    "array": "grid of numbers", "arrays": "grids of numbers",
-    "matrix": "rectangular array", "vector": "one dimensional array",
-    "compute": "calculate", "computes": "calculates",
-    "computation": "calculation", "calculate": "work out",
-    "create": "make", "creates": "makes", "build": "construct",
-    "builds": "constructs", "delete": "remove", "removed": "deleted",
-    "store": "keep", "stores": "keeps", "storage": "persistence",
-    "memory": "ram", "cache": "fast lookaside store",
-    "search": "look up", "find": "locate", "finds": "locates",
-    "query": "request", "queries": "requests", "index": "lookup structure",
-    "document": "text record", "documents": "text records",
-    "model": "learned network", "models": "learned networks",
-    "train": "fit", "training": "fitting", "trained": "fitted",
-    "weights": "learned coefficients", "gradient": "derivative signal",
-    "batch": "group", "batches": "groups", "size": "extent",
-    "shape": "dimensions", "type": "kind", "types": "kinds",
-    "large": "big", "small": "tiny", "default": "preset choice",
-    "config": "settings", "configuration": "settings",
-    "file": "saved record", "files": "saved records", "path": "location",
-    "directory": "folder", "load": "read in", "loads": "reads in",
-    "save": "write out", "saves": "writes out", "input": "incoming data",
-    "output": "produced data", "test": "check", "tests": "checks",
-    "example": "sample", "examples": "samples", "support": "allow",
-    "supports": "allows", "requires": "needs", "required": "needed",
-    "optional": "not mandatory", "performance": "efficiency",
-    "slice": "sub range", "dimension": "axis extent", "random": "stochastic",
-    "distribution": "spread of values", "precision": "numeric accuracy",
-    "token": "text unit", "tokens": "text units", "string": "text sequence",
-    "number": "numeric amount", "numbers": "numeric amounts",
-    "process": "handle", "processing": "handling", "server": "service host",
-    "client": "caller", "thread": "execution lane", "threads": "execution lanes",
-    "device": "accelerator", "devices": "accelerators", "chip": "accelerator die",
-    "kernel": "compute routine", "compile": "translate to machine code",
-    "compiled": "translated to machine code", "graph": "node link structure",
-    "layer": "network stage", "layers": "network stages",
-    "attention": "token mixing mechanism", "embedding": "dense representation",
-    "embeddings": "dense representations", "similarity": "closeness",
-    "distance": "separation", "score": "rating", "scores": "ratings",
-    "rank": "ordering position", "retrieval": "fetching relevant items",
-}
-
-_STOP = set("the a an of to in for on with and or is are was were be been this "
-            "that these those it its as by from at which when if then else not "
-            "no all any each such same than but into over under also can may "
-            "will would should could has have had do does did done".split())
+# synonyms that do NOT appear verbatim, so lexical overlap genuinely fails.
+# The product copy lives in `radiant_rag_tpu/parallel/data.py` (SYNONYMS) —
+# kept importable here for older result reproduction scripts.
+from radiant_rag_tpu.parallel.data import (  # noqa: E402  (path shim above)
+    STOPWORDS as _STOP, SYNONYMS as _SYNONYMS,
+)
 
 
 def _iter_real_paragraphs():
