@@ -243,6 +243,7 @@ def train_embedder(
     min_steps: int = 2000,
     plateau_window: int = 1500,
     plateau_eps: float = 0.01,
+    sampler: "Optional[ContrastivePairSampler]" = None,
 ):
     """Fine-tune the bi-encoder on the indexed corpus (dp x tp via mesh).
 
@@ -284,12 +285,16 @@ def train_embedder(
         schedule_steps=steps if lr_schedule else 0,
         init_params_tree=init_params_tree)
     step_fn, place_batch = contrastive_train_step(model, tx, mesh)
-    tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)
-    sampler = ContrastivePairSampler.from_store(
-        store, tokenizer, bm25=bm25, batch_size=batch_size,
-        max_seq_len=min(cfg.max_seq_len, 128), seed=seed,
-        n_hard_negatives=hard_negatives if bm25 is not None else 0,
-        query_augment=query_augment)
+    if sampler is None:
+        tokenizer = load_tokenizer(cfg.weights_path, cfg.vocab_size)
+        sampler = ContrastivePairSampler.from_store(
+            store, tokenizer, bm25=bm25, batch_size=batch_size,
+            max_seq_len=min(cfg.max_seq_len, 128), seed=seed,
+            n_hard_negatives=hard_negatives if bm25 is not None else 0,
+            query_augment=query_augment)
+    elif sampler.batch_size != batch_size:
+        # the dp-axis rounding above must reach a caller-provided sampler too
+        sampler.batch_size = batch_size
 
     ckpt = None
     if checkpoint_dir:

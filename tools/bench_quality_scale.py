@@ -1,0 +1,306 @@
+#!/usr/bin/env python
+"""Retrieval quality at scale: the recall@10-matched half of the north star.
+
+VERDICT r3 #1: every prior quality number (MRR/hit@10 vs relevance targets)
+came from 2,000-doc corpora; the 1M scoreboard line is recall-vs-exact only.
+This runs the FULL product path on a >=100k-chunk real-text corpus
+(`tools/real_corpus.py`) on chip:
+
+  train the dim-128/6-layer encoder on the corpus (the `train --auto`
+  recipe: ICT + BM25 hard negatives + synonym augmentation, plateau stop)
+  -> embed + int8/binary quantized index (two-stage default)
+  -> BM25 CSR index -> fusion="auto" calibration (held-out selection)
+  -> 600 paraphrase+ICT queries -> per-leg and hybrid MRR/hit@10 with
+  bootstrap confidence intervals (incl. the PAIRED delta hybrid - best leg,
+  the number round 3 could not statistically earn) -> hybrid QPS at this N.
+
+Writes `data/quality_scale.json`; `bench.py` lifts it into the driver
+scoreboard extras. The reference states its quality-retention claims at 1M
+(`/root/reference/docs/BINARY_QUANTIZATION_README.md:130-132`); this is the
+equivalent measured statement for this framework, at the largest real-text
+corpus this offline environment can produce.
+
+Usage:
+  python tools/bench_quality_scale.py --docs 100000 --queries 600 \
+      --train-steps 12000 --save-ckpt data/embedder_ckpt
+  python tools/bench_quality_scale.py --docs 100000 --load-ckpt data/embedder_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # sitecustomize registers the axon TPU platform before env vars apply;
+    # pin explicitly so a CPU smoke run really stays off the tunnel.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(name)s: %(message)s")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from real_corpus import load_real_corpus  # noqa: E402
+
+
+def bootstrap_ci(per_query: np.ndarray, n_boot: int = 2000, seed: int = 7):
+    """Percentile bootstrap 95% CI for the mean of per-query values."""
+    rng = np.random.default_rng(seed)
+    n = len(per_query)
+    idx = rng.integers(0, n, (n_boot, n))
+    means = per_query[idx].mean(axis=1)
+    return float(np.percentile(means, 2.5)), float(np.percentile(means, 97.5))
+
+
+def paired_delta_ci(a: np.ndarray, b: np.ndarray, n_boot: int = 2000,
+                    seed: int = 7):
+    """Paired bootstrap 95% CI for mean(a - b) over the same queries."""
+    rng = np.random.default_rng(seed)
+    d = a - b
+    idx = rng.integers(0, len(d), (n_boot, len(d)))
+    means = d[idx].mean(axis=1)
+    return float(np.percentile(means, 2.5)), float(np.percentile(means, 97.5))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=600)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--train-steps", type=int, default=12_000,
+                    help="ceiling; accuracy-plateau auto-stop applies")
+    ap.add_argument("--save-ckpt", default="",
+                    help="orbax dir for the trained params (ship in data/)")
+    ap.add_argument("--load-ckpt", default="", help="skip training")
+    ap.add_argument("--out", default="data/quality_scale.json")
+    ap.add_argument("--qps-batches", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from radiant_rag_tpu.config import EmbeddingConfig, IndexConfig
+    from radiant_rag_tpu.index.bm25 import BM25Index
+    from radiant_rag_tpu.index.hybrid import HybridSearcher
+    from radiant_rag_tpu.index.store import TpuVectorStore
+    from radiant_rag_tpu.models.embedder import Embedder
+    from radiant_rag_tpu.models.tokenizer import load_tokenizer
+    from radiant_rag_tpu.parallel.data import (
+        ContrastivePairSampler, make_paraphrase_query, make_pseudo_query,
+        synonym_augment, train_embedder,
+    )
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(args.seed)
+    t_all = time.time()
+
+    texts = load_real_corpus(args.docs)
+    n = len(texts)
+    print(f"corpus: {n} real-text chunks", file=sys.stderr)
+
+    emb_cfg = EmbeddingConfig(
+        preset="none", dim=args.dim, num_layers=args.layers, num_heads=4,
+        hidden_dim=args.dim * 2, vocab_size=8192, max_seq_len=64,
+        batch_size=1024, checkpoint_dir="")
+
+    # BM25 over synthetic row ids 0..n-1: used for hard-negative mining at
+    # train time AND (rebound to store rows, which land identically 0..n-1
+    # on a fresh insertion-ordered store) for the hybrid leg.
+    t0 = time.time()
+    bm25 = BM25Index(sketch_dim=1024)
+    bm25.bulk_build(list(range(n)), texts)
+    t_bm25 = time.time() - t0
+    print(f"bm25 built in {t_bm25:.1f}s", file=sys.stderr)
+
+    train_info = {}
+    if args.load_ckpt:
+        from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+        params = TrainCheckpointer(args.load_ckpt).restore()["params"]
+        train_info = {"loaded": args.load_ckpt}
+    else:
+        tokenizer = load_tokenizer("", emb_cfg.vocab_size)
+        sampler = ContrastivePairSampler(
+            texts, tokenizer, batch_size=64,
+            max_seq_len=emb_cfg.max_seq_len, seed=args.seed,
+            bm25=bm25, rows=list(range(n)), n_hard_negatives=2,
+            query_augment=synonym_augment)
+        t0 = time.time()
+        train_info, params = train_embedder(
+            None, emb_cfg, steps=args.train_steps, batch_size=64,
+            learning_rate=1e-4, sampler=sampler, auto_stop=True,
+            log_every=500, checkpoint_dir=args.save_ckpt, return_params=True)
+        train_info["train_s"] = round(time.time() - t0, 1)
+        print(f"trained in {train_info['train_s']}s: {train_info}",
+              file=sys.stderr)
+
+    embedder = Embedder(emb_cfg, params=params)
+
+    t0 = time.time()
+    embs = embedder._compute(texts)  # no cache — one pass, batched on device
+    t_embed = time.time() - t0
+    print(f"embedded {n} chunks in {t_embed:.1f}s "
+          f"({n / max(t_embed, 1e-9):.0f}/s)", file=sys.stderr)
+
+    store = TpuVectorStore(dim=args.dim, index_config=IndexConfig(
+        dim=args.dim, initial_capacity=n))
+    if hasattr(store, "reserve"):
+        store.reserve(n)
+    t0 = time.time()
+    bs = 8192
+    for s in range(0, n, bs):
+        store.upsert_batch([(texts[i], {}, embs[i])
+                            for i in range(s, min(n, s + bs))])
+    t_build = time.time() - t0
+    print(f"index built in {t_build:.1f}s", file=sys.stderr)
+
+    # row mapping sanity: fresh insertion-ordered store => rows 0..n-1
+    probe_rows = [store.row_of(store.make_doc_id(texts[i], {}))
+                  for i in (0, n // 2, n - 1)]
+    assert probe_rows == [0, n // 2, n - 1], probe_rows
+
+    searcher = HybridSearcher(store.engine, bm25)
+
+    def text_of(row: int):
+        return texts[row] if 0 <= row < n else None
+
+    t0 = time.time()
+    searcher.calibrate_fusion(embedder.embed, text_of, seeds=2)
+    t_cal = time.time() - t0
+    cal = searcher.last_calibration
+    print(f"calibration ({t_cal:.1f}s): {json.dumps(cal)[:400]}", file=sys.stderr)
+
+    # --- evaluation queries: half paraphrase (the semantic-gap regime), half
+    # ICT spans (the lexical regime), disjoint targets ---------------------
+    tgt = rng.choice(n, args.queries, replace=False)
+    q_texts, q_style = [], []
+    for j, t in enumerate(tgt):
+        if j % 2 == 0:
+            q_texts.append(make_paraphrase_query(texts[t], rng, max_words=9))
+            q_style.append("paraphrase")
+        else:
+            q_texts.append(make_pseudo_query(texts[t], rng, max_words=8))
+            q_style.append("ict")
+
+    q_embs = embedder.embed(q_texts)
+    k = args.top_k
+    mode = store._default_mode() if hasattr(store, "_default_mode") else "int8"
+    res = searcher.search_rows(np.asarray(q_embs, np.float32), q_texts,
+                               dense_k=k, bm25_k=k, fused_k=k, mode=mode,
+                               fusion="auto")
+    exact = store.retrieve_by_embedding_batch(q_embs, top_k=k, quantized=False)
+    exact_rows = [[store.row_of(d.doc_id) for d, _ in exact[qi]]
+                  for qi in range(len(q_texts))]
+
+    def per_query_rr(rows_out) -> np.ndarray:
+        rr = np.zeros(len(q_texts), np.float64)
+        for qi in range(len(q_texts)):
+            hits = [int(r) for r in rows_out[qi] if r is not None and r >= 0]
+            if int(tgt[qi]) in hits:
+                rr[qi] = 1.0 / (hits.index(int(tgt[qi])) + 1)
+        return rr
+
+    systems = {
+        "dense_exact": per_query_rr(exact_rows),
+        "dense_int8_two_stage": per_query_rr(res["dense"][1]),
+        "bm25": per_query_rr(res["bm25"][1]),
+        "hybrid_auto": per_query_rr(res["fused"][1]),
+    }
+    style = np.asarray(q_style)
+
+    def summarize(rr: np.ndarray, sel=None) -> dict:
+        x = rr if sel is None else rr[sel]
+        lo, hi = bootstrap_ci(x)
+        return {"mrr": round(float(x.mean()), 4),
+                "mrr_ci95": [round(lo, 4), round(hi, 4)],
+                "hit@10": round(float((x > 0).mean()), 4),
+                "n": int(len(x))}
+
+    report_systems = {}
+    for name, rr in systems.items():
+        report_systems[name] = {
+            "all": summarize(rr),
+            "paraphrase": summarize(rr, style == "paraphrase"),
+            "ict": summarize(rr, style == "ict"),
+        }
+
+    # the headline deltas, paired per query
+    best_leg = max(("dense_int8_two_stage", "bm25"),
+                   key=lambda s: systems[s].mean())
+    deltas = {}
+    for other in ("bm25", "dense_int8_two_stage"):
+        lo, hi = paired_delta_ci(systems["hybrid_auto"], systems[other])
+        deltas[f"hybrid_minus_{other}"] = {
+            "mean": round(float((systems["hybrid_auto"] - systems[other]).mean()), 4),
+            "ci95": [round(lo, 4), round(hi, 4)],
+        }
+
+    # --- QPS at this N, the calibrated production path --------------------
+    bq = min(1024, store.engine.max_query_bucket())
+    tile = (q_texts * ((bq // len(q_texts)) + 1))[:bq]
+    tile_embs = embedder.embed(tile)
+    searcher.search_rows(np.asarray(tile_embs, np.float32), tile,
+                         dense_k=k, bm25_k=k, fused_k=k, mode=mode,
+                         fusion="auto")  # warm
+    t0 = time.time()
+    for _ in range(args.qps_batches):
+        searcher.search_rows(np.asarray(tile_embs, np.float32), tile,
+                             dense_k=k, bm25_k=k, fused_k=k, mode=mode,
+                             fusion="auto")
+    dt = time.time() - t0
+    qps = args.qps_batches * bq / dt
+
+    report = {
+        "metric": "quality_at_scale",
+        "docs": n, "queries": len(q_texts), "top_k": k,
+        "corpus": "real-text offline (site-packages+stdlib+reference docs/"
+                  "docstrings/comments)",
+        "encoder": {"dim": args.dim, "layers": args.layers,
+                    "trained": train_info},
+        "dense_mode": mode,
+        "fusion_calibration": cal,
+        "systems": report_systems,
+        "paired_deltas_mrr": deltas,
+        "best_single_leg": best_leg,
+        "hybrid_beats_best_leg": bool(
+            deltas[f"hybrid_minus_{best_leg}"]["mean"] > 0),
+        "delta_ci_excludes_zero": bool(
+            deltas[f"hybrid_minus_{best_leg}"]["ci95"][0] > 0),
+        "qps": round(qps, 1), "qps_batch": bq,
+        "timings_s": {"bm25_build": round(t_bm25, 1),
+                      "embed": round(t_embed, 1),
+                      "index_build": round(t_build, 1),
+                      "calibration": round(t_cal, 1),
+                      "total": round(time.time() - t_all, 1)},
+        "device": _device_kind(),
+    }
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    sys.exit(main())
