@@ -58,6 +58,12 @@ class IndexConfig:
     # durability (the reference gets this implicitly from Redis): load any
     # saved index from data_dir at startup and save after each ingest
     auto_persist: bool = True
+    # document-content storage: "memory" holds every chunk's text in host
+    # RAM (fine to ~1M chunks); "spill" keeps content on disk with an
+    # id->(segment,offset) index + LRU in RAM — the 10M-corpus path
+    # (reference leans on Redis for this, `redis_store.py:414-424`)
+    docstore: str = "memory"  # memory | spill
+    docstore_cache_docs: int = 50_000  # spill-mode LRU size (docs)
 
 
 @dataclass(frozen=True)

@@ -27,7 +27,7 @@ import numpy as np
 from radiant_rag_tpu.config import AppConfig, IndexConfig, QuantizationConfig
 from radiant_rag_tpu.index.base import BaseVectorStore
 from radiant_rag_tpu.index.doc import StoredDoc
-from radiant_rag_tpu.index.docstore import DocStore
+from radiant_rag_tpu.index.docstore import DocStore, SpillDocStore, load_docstore
 from radiant_rag_tpu.index.engine import DeviceVectorIndex, LEVEL_CODES
 
 logger = logging.getLogger(__name__)
@@ -49,7 +49,12 @@ class TpuVectorStore(BaseVectorStore):
         self.index_config = index_config or IndexConfig(dim=dim)
         self.quantization = quantization or QuantizationConfig()
         self.dim = dim
-        self.docstore = DocStore()
+        if self.index_config.docstore == "spill":
+            self.docstore: DocStore = SpillDocStore(
+                os.path.join(self.index_config.data_dir, "docs_spill"),
+                cache_docs=self.index_config.docstore_cache_docs)
+        else:
+            self.docstore = DocStore()
         self.engine = DeviceVectorIndex(
             dim, initial_capacity=self.index_config.initial_capacity,
             store_fp32=self.index_config.store_fp32,
@@ -283,8 +288,19 @@ class TpuVectorStore(BaseVectorStore):
         (reference analog: durable Redis/pgvector state, SURVEY.md §5.4)."""
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        # segmented docstore: incremental saves write only the delta
-        self.docstore.save(str(d / "docs"))
+        # segmented docstore: incremental saves write only the delta. A
+        # spill store saving into its own directory persists the index
+        # delta in place; exporting to a foreign directory writes the
+        # portable in-RAM segmented format under docs/ (docs_spill/ holds
+        # ONLY spill-format stores, so load_docstore's dispatch stays flat).
+        if isinstance(self.docstore, SpillDocStore):
+            spill_dir = d / "docs_spill"
+            if spill_dir.resolve() == self.docstore.dir.resolve():
+                self.docstore.save()
+            else:
+                self.docstore.save(str(d / "docs"))
+        else:
+            self.docstore.save(str(d / "docs"))
         legacy = d / "docs.jsonl.gz"
         if legacy.exists():
             legacy.unlink()  # migrated to docs/ segments
@@ -307,9 +323,10 @@ class TpuVectorStore(BaseVectorStore):
             manifest = json.load(fh)
         store = cls(dim=manifest["dim"], index_config=index_config, quantization=quantization)
         store.lang_codes = {str(k): int(v) for k, v in manifest.get("lang_codes", {}).items()}
-        docs_dir = d / "docs"
-        docstore = DocStore.load(str(docs_dir if docs_dir.is_dir()
-                                     else d / "docs.jsonl.gz"))
+        cfg = store.index_config
+        docstore = load_docstore(
+            str(d), prefer="spill" if cfg.docstore == "spill" else "",
+            cache_docs=cfg.docstore_cache_docs)
         with np.load(d / "engine.npz") as z:
             state = {k: z[k] for k in z.files}
         engine = DeviceVectorIndex.from_host(
