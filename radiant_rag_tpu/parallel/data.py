@@ -302,6 +302,23 @@ def train_embedder(
 
         ckpt = TrainCheckpointer(checkpoint_dir)
 
+    state, last = _train_loop(
+        state, step_fn, place_batch, sampler, steps, log_every,
+        auto_stop, min_steps, plateau_window, plateau_eps)
+    import jax
+
+    if ckpt is not None:
+        ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
+    if return_params:
+        return last, jax.device_get(state.params)
+    return last
+
+
+def _train_loop(state, step_fn, place_batch, sampler, steps: int,
+                log_every: int, auto_stop: bool, min_steps: int,
+                plateau_window: int, plateau_eps: float):
+    """Shared training loop (bi-encoder + cross-encoder): sample, step,
+    log, optional accuracy-plateau auto-stop. Returns (state, metrics)."""
     import jax
     import logging
 
@@ -336,6 +353,165 @@ def train_embedder(
     if auto_stop:
         last["stop_reason"] = stop_reason
         last["accuracy_ema"] = round(ema or 0.0, 4)
+    return state, last
+
+
+class CrossEncoderPairSampler:
+    """Labeled (query, doc) pair batches for cross-encoder training.
+
+    Each batch packs groups of (1 positive + n_hard BM25 hard negatives +
+    n_random random negatives) sharing one pseudo-query. Queries mix ICT
+    spans and synonym-paraphrase rewrites (`paraphrase_fraction`) — the
+    reranker must score BOTH regimes since it sees the hybrid candidate
+    list. The reference ships a frozen ms-marco cross-encoder
+    (`/root/reference/radiant/llm/local_models.py:251-281`); here the
+    reranker is trained from the indexed corpus, like the bi-encoder."""
+
+    def __init__(self, texts: Sequence[str], tokenizer, batch_size: int = 64,
+                 max_seq_len: int = 128, seed: int = 0,
+                 bm25=None, rows: Optional[Sequence[int]] = None,
+                 n_hard_negatives: int = 2, n_random_negatives: int = 1,
+                 paraphrase_fraction: float = 0.5,
+                 query_augment=None) -> None:
+        if not texts:
+            raise ValueError("no docs to train on")
+        self.texts = list(texts)
+        self.tokenizer = tokenizer
+        self.group = 1 + n_hard_negatives + n_random_negatives
+        self.n_groups = max(1, batch_size // self.group)
+        self.batch_size = self.n_groups * self.group
+        self.max_seq_len = max_seq_len
+        self.rng = np.random.default_rng(seed)
+        self.bm25 = bm25
+        self.rows = list(rows) if rows is not None else None
+        self.n_hard = int(n_hard_negatives)
+        self.n_rand = int(n_random_negatives)
+        self.paraphrase_fraction = float(paraphrase_fraction)
+        self.query_augment = query_augment
+        if self.n_hard > 0 and (bm25 is None or self.rows is None):
+            raise ValueError("hard negatives need bm25 + rows")
+        self._row_to_text = (
+            {r: t for r, t in zip(self.rows, self.texts)} if self.rows else {})
+
+    def _make_query(self, doc: str) -> str:
+        if self.rng.random() < self.paraphrase_fraction:
+            q = make_paraphrase_query(doc, self.rng)
+        else:
+            q = make_pseudo_query(doc, self.rng)
+        if self.query_augment is not None:
+            q = self.query_augment(q, self.rng)
+        return q
+
+    def next_batch(self) -> Dict[str, np.ndarray]:
+        idx = self.rng.choice(len(self.texts), self.n_groups,
+                              replace=len(self.texts) < self.n_groups)
+        queries = [self._make_query(self.texts[i]) for i in idx]
+        hard: List[List[str]] = [[] for _ in queries]
+        if self.n_hard > 0:
+            _s, rows_out = self.bm25.search_rows_batch(
+                queries, top_k=self.n_hard + 2)
+            for qi in range(len(queries)):
+                pos_row = self.rows[idx[qi]]
+                negs = [int(r) for r in rows_out[qi]
+                        if r >= 0 and int(r) != pos_row
+                        and int(r) in self._row_to_text]
+                negs = negs[: self.n_hard]
+                while len(negs) < self.n_hard:
+                    cand = int(self.rng.integers(0, len(self.texts)))
+                    if cand != idx[qi] and self.rows[cand] not in negs:
+                        negs.append(self.rows[cand])
+                hard[qi] = [self._row_to_text[r] for r in negs]
+        q_rep: List[str] = []
+        docs: List[str] = []
+        labels: List[int] = []
+        for qi, q in enumerate(queries):
+            q_rep.append(q)
+            docs.append(self.texts[idx[qi]])
+            labels.append(1)
+            for neg in hard[qi]:
+                q_rep.append(q)
+                docs.append(neg)
+                labels.append(0)
+            for _ in range(self.n_rand):
+                j = int(self.rng.integers(0, len(self.texts)))
+                while j == idx[qi]:
+                    j = int(self.rng.integers(0, len(self.texts)))
+                q_rep.append(q)
+                docs.append(self.texts[j])
+                labels.append(0)
+        ids, mask, types = self.tokenizer.encode_batch(
+            q_rep, self.max_seq_len, pairs=docs)
+        return {"ids": ids, "mask": mask, "type_ids": types,
+                "labels": np.asarray(labels, np.int32)}
+
+
+def train_cross_encoder(
+    texts: Sequence[str],
+    bert_cfg=None,
+    mesh=None,
+    steps: int = 2000,
+    batch_size: int = 64,
+    learning_rate: float = 5e-5,
+    max_seq_len: int = 128,
+    checkpoint_dir: str = "",
+    log_every: int = 100,
+    seed: int = 0,
+    return_params: bool = False,
+    bm25=None,
+    rows: Optional[Sequence[int]] = None,
+    hard_negatives: int = 2,
+    random_negatives: int = 1,
+    query_augment=None,
+    auto_stop: bool = False,
+    min_steps: int = 1000,
+    plateau_window: int = 800,
+    plateau_eps: float = 0.01,
+    sampler: Optional[CrossEncoderPairSampler] = None,
+    vocab_size: int = 8192,
+):
+    """Train the cross-encoder reranker on the indexed corpus (dp x tp).
+
+    Same recipe shape as train_embedder: pseudo-query positives, BM25 hard
+    negatives, optional synonym augmentation, plateau auto-stop. Returns
+    metrics (and params with return_params=True)."""
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.models.bert import BertConfig
+    from radiant_rag_tpu.models.tokenizer import load_tokenizer
+    from radiant_rag_tpu.parallel.mesh import create_mesh
+    from radiant_rag_tpu.parallel.train import (
+        cross_encoder_train_step, make_ce_train_state,
+    )
+
+    if bert_cfg is None:
+        bert_cfg = BertConfig(vocab_size=vocab_size, dtype=jnp.bfloat16)
+    mesh = mesh or create_mesh()
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    state, model, tx, _ = make_ce_train_state(
+        bert_cfg, mesh, learning_rate, seed=seed, schedule_steps=steps)
+    step_fn, place_batch = cross_encoder_train_step(model, tx, mesh)
+    if sampler is None:
+        tokenizer = load_tokenizer("", bert_cfg.vocab_size)
+        sampler = CrossEncoderPairSampler(
+            texts, tokenizer, batch_size=batch_size, max_seq_len=max_seq_len,
+            seed=seed, bm25=bm25, rows=rows, n_hard_negatives=hard_negatives,
+            n_random_negatives=random_negatives, query_augment=query_augment)
+    # dp rounding: the sampler's group math already floors; round groups up
+    # so the total batch divides the data axis
+    while sampler.batch_size % n_data != 0:
+        sampler.n_groups += 1
+        sampler.batch_size = sampler.n_groups * sampler.group
+
+    ckpt = None
+    if checkpoint_dir:
+        from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(checkpoint_dir)
+    state, last = _train_loop(
+        state, step_fn, place_batch, sampler, steps, log_every,
+        auto_stop, min_steps, plateau_window, plateau_eps)
+    import jax
+
     if ckpt is not None:
         ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
     if return_params:

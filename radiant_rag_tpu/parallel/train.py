@@ -117,6 +117,89 @@ def make_train_state(
     return state, model, tx, shardings
 
 
+def ce_pointwise_loss(model, params, batch: Dict[str, jax.Array]
+                      ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Pointwise BCE for the cross-encoder reranker.
+
+    batch: ids/mask/type_ids (B, S) tokenized (query, doc) pairs, labels
+    (B,) in {0,1}. The reference consumes a frozen ms-marco cross-encoder
+    (`llm/local_models.py:251-281`); this framework owns its reranker, so
+    it trains one the same way the bi-encoder is trained — from the indexed
+    corpus itself, positives = pseudo-queries of the target doc, negatives =
+    BM25 hard negatives + random docs (`data.CrossEncoderPairSampler`)."""
+    logits = model.apply(params, batch["ids"], batch["mask"], batch["type_ids"])
+    labels = batch["labels"].astype(jnp.float32)
+    loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+    acc = jnp.mean((logits > 0) == (labels > 0.5))
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def make_ce_train_state(
+    cfg: BertConfig,
+    mesh: Mesh,
+    learning_rate: float = 2e-5,
+    seed: int = 0,
+    schedule_steps: int = 0,
+    init_params_tree: Any = None,
+):
+    """Cross-encoder analog of make_train_state: init CrossEncoderModel
+    params (BERT + pooler + 1-logit classifier), TP-shard the BERT blocks
+    via the same Megatron pairing (param paths keep their query/mlp_in/...
+    suffixes under the 'bert' scope, so param_partition_specs applies
+    unchanged; pooler/classifier are tiny and replicate).
+    Returns (state, model, tx, shardings)."""
+    from radiant_rag_tpu.models.cross_encoder import CrossEncoderModel
+
+    model = CrossEncoderModel(cfg)
+    if init_params_tree is not None:
+        params = init_params_tree
+    else:
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(rng, dummy, jnp.ones((1, 8), jnp.int32), dummy)
+    specs = param_partition_specs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    params = jax.device_put(params, shardings)
+    if schedule_steps > 0:
+        warmup = max(1, schedule_steps // 10)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.01, peak_value=learning_rate,
+            warmup_steps=warmup, decay_steps=schedule_steps,
+            end_value=learning_rate * 0.1)
+    else:
+        lr = learning_rate
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    return state, model, tx, shardings
+
+
+def cross_encoder_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
+    """Jitted dp x tp training step for the cross-encoder (pointwise BCE)."""
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    scalar_sharding = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: ce_pointwise_loss(model, p, batch), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    def place_batch(batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            out[k] = jax.device_put(
+                arr, scalar_sharding if arr.ndim == 1 else batch_sharding)
+        return out
+
+    return step, place_batch
+
+
 def contrastive_train_step(
     model: BertEncoder,
     tx: optax.GradientTransformation,

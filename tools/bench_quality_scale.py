@@ -82,9 +82,24 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--train-steps", type=int, default=12_000,
                     help="ceiling; accuracy-plateau auto-stop applies")
+    ap.add_argument("--train-batch", type=int, default=256,
+                    help="contrastive batch (in-batch negatives scale with it)")
+    ap.add_argument("--min-steps", type=int, default=4000)
+    ap.add_argument("--plateau-window", type=int, default=2500)
     ap.add_argument("--save-ckpt", default="",
                     help="orbax dir for the trained params (ship in data/)")
     ap.add_argument("--load-ckpt", default="", help="skip training")
+    ap.add_argument("--rerank", action="store_true",
+                    help="train + evaluate the cross-encoder rerank stage "
+                         "(BASELINE config #5) on the same corpus")
+    ap.add_argument("--rerank-k", type=int, default=32,
+                    help="hybrid candidates fed to the reranker per query")
+    ap.add_argument("--ce-steps", type=int, default=6000)
+    ap.add_argument("--ce-layers", type=int, default=4)
+    ap.add_argument("--ce-dim", type=int, default=128)
+    ap.add_argument("--ce-seq-len", type=int, default=128)
+    ap.add_argument("--save-ce-ckpt", default="")
+    ap.add_argument("--load-ce-ckpt", default="")
     ap.add_argument("--out", default="data/quality_scale.json")
     ap.add_argument("--qps-batches", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
@@ -133,14 +148,16 @@ def main(argv=None) -> int:
     else:
         tokenizer = load_tokenizer("", emb_cfg.vocab_size)
         sampler = ContrastivePairSampler(
-            texts, tokenizer, batch_size=64,
+            texts, tokenizer, batch_size=args.train_batch,
             max_seq_len=emb_cfg.max_seq_len, seed=args.seed,
             bm25=bm25, rows=list(range(n)), n_hard_negatives=2,
             query_augment=synonym_augment)
         t0 = time.time()
         train_info, params = train_embedder(
-            None, emb_cfg, steps=args.train_steps, batch_size=64,
+            None, emb_cfg, steps=args.train_steps, batch_size=args.train_batch,
             learning_rate=1e-4, sampler=sampler, auto_stop=True,
+            min_steps=args.min_steps, plateau_window=args.plateau_window,
+            plateau_eps=0.005,
             log_every=500, checkpoint_dir=args.save_ckpt, return_params=True)
         train_info["train_s"] = round(time.time() - t0, 1)
         print(f"trained in {train_info['train_s']}s: {train_info}",
@@ -220,6 +237,72 @@ def main(argv=None) -> int:
     }
     style = np.asarray(q_style)
 
+    # --- cross-encoder rerank stage (BASELINE config #5) -------------------
+    ce_info: dict = {}
+    if args.rerank:
+        import jax.numpy as jnp
+
+        from radiant_rag_tpu.config import CrossEncoderConfig
+        from radiant_rag_tpu.models.bert import BertConfig
+        from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+
+        ce_bert = BertConfig(
+            vocab_size=8192, hidden_size=args.ce_dim,
+            num_layers=args.ce_layers, num_heads=4,
+            intermediate_size=args.ce_dim * 2, dtype=jnp.bfloat16)
+        if args.load_ce_ckpt:
+            from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
+
+            ce_params = TrainCheckpointer(args.load_ce_ckpt).restore()["params"]
+            ce_info = {"loaded": args.load_ce_ckpt}
+        else:
+            from radiant_rag_tpu.parallel.data import train_cross_encoder
+
+            t0 = time.time()
+            ce_info, ce_params = train_cross_encoder(
+                texts, bert_cfg=ce_bert, steps=args.ce_steps, batch_size=128,
+                max_seq_len=args.ce_seq_len, bm25=bm25, rows=list(range(n)),
+                hard_negatives=2, random_negatives=1,
+                query_augment=synonym_augment, auto_stop=True,
+                min_steps=2000, plateau_window=1500, plateau_eps=0.005,
+                log_every=500, checkpoint_dir=args.save_ce_ckpt,
+                return_params=True, seed=args.seed)
+            ce_info["train_s"] = round(time.time() - t0, 1)
+            print(f"cross-encoder trained in {ce_info['train_s']}s: {ce_info}",
+                  file=sys.stderr)
+        ce = CrossEncoder(
+            config=CrossEncoderConfig(max_seq_len=args.ce_seq_len,
+                                      batch_size=512),
+            bert_cfg=ce_bert, params=ce_params)
+
+        # hybrid top-rerank_k candidates, then CE reranks to top_k
+        res_wide = searcher.search_rows(
+            np.asarray(q_embs, np.float32), q_texts, dense_k=args.rerank_k,
+            bm25_k=args.rerank_k, fused_k=args.rerank_k, mode=mode,
+            fusion="auto")
+        wide_rows = res_wide["fused"][1]
+        pairs, spans = [], []
+        for qi in range(len(q_texts)):
+            cand = [int(r) for r in wide_rows[qi] if r is not None and r >= 0]
+            spans.append((len(pairs), len(cand), cand))
+            pairs.extend((q_texts[qi], texts[r][:1200]) for r in cand)
+        ce.score_pairs(pairs[: args.rerank_k])  # warm the compile
+        t0 = time.time()
+        scores = ce.score_pairs(pairs)
+        t_rerank = time.time() - t0
+        rerank_rows = []
+        for start, m, cand in spans:
+            order = np.argsort(-scores[start:start + m])
+            rerank_rows.append([cand[i] for i in order[:k]])
+        systems["hybrid_rerank"] = per_query_rr(rerank_rows)
+        ce_info["rerank_ms_per_query"] = round(1000 * t_rerank / len(q_texts), 2)
+        ce_info["pairs_per_s"] = round(len(pairs) / t_rerank, 1)
+        ce_info["rerank_k"] = args.rerank_k
+        ce_info["dim"] = args.ce_dim
+        ce_info["layers"] = args.ce_layers
+        print(f"rerank: {ce_info['rerank_ms_per_query']} ms/query "
+              f"({ce_info['pairs_per_s']} pairs/s)", file=sys.stderr)
+
     def summarize(rr: np.ndarray, sel=None) -> dict:
         x = rr if sel is None else rr[sel]
         lo, hi = bootstrap_ci(x)
@@ -240,12 +323,19 @@ def main(argv=None) -> int:
     best_leg = max(("dense_int8_two_stage", "bm25"),
                    key=lambda s: systems[s].mean())
     deltas = {}
-    for other in ("bm25", "dense_int8_two_stage"):
-        lo, hi = paired_delta_ci(systems["hybrid_auto"], systems[other])
-        deltas[f"hybrid_minus_{other}"] = {
-            "mean": round(float((systems["hybrid_auto"] - systems[other]).mean()), 4),
+
+    def add_delta(a: str, b: str) -> None:
+        lo, hi = paired_delta_ci(systems[a], systems[b])
+        deltas[f"{a}_minus_{b}"] = {
+            "mean": round(float((systems[a] - systems[b]).mean()), 4),
             "ci95": [round(lo, 4), round(hi, 4)],
         }
+
+    add_delta("hybrid_auto", "bm25")
+    add_delta("hybrid_auto", "dense_int8_two_stage")
+    if "hybrid_rerank" in systems:
+        add_delta("hybrid_rerank", best_leg)
+        add_delta("hybrid_rerank", "hybrid_auto")
 
     # --- QPS at this N, the calibrated production path --------------------
     bq = min(1024, store.engine.max_query_bucket())
@@ -275,9 +365,15 @@ def main(argv=None) -> int:
         "paired_deltas_mrr": deltas,
         "best_single_leg": best_leg,
         "hybrid_beats_best_leg": bool(
-            deltas[f"hybrid_minus_{best_leg}"]["mean"] > 0),
+            deltas[f"hybrid_auto_minus_{best_leg}"]["mean"] > 0),
         "delta_ci_excludes_zero": bool(
-            deltas[f"hybrid_minus_{best_leg}"]["ci95"][0] > 0),
+            deltas[f"hybrid_auto_minus_{best_leg}"]["ci95"][0] > 0),
+        **({"cross_encoder": ce_info,
+            "rerank_beats_best_leg": bool(
+                deltas[f"hybrid_rerank_minus_{best_leg}"]["mean"] > 0),
+            "rerank_delta_ci_excludes_zero": bool(
+                deltas[f"hybrid_rerank_minus_{best_leg}"]["ci95"][0] > 0)}
+           if "hybrid_rerank" in systems else {}),
         "qps": round(qps, 1), "qps_batch": bq,
         "timings_s": {"bm25_build": round(t_bm25, 1),
                       "embed": round(t_embed, 1),
