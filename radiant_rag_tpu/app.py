@@ -67,6 +67,10 @@ class RadiantTPU:
             auto_build=self.config.bm25.auto_build,
             sketch_dim=self.config.bm25.sketch_dim,
         )
+        if hasattr(self.store, "attach_bm25"):
+            # sharded pod backend: hand it the BM25 index (built after the
+            # factory ran) so the hybrid collective path is live
+            self.store.attach_bm25(self.bm25_index.index)
         self.conversations = ConversationManager(
             max_turns=self.config.conversation.max_turns,
             data_dir=self.config.conversation.data_dir,
@@ -511,6 +515,10 @@ class RadiantTPU:
         searcher = getattr(self.orchestrator, "_hybrid", None)
         if searcher is None or self.store.count_documents() == 0:
             return None
+        if not getattr(self.orchestrator, "_hybrid_serves", True):
+            # sharded pod store: _hybrid exists only to run calibration over
+            # the source engine — serving goes through store.search_hybrid
+            return None
         searcher.bm25 = self.bm25_index.index  # re-resolve after any reload
         if hasattr(self.orchestrator, "_ensure_fusion_calibration"):
             self.orchestrator._ensure_fusion_calibration()
@@ -587,11 +595,20 @@ class RadiantTPU:
         if mode == "bm25":
             return self.bm25_index.search_batch(queries, top_k=top_k)
         # hybrid: the fused single-program path when the TPU engine backs the
-        # store; otherwise per-run retrieval + host RRF
+        # store; the pod collective path when the store is sharded;
+        # otherwise per-run retrieval + host RRF
         searcher = self._fused_searcher()
         if searcher is not None:
             res = self._dispatch_fused(searcher, queries, top_k)
             return self._resolve_fused_rows(res, len(queries))
+        if getattr(self.store, "can_hybrid", False):
+            # pod collective path; calibration (over the source engine)
+            # installs mode+weights on the pod store first
+            self.orchestrator.calibrate_pod_fusion()
+            embs = self.local_models.embed(queries)
+            return self.store.search_hybrid(
+                embs, queries, top_k=top_k, fused_k=top_k,
+                rrf_k=self.config.retrieval.rrf_k)
         embs = self.local_models.embed(queries)
         dense = self.store.retrieve_by_embedding_batch(embs, top_k=top_k)
         sparse = self.bm25_index.search_batch(queries, top_k=top_k)
@@ -610,7 +627,10 @@ class RadiantTPU:
     # admin
     # ------------------------------------------------------------------
     def rebuild_bm25_index(self) -> int:
-        return self.bm25_index.build_from_store()
+        n = self.bm25_index.build_from_store()
+        if hasattr(self.store, "attach_bm25"):
+            self.store.attach_bm25(self.bm25_index.index)  # re-shard base
+        return n
 
     def clear_index(self) -> None:
         self.store.drop_index()

@@ -416,7 +416,9 @@ class MeshConfig:
     """Device mesh / sharding — the component the reference lacks entirely
     (SURVEY.md §2.8, §5.8). Axis sizes of -1 mean "all remaining devices"."""
 
-    data_axis: int = 1
+    # -1 = all remaining devices: `index.backend: sharded` shards the corpus
+    # over every chip in the slice out of the box (factory.create_vector_store)
+    data_axis: int = -1
     model_axis: int = 1
     shard_corpus: bool = False  # shard index rows across data axis
     dtype_compute: str = "bfloat16"

@@ -147,10 +147,19 @@ class RAGOrchestrator:
 
             BaseAgent.metrics_sink = metrics_exporter
 
-        # fused device retrieval path (hybrid fast path)
+        # fused device retrieval path (hybrid fast path). For a sharded pod
+        # store the searcher is built over the single-device SOURCE engine —
+        # calibration probes run there (same rows) and the result propagates
+        # to the pod via set_fusion — but serving must NOT dispatch through
+        # it (_hybrid_serves=False routes retrieval to the collective path).
         self._hybrid = None
+        self._hybrid_serves = False
         if hasattr(store, "engine") and hasattr(bm25_index, "index"):
             self._hybrid = HybridSearcher(store.engine, bm25_index._index)
+            self._hybrid_serves = True
+        elif (hasattr(store, "source") and hasattr(store.source, "engine")
+              and hasattr(bm25_index, "index")):
+            self._hybrid = HybridSearcher(store.source.engine, bm25_index._index)
 
         self.strategy_memory = (
             RetrievalStrategyMemory(cfg.strategy_memory.path, cfg.strategy_memory.decay)
@@ -515,8 +524,10 @@ class RAGOrchestrator:
     def _run_retrieval(self, ctx: AgentContext, metrics: RunMetrics) -> None:
         mode = ctx.retrieval_mode
         queries = ctx.effective_queries or [ctx.query]
-        if mode == "hybrid" and self._hybrid is not None:
+        if mode == "hybrid" and self._hybrid is not None and self._hybrid_serves:
             self._run_hybrid_fused(ctx, queries)
+        elif mode == "hybrid" and getattr(self.store, "can_hybrid", False):
+            self._run_hybrid_pod(ctx, queries)
         else:
             if mode in ("hybrid", "dense"):
                 res = self.dense.run(ctx, queries=queries)
@@ -641,6 +652,37 @@ class RAGOrchestrator:
                     run.append((doc, float(s)))
             if run:
                 per_query_runs.append(run)
+        if len(per_query_runs) > 1:
+            ctx.fused_docs = self.fusion.fuse(per_query_runs, top_k=cfg.fused_top_k)
+        else:
+            ctx.fused_docs = (per_query_runs[0] if per_query_runs else [])[: cfg.fused_top_k]
+
+    def calibrate_pod_fusion(self) -> None:
+        """Fusion calibration for a sharded (pod) store: probes run over the
+        single-device source engine (same rows — `self._hybrid` was built on
+        `store.source.engine`), and `_ensure_fusion_calibration` installs the
+        selected mode+weights on the pod store via set_fusion."""
+        if self._hybrid is None:
+            return
+        self._hybrid.rebind_bm25(self.bm25_index.index)
+        self._ensure_fusion_calibration()
+
+    def _run_hybrid_pod(self, ctx: AgentContext, queries: Sequence[str]) -> None:
+        """Hybrid retrieval over a sharded pod store: per-shard top-k with
+        collective merges (`parallel/sharded_store.search_hybrid`), base+delta
+        per leg, calibrated fusion, then the same cross-query rank aggregation
+        as the single-device fused path."""
+        cfg = self.config.retrieval
+        self.calibrate_pod_fusion()
+        embeddings = self.local_models.embed(list(queries))
+        res = self.store.search_hybrid(
+            embeddings, list(queries), top_k=max(cfg.dense_top_k, cfg.bm25_top_k),
+            fused_k=cfg.fused_top_k, rrf_k=cfg.rrf_k, return_legs=True)
+        ctx.dense_docs = dedup_best_score(
+            [h for run in res["dense"] for h in run
+             if h[1] >= cfg.min_similarity])
+        ctx.bm25_docs = dedup_best_score([h for run in res["bm25"] for h in run])
+        per_query_runs = [run for run in res["fused"] if run]
         if len(per_query_runs) > 1:
             ctx.fused_docs = self.fusion.fuse(per_query_runs, top_k=cfg.fused_top_k)
         else:

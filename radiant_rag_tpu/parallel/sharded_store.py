@@ -109,6 +109,28 @@ class ShardedVectorStore(BaseVectorStore):
         self._fusion_weights = np.asarray([0.5, 0.5], np.float32)
         self.refresh()
 
+    def attach_bm25(self, bm25_index) -> None:
+        """Install (or re-resolve after a reload) the source BM25Index and
+        rebuild the sharded base so hybrid serving is live. The app calls
+        this at startup when `index.backend: sharded` — the factory builds
+        the store before the BM25 wrapper exists."""
+        self._bm25 = bm25_index
+        self.refresh()
+
+    @property
+    def can_hybrid(self) -> bool:
+        return self._bm25 is not None
+
+    def save(self, directory: str) -> None:
+        """Durability is the source store's (writes are write-through)."""
+        self.source.save(directory)
+
+    def reserve(self, additional_docs: int) -> None:
+        self.source.reserve(additional_docs)
+
+    def _default_mode(self) -> str:
+        return self.source._default_mode()
+
     def set_fusion(self, mode: str, weights) -> None:
         """Install a calibrated fusion config (mode + per-leg weights) — the
         pod-serving carrier for `HybridSearcher.calibrate_fusion`'s result,
@@ -238,10 +260,14 @@ class ShardedVectorStore(BaseVectorStore):
         top_k: int = 10,
         fused_k: int = 15,
         rrf_k: int = 60,
-    ) -> List[List[Tuple[StoredDoc, float]]]:
+        return_legs: bool = False,
+    ):
         """Pod-scale hybrid retrieval, hydrated to documents. Each leg merges
         the sharded base with the delta segment before fusion, so freshly
-        ingested docs rank under the same RRF as the base corpus."""
+        ingested docs rank under the same RRF as the base corpus.
+        return_legs=True also hydrates the per-leg runs (the orchestrator's
+        pod path fills ctx.dense_docs/bm25_docs from them):
+        returns {"fused": [...], "dense": [...], "bm25": [...]}."""
         if self._hybrid is None and self._bm25 is None:
             raise RuntimeError("hybrid serving requires a BM25 index at build")
         embeddings = np.atleast_2d(np.asarray(embeddings, np.float32))
@@ -257,26 +283,34 @@ class ShardedVectorStore(BaseVectorStore):
             base_dense = base_bm25 = empty
         d_delta = self._delta_dense(embeddings, top_k)
         s_delta = self._delta_sparse(queries_text, top_k)
+        d_leg = self._merge_leg(base_dense, d_delta, top_k)
+        b_leg = self._merge_leg(base_bm25, s_delta, top_k)
         if d_delta is None and s_delta is None and not self._tombstones \
                 and self._hybrid is not None:
             scores, rows = res["fused"]  # pure base: on-device fusion stands
         else:
-            d_leg = self._merge_leg(base_dense, d_delta, top_k)
-            b_leg = self._merge_leg(base_bm25, s_delta, top_k)
             scores, rows = _host_fuse(d_leg, b_leg, fused_k, rrf_k,
                                       self._fusion_mode, self._fusion_weights)
-        out = []
-        for qi in range(rows.shape[0]):
-            hits = []
-            for s, r in zip(scores[qi], rows[qi]):
-                if r < 0:
-                    continue
-                doc_id = self.source.id_for_row(int(r))
-                doc = self.source.get_doc(doc_id) if doc_id else None
-                if doc is not None:
-                    hits.append((doc, float(s)))
-            out.append(hits)
-        return out
+
+        def hydrate(scores_a: np.ndarray, rows_a: np.ndarray):
+            out = []
+            for qi in range(rows_a.shape[0]):
+                hits = []
+                for s, r in zip(scores_a[qi], rows_a[qi]):
+                    if r < 0:
+                        continue
+                    doc_id = self.source.id_for_row(int(r))
+                    doc = self.source.get_doc(doc_id) if doc_id else None
+                    if doc is not None:
+                        hits.append((doc, float(s)))
+                out.append(hits)
+            return out
+
+        fused = hydrate(scores, rows)
+        if not return_legs:
+            return fused
+        return {"fused": fused, "dense": hydrate(*d_leg),
+                "bm25": hydrate(*b_leg)}
 
     # -- admin / listing ------------------------------------------------------
     def list_doc_ids(self) -> List[str]:

@@ -322,7 +322,9 @@ def test_orchestrator_runs_on_sharded_store(rng, tmp_path):
 
     orch = RAGOrchestrator(cfg, served, bm25, models,
                            LLMClient(backend=MockLLMBackend(responder=responder)))
-    assert orch._hybrid is None  # no single-chip engine -> agent path
+    # sharded store: a calibration-only searcher exists over the source
+    # engine, but serving must NOT dispatch through it (pod path instead)
+    assert orch._hybrid is not None and not orch._hybrid_serves
     result = orch.run("What are comets made of?")
     assert result.success and "icy" in result.answer
     assert result.docs
