@@ -66,6 +66,7 @@ class RadiantTPU:
             persist_max_docs=self.config.bm25.persist_max_docs,
             auto_build=self.config.bm25.auto_build,
             sketch_dim=self.config.bm25.sketch_dim,
+            sketch_hbm_budget_gb=self.config.bm25.sketch_hbm_budget_gb,
         )
         if hasattr(self.store, "attach_bm25"):
             # sharded pod backend: hand it the BM25 index (built after the

@@ -96,6 +96,10 @@ class BM25Config:
     max_postings_per_query: int = 1 << 18
     # impact-sketch stage-1 (hashed BM25-as-matmul); 0 disables
     sketch_dim: int = 1024
+    # HBM ceiling for the (N, sketch_dim) int8 sketch; at 10M docs the
+    # default S=1024 would need 10.2 GB, so the index auto-halves S to fit
+    # (exact pages routing covers rare-term queries regardless)
+    sketch_hbm_budget_gb: float = 3.0
     # above this many docs, skip JSON persistence and rebuild from the store
     # on load instead (the native bulk build is faster than parsing the file)
     persist_max_docs: int = 200000

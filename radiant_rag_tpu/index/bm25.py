@@ -117,12 +117,21 @@ class BM25Index:
 
     def __init__(self, k1: float = 1.5, b: float = 0.75,
                  max_query_terms: int = 32, max_postings: int = 1 << 18,
-                 sketch_dim: int = 1024, pages_route_threshold: int = 1 << 15) -> None:
+                 sketch_dim: int = 1024, pages_route_threshold: int = 1 << 15,
+                 sketch_hbm_budget_gb: float = 3.0) -> None:
         self.k1 = k1
         self.b = b
         self.max_query_terms = max_query_terms
         self.max_postings = max_postings
         self.sketch_dim = sketch_dim
+        # HBM ceiling for the (N, S) int8 sketch. At the 10M-doc scale the
+        # configured S=1024 would cost 10.2 GB — more than fits next to
+        # ~4.4 GB of dense codes on a 16 GB chip — so ensure_sketch halves S
+        # (power of two, floor 128) until N*S fits the budget and logs the
+        # drop. Collisions rise with smaller S; the two-stage exact rescore
+        # (doc-major tables) and the pages route for rare-term queries bound
+        # the quality cost (docs/QUANTIZATION.md, sketch fidelity study).
+        self.sketch_hbm_budget_gb = float(sketch_hbm_budget_gb)
         # method='auto' routes a batch to the exact pages path when every
         # query's total posting volume is at most this many postings (rare
         # terms: exact AND cheap; also where hashed-sketch stage-1 is weakest
@@ -417,6 +426,22 @@ class BM25Index:
         int8 MXU matmul (`ops/bm25.py:bm25_sketch_scores`)."""
         if self.sketch_dim <= 0:
             return
+        budget = int(self.sketch_hbm_budget_gb * (1 << 30))
+        if num_docs * self.sketch_dim > budget:
+            new_dim = self.sketch_dim
+            while new_dim > 128 and num_docs * new_dim > budget:
+                new_dim //= 2
+            logger.warning(
+                "bm25 sketch: %d docs x S=%d = %.1f GB exceeds the %.1f GB "
+                "HBM budget; reducing S to %d (%.1f GB). Rare-term queries "
+                "still route to the exact pages path.",
+                num_docs, self.sketch_dim,
+                num_docs * self.sketch_dim / (1 << 30),
+                self.sketch_hbm_budget_gb, new_dim,
+                num_docs * new_dim / (1 << 30))
+            self.sketch_dim = new_dim
+            self._term_bin.clear()  # bins depend on S; rehash lazily
+            self._sketch_dirty = True
         if not self._sketch_dirty and self._sketch_rows >= num_docs:
             return
         self._finalize_csr()
@@ -881,7 +906,9 @@ class PersistentBM25Index:
                             b=float(data.get("b", self._index.b)),
                             max_query_terms=self._index.max_query_terms,
                             max_postings=self._index.max_postings,
-                            sketch_dim=self._index.sketch_dim)
+                            sketch_dim=self._index.sketch_dim,
+                            pages_route_threshold=self._index.pages_route_threshold,
+                            sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
             resolved = 0
             for key, payload in docs.items():
                 row = self.store.row_of(key) if hasattr(self.store, "row_of") else None
@@ -978,7 +1005,9 @@ class PersistentBM25Index:
             self._index = BM25Index(k1=self._index.k1, b=self._index.b,
                                     max_query_terms=self._index.max_query_terms,
                                     max_postings=self._index.max_postings,
-                                    sketch_dim=self._index.sketch_dim)
+                                    sketch_dim=self._index.sketch_dim,
+                                    pages_route_threshold=self._index.pages_route_threshold,
+                                    sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
             self._index.bulk_build(rows, texts)
             self.save()
             return len(rows)

@@ -343,3 +343,24 @@ def test_double_update_between_finalizes_keeps_latest_only():
     s, rows2 = idx.search_rows("meteors", top_k=3)
     ha = {int(r): float(x) for r, x in zip(rows2, s) if r >= 0}
     np.testing.assert_allclose(ha[2], hf[2], rtol=1e-5)
+
+
+def test_sketch_hbm_budget_reduces_dim():
+    """10M-scale guard (VERDICT r4 #5a): when N x S int8 exceeds the HBM
+    budget, ensure_sketch halves S (pow2, floor 128), rehashes term bins,
+    and search results stay correct (stage-2 rescore is exact)."""
+    from radiant_rag_tpu.index.bm25 import BM25Index
+
+    n = 600
+    texts = [f"alpha{i % 7} shared beta{i} gamma{i % 11}" for i in range(n)]
+    # budget allows only n*256 bytes -> S must drop 1024 -> 256
+    idx = BM25Index(sketch_dim=1024,
+                    sketch_hbm_budget_gb=n * 256 / (1 << 30))
+    idx.bulk_build(list(range(n)), texts)
+    idx.ensure_sketch(n)
+    assert idx.sketch_dim == 256
+    assert idx._sketch.shape == (n, 256)
+    s, rows = idx.search_rows_batch(["beta42 alpha0", "gamma3 shared"],
+                                    top_k=5, method="sketch",
+                                    valid_mask=None, num_rows=n)
+    assert 42 in [int(r) for r in rows[0]]
