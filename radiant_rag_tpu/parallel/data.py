@@ -468,12 +468,15 @@ def train_cross_encoder(
     plateau_eps: float = 0.01,
     sampler: Optional[CrossEncoderPairSampler] = None,
     vocab_size: int = 8192,
+    loss: str = "listwise",
 ):
     """Train the cross-encoder reranker on the indexed corpus (dp x tp).
 
     Same recipe shape as train_embedder: pseudo-query positives, BM25 hard
-    negatives, optional synonym augmentation, plateau auto-stop. Returns
-    metrics (and params with return_params=True)."""
+    negatives, optional synonym augmentation, plateau auto-stop. loss =
+    "listwise" (1-of-group softmax per query block, the default — pointwise
+    BCE measured chance-level from scratch) | "pointwise". Returns metrics
+    (and params with return_params=True)."""
     import jax.numpy as jnp
 
     from radiant_rag_tpu.models.bert import BertConfig
@@ -489,7 +492,6 @@ def train_cross_encoder(
     n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
     state, model, tx, _ = make_ce_train_state(
         bert_cfg, mesh, learning_rate, seed=seed, schedule_steps=steps)
-    step_fn, place_batch = cross_encoder_train_step(model, tx, mesh)
     if sampler is None:
         tokenizer = load_tokenizer("", bert_cfg.vocab_size)
         sampler = CrossEncoderPairSampler(
@@ -501,6 +503,8 @@ def train_cross_encoder(
     while sampler.batch_size % n_data != 0:
         sampler.n_groups += 1
         sampler.batch_size = sampler.n_groups * sampler.group
+    step_fn, place_batch = cross_encoder_train_step(
+        model, tx, mesh, loss=loss, group=sampler.group)
 
     ckpt = None
     if checkpoint_dir:

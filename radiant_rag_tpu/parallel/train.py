@@ -175,15 +175,45 @@ def make_ce_train_state(
     return state, model, tx, shardings
 
 
-def cross_encoder_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
-    """Jitted dp x tp training step for the cross-encoder (pointwise BCE)."""
+def ce_listwise_loss(model, params, batch: Dict[str, jax.Array], group: int
+                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Group-listwise softmax for the cross-encoder reranker.
+
+    The batch is `n_groups` consecutive blocks of `group` pairs sharing one
+    pseudo-query, positive FIRST in each block
+    (`data.CrossEncoderPairSampler`). Softmax cross-entropy over each
+    block's logits optimizes exactly what rerank needs — score the positive
+    above ITS OWN query's negatives — and trains far faster from scratch
+    than pointwise BCE, whose gradient is dominated by the easy
+    class-balance solution (measured: BCE sat at chance accuracy for 3k
+    steps on the 100k corpus; listwise separates within hundreds).
+    accuracy = fraction of groups ranking the positive first (chance 1/G)."""
+    logits = model.apply(params, batch["ids"], batch["mask"], batch["type_ids"])
+    g = logits.reshape(-1, group)
+    labels = jnp.zeros((g.shape[0],), jnp.int32)
+    loss = optax.softmax_cross_entropy_with_integer_labels(g, labels).mean()
+    acc = jnp.mean(jnp.argmax(g, axis=1) == 0)
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def cross_encoder_train_step(model, tx: optax.GradientTransformation, mesh: Mesh,
+                             loss: str = "listwise", group: int = 4):
+    """Jitted dp x tp training step for the cross-encoder.
+
+    loss="listwise" (default): 1-of-`group` softmax per query block;
+    loss="pointwise": per-pair BCE on the labels field."""
     batch_sharding = NamedSharding(mesh, P("data", None))
     scalar_sharding = NamedSharding(mesh, P("data"))
 
+    def loss_fn(p, batch):
+        if loss == "listwise":
+            return ce_listwise_loss(model, p, batch, group)
+        return ce_pointwise_loss(model, p, batch)
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: ce_pointwise_loss(model, p, batch), has_aux=True
+        (loss_v, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

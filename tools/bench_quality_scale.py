@@ -326,9 +326,15 @@ def main(argv=None) -> int:
 
     def add_delta(a: str, b: str) -> None:
         lo, hi = paired_delta_ci(systems[a], systems[b])
+        # hit@10 is the "recall@10-matched" metric of the SURVEY §6 north
+        # star — report its paired delta alongside MRR's
+        ha, hb = (systems[a] > 0).astype(np.float64), (systems[b] > 0).astype(np.float64)
+        hlo, hhi = paired_delta_ci(ha, hb)
         deltas[f"{a}_minus_{b}"] = {
             "mean": round(float((systems[a] - systems[b]).mean()), 4),
             "ci95": [round(lo, 4), round(hi, 4)],
+            "hit@10_mean": round(float((ha - hb).mean()), 4),
+            "hit@10_ci95": [round(hlo, 4), round(hhi, 4)],
         }
 
     add_delta("hybrid_auto", "bm25")
@@ -368,6 +374,8 @@ def main(argv=None) -> int:
             deltas[f"hybrid_auto_minus_{best_leg}"]["mean"] > 0),
         "delta_ci_excludes_zero": bool(
             deltas[f"hybrid_auto_minus_{best_leg}"]["ci95"][0] > 0),
+        "hit10_delta_ci_excludes_zero": bool(
+            deltas[f"hybrid_auto_minus_{best_leg}"]["hit@10_ci95"][0] > 0),
         **({"cross_encoder": ce_info,
             "rerank_beats_best_leg": bool(
                 deltas[f"hybrid_rerank_minus_{best_leg}"]["mean"] > 0),
