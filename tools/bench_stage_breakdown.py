@@ -142,6 +142,36 @@ def main() -> None:
         results[f"hybrid/{sel}_rowset_agreement"] = round(float(agree), 4)
         print(f"fused row-set agreement {sel} vs f32: {agree:.4f}", flush=True)
 
+    # --- MXU/bandwidth accounting (VERDICT r3 #7) ---------------------------
+    # The two stage-1 scans are the only O(B x N) terms; everything else is
+    # O(B x k). Model each as max(MXU time, HBM time) and report measured
+    # utilization of the binding resource. v5e peaks: 197 TFLOP/s bf16,
+    # 394 TOP/s int8, ~819 GB/s HBM.
+    PEAK_BF16, PEAK_INT8, PEAK_HBM = 197e12, 394e12, 819e9
+    nvalid = engine.capacity
+    flops_dense = 2.0 * batch * nvalid * dim
+    bytes_dense = nvalid * dim  # int8 codes read once (queries/out negligible)
+    s_sketch = bm25.sketch_dim
+    flops_sketch = 2.0 * batch * nvalid * s_sketch
+    bytes_sketch = float(nvalid) * s_sketch
+    for key, flops, nbytes, peak in (
+            ("dense_leg/f32", flops_dense, bytes_dense, PEAK_INT8),
+            ("bm25_sketch_select/f32", flops_sketch, bytes_sketch, PEAK_INT8)):
+        ms = results.get(key)
+        if not ms:
+            continue
+        t = ms / 1000
+        results[key + "_mxu_util"] = round(flops / t / peak, 3)
+        results[key + "_hbm_util"] = round(nbytes / t / PEAK_HBM, 3)
+    hyb = results.get("hybrid/f32_ms")
+    if hyb:
+        t = hyb / 1000
+        results["hybrid/f32_mxu_util"] = round(
+            (flops_dense + flops_sketch) / t / PEAK_INT8, 3)
+        # the non-matmul residue: hybrid time minus the two measured scans
+        scans = (results.get("dense_leg/f32", 0)
+                 + results.get("bm25_sketch_select/f32", 0))
+        results["hybrid/non_scan_residue_ms"] = round(hyb - scans, 1)
     print(json.dumps(results, indent=1))
 
 
