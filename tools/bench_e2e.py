@@ -123,7 +123,16 @@ def _local_llm(cfg):
     return LLMClient(backend=backend), (lambda: None)
 
 
-def build_stack(n_docs: int, dim: int):
+def build_stack(n_docs: int, dim: int, embed_layers: int = 2,
+                ce_layers: int = 2, synthetic_embs: bool = False):
+    """The retrieval + model stack the orchestrator runs over.
+
+    synthetic_embs (the >=100k tier): store embeddings are clustered
+    synthetic vectors streamed into upsert_batch — query-time latency is
+    what this bench measures, and the REAL embedder/cross-encoder still run
+    at query time at their real sizes (embedding 1M docs through the real
+    encoder would add 2+ minutes of constant without changing any latency
+    being measured). Texts are zipfian token strings at this tier."""
     import jax.numpy as jnp
 
     from radiant_rag_tpu.config import (
@@ -142,29 +151,45 @@ def build_stack(n_docs: int, dim: int):
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     cfg = AppConfig(
         index=IndexConfig(dim=dim, initial_capacity=n_docs, data_dir=tmp + "/idx"),
-        embedding=EmbeddingConfig(dim=dim, num_layers=2, num_heads=4,
+        embedding=EmbeddingConfig(dim=dim, num_layers=embed_layers, num_heads=4,
                                   hidden_dim=dim * 2, vocab_size=8192,
                                   max_seq_len=64, batch_size=64,
                                   checkpoint_dir=""),
-        cross_encoder=CrossEncoderConfig(max_seq_len=64, batch_size=16),
+        cross_encoder=CrossEncoderConfig(max_seq_len=128, batch_size=64),
         strategy_memory=StrategyMemoryConfig(path=tmp + "/sm.json.gz"),
     )
     store = TpuVectorStore(dim=dim, index_config=cfg.index,
                            quantization=cfg.quantization)
     embedder = Embedder(cfg.embedding)
     ce = CrossEncoder(cfg.cross_encoder, bert_cfg=BertConfig(
-        vocab_size=8192, hidden_size=dim, num_layers=2, num_heads=4,
-        intermediate_size=dim * 2, dtype=jnp.float32))
+        vocab_size=8192, hidden_size=dim, num_layers=ce_layers, num_heads=4,
+        intermediate_size=dim * 2,
+        dtype=jnp.float32 if not synthetic_embs else jnp.bfloat16))
     models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=ce)
 
-    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-    from quality_harness import make_corpus
-
     rng = np.random.default_rng(3)
-    docs = make_corpus(rng, n_docs)
-    embs = models.embed([t for t, _ in docs])
-    store.upsert_batch([(t, {"topic": tp, "source": f"d{i}.txt"}, embs[i])
-                        for i, (t, tp) in enumerate(docs)])
+    if synthetic_embs:
+        store.reserve(n_docs)
+        centers = rng.standard_normal((256, dim)).astype(np.float32)
+        zipf = rng.zipf(1.3, size=(n_docs, 24)) % 30_000
+        chunk = 65_536
+        for s in range(0, n_docs, chunk):
+            e = min(s + chunk, n_docs)
+            blk = centers[rng.integers(0, 256, e - s)] + \
+                0.7 * rng.standard_normal((e - s, dim)).astype(np.float32)
+            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
+            store.upsert_batch([
+                (" ".join(f"w{t}" for t in zipf[i]),
+                 {"doc_level": "leaf", "source": f"d{i}.txt"}, blk[i - s])
+                for i in range(s, e)])
+    else:
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+        from quality_harness import make_corpus
+
+        docs = make_corpus(rng, n_docs)
+        embs = models.embed([t for t, _ in docs])
+        store.upsert_batch([(t, {"topic": tp, "source": f"d{i}.txt"}, embs[i])
+                            for i, (t, tp) in enumerate(docs)])
     bm25 = PersistentBM25Index(store, path=tmp + "/bm25.json.gz")
     bm25.build_from_store()
     return cfg, store, bm25, models
@@ -174,14 +199,25 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=5000)
     parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--embed-layers", type=int, default=2)
+    parser.add_argument("--ce-layers", type=int, default=2)
     parser.add_argument("--runs", type=int, default=8)
     parser.add_argument("--llm", choices=("mock", "local"), default="mock")
+    parser.add_argument("--synthetic-embs", action="store_true",
+                        help=">=100k tier: synthetic store embeddings, real "
+                             "models at query time (see build_stack)")
+    parser.add_argument("--out", default="")
     args = parser.parse_args(argv)
 
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from radiant_rag_tpu.orchestrator import RAGOrchestrator
 
     print(f"building stack ({args.docs} docs)...", file=sys.stderr)
-    cfg, store, bm25, models = build_stack(args.docs, args.dim)
+    cfg, store, bm25, models = build_stack(
+        args.docs, args.dim, embed_layers=args.embed_layers,
+        ce_layers=args.ce_layers, synthetic_embs=args.synthetic_embs)
 
     scenarios = {
         "simple": (SIMPLE_Q, False),
@@ -219,8 +255,20 @@ def main(argv=None) -> int:
         report["scenarios"][name] = entry
         print(f"{name}: {med*1000:.0f} ms median", file=sys.stderr)
 
+    report["device"] = _device_kind()
+    if args.out:
+        pathlib.Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
     return 0
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
 
 
 if __name__ == "__main__":
