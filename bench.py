@@ -155,6 +155,63 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
             f"batches in {pipe_s:.2f}s -> {rep_qps:.1f} QPS")
         qps = max(qps, rep_qps)
 
+    # BASELINE config #5: cross-encoder rerank of the hybrid top-40 (the
+    # reference reranks top k*4, `agents/rerank.py:85-117`). Opt-in via
+    # BENCH_RERANK=1: tokenizes the corpus once into the device token table
+    # (models/device_rerank.py), then measures the e2e hybrid+rerank path.
+    # CE weights are random here — identical FLOPs/bytes to trained weights,
+    # and quality is measured separately on the real-text corpus
+    # (tools/bench_quality_scale.py --rerank).
+    rerank_stats = {}
+    if __import__("os").environ.get("BENCH_RERANK", "0") == "1":
+        import jax.numpy as jnp
+
+        from radiant_rag_tpu.config import CrossEncoderConfig
+        from radiant_rag_tpu.models.bert import BertConfig
+        from radiant_rag_tpu.models.cross_encoder import CrossEncoder
+        from radiant_rag_tpu.models.device_rerank import DeviceReranker
+
+        ce = CrossEncoder(
+            config=CrossEncoderConfig(max_seq_len=128, batch_size=512),
+            bert_cfg=BertConfig(vocab_size=8192, hidden_size=128,
+                                num_layers=4, num_heads=4,
+                                intermediate_size=256, dtype=jnp.bfloat16))
+        rr = DeviceReranker(ce, pair_chunk=8192)
+        t0 = time.perf_counter()
+        rr.build_table(texts)
+        t_table = time.perf_counter() - t0
+        log(f"rerank token table: {t_table:.1f}s ({N_DOCS} docs)")
+        k_cand = 4 * TOP_K
+
+        def hybrid_rerank_batch(qd, qt):
+            res = searcher.search_rows(qd, qt, dense_k=k_cand, bm25_k=k_cand,
+                                       fused_k=k_cand, mode=DENSE_MODE)
+            _, rows = res["fused"]
+            return rr.rerank_rows(qt, rows, top_k=TOP_K)
+
+        t0 = time.perf_counter()
+        hybrid_rerank_batch(queries_dense[:BATCH], queries_text[:BATCH])
+        log(f"rerank warmup/compile: {time.perf_counter()-t0:.1f}s")
+        rtimes = []
+        for b in range(min(8, N_QUERY_BATCHES)):
+            qd = queries_dense[b * BATCH : (b + 1) * BATCH]
+            qt = queries_text[b * BATCH : (b + 1) * BATCH]
+            t0 = time.perf_counter()
+            hybrid_rerank_batch(qd, qt)
+            rtimes.append(time.perf_counter() - t0)
+        rmed = float(np.median(rtimes))
+        hyb_only_ms = med * 1000  # sequential hybrid at fused_k=TOP_K
+        rerank_stats = {
+            "hybrid_rerank_qps": round(BATCH / rmed, 1),
+            "hybrid_rerank_ms_per_batch": round(rmed * 1000, 1),
+            "rerank_added_ms_per_query": round(
+                (rmed * 1000 - hyb_only_ms) / BATCH, 3),
+            "rerank_candidates": k_cand,
+            "rerank_table_build_s": round(t_table, 1),
+        }
+        log(f"hybrid+rerank (top-{k_cand} -> {TOP_K}): {rmed*1000:.1f} ms "
+            f"/ batch -> {BATCH/rmed:.1f} QPS")
+
     # per-leg figures (BASELINE configs #1 dense-only, #2 bm25-only);
     # opt-in: they compile two extra device programs (BENCH_LEGS=1)
     measure_legs = __import__("os").environ.get("BENCH_LEGS", "0") == "1"
@@ -193,6 +250,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         "warmup_s": round(warmup_s, 1),
         "warmup_small_batch_s": round(warm_small_s, 1),
         "warmup_full_batch_s": round(warm_full_s, 1),
+        **rerank_stats,
     }
 
 

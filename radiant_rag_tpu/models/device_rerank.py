@@ -128,16 +128,20 @@ class DeviceReranker:
             types = ((pos >= qlx + 2) & (pos <= qlx + dlx + 2)).astype(jnp.int32)
 
             flat = B * K
-            pad = (-flat) % chunk
+            # small batches: don't pad up to the configured chunk (a B=64
+            # serving batch x K=40 is 2560 pairs — padding to 8192 would
+            # triple the CE work); shapes are static so this is trace-time
+            eff_chunk = min(chunk, 1 << (flat - 1).bit_length())
+            pad = (-flat) % eff_chunk
             seq_f = jnp.concatenate(
                 [seq.reshape(flat, L),
-                 jnp.zeros((pad, L), seq.dtype)]).reshape(-1, chunk, L)
+                 jnp.zeros((pad, L), seq.dtype)]).reshape(-1, eff_chunk, L)
             mask_f = jnp.concatenate(
                 [mask.reshape(flat, L),
-                 jnp.zeros((pad, L), mask.dtype)]).reshape(-1, chunk, L)
+                 jnp.zeros((pad, L), mask.dtype)]).reshape(-1, eff_chunk, L)
             type_f = jnp.concatenate(
                 [types.reshape(flat, L),
-                 jnp.zeros((pad, L), types.dtype)]).reshape(-1, chunk, L)
+                 jnp.zeros((pad, L), types.dtype)]).reshape(-1, eff_chunk, L)
 
             def score_chunk(args):
                 s, m, t = args
