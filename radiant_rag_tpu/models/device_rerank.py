@@ -100,7 +100,8 @@ class DeviceReranker:
         model = self.ce.model
 
         @partial(jax.jit, static_argnums=())
-        def program(params, table, d_lens, q_ids, q_lens, rows):
+        def program(params, table, d_lens, q_ids, q_lens, rows, prior,
+                    prior_weight):
             B, K = rows.shape
             nrows = table.shape[0]
             safe = jnp.clip(rows, 0, nrows - 1)
@@ -149,23 +150,54 @@ class DeviceReranker:
 
             logits = jax.lax.map(score_chunk, (seq_f, mask_f, type_f))
             logits = logits.reshape(-1)[:flat].reshape(B, K)
-            logits = jnp.where(rows >= 0, logits, -jnp.inf)
-            order = jnp.argsort(-logits, axis=1)[:, :top_k]
-            return (jnp.take_along_axis(logits, order, axis=1),
-                    jnp.take_along_axis(rows, order, axis=1))
+
+            # blend with the retrieval prior (z-normalized per query over
+            # the live candidates): final = z(CE) + w * z(prior). w=0 is
+            # pure CE order, large w degenerates to the incoming hybrid
+            # order — so a probe-calibrated w makes the rerank stage unable
+            # to LOSE to the ordering it consumes (mirrors fusion="auto").
+            live = (rows >= 0).astype(jnp.float32)
+            denom = jnp.maximum(live.sum(axis=1, keepdims=True), 1.0)
+
+            def znorm(x):
+                mean = (x * live).sum(axis=1, keepdims=True) / denom
+                var = (((x - mean) ** 2) * live).sum(axis=1, keepdims=True) / denom
+                return (x - mean) / jnp.sqrt(var + 1e-9)
+
+            final = znorm(logits) + prior_weight * znorm(prior)
+            final = jnp.where(rows >= 0, final, -jnp.inf)
+            order = jnp.argsort(-final, axis=1)[:, :top_k]
+            # order by the blend; RETURN the raw CE logits (stable score
+            # semantics for downstream consumers, exact host-path parity)
+            out_scores = jnp.where(
+                jnp.take_along_axis(rows, order, axis=1) >= 0,
+                jnp.take_along_axis(logits, order, axis=1), -jnp.inf)
+            return out_scores, jnp.take_along_axis(rows, order, axis=1)
 
         return program
 
     # -- query-time -----------------------------------------------------------
     def rerank_rows(self, q_texts: Sequence[str], rows: np.ndarray,
-                    top_k: int = 10, fetch: bool = True):
+                    top_k: int = 10, fetch: bool = True,
+                    prior_scores: Optional[np.ndarray] = None,
+                    prior_weight: float = 0.0):
         """Rerank hybrid candidates: rows (B, K) int engine row ids (-1 =
-        empty). Returns (scores, rows) of shape (B, top_k), CE-ordered.
-        fetch=False returns an unpack() thunk (pipelined serving)."""
+        empty). Returns (scores, rows) of shape (B, top_k), ordered by
+        z(CE logit) + prior_weight * z(prior_scores) per query (weight 0 =
+        pure CE order; calibrate the weight on probes — see
+        tools/bench_quality_scale.py). fetch=False returns an unpack()
+        thunk (pipelined serving)."""
         if self._table is None:
             raise RuntimeError("build_table() first")
         rows = np.atleast_2d(np.asarray(rows))
         b, k_cand = rows.shape
+        if prior_scores is None:
+            prior = np.zeros((b, k_cand), np.float32)
+            prior_weight = 0.0
+        else:
+            prior = np.nan_to_num(
+                np.asarray(prior_scores, np.float32),
+                neginf=0.0, posinf=0.0)
         tok = self.ce.tokenizer
         q_ids_host = np.full((b, self.q_len), PAD_ID, np.int32)
         q_lens = np.zeros((b,), np.int32)
@@ -179,7 +211,8 @@ class DeviceReranker:
             program = self._programs[top_k] = self._build_program(top_k)
         out = program(self.ce.params, self._table, self._d_lens,
                       jnp.asarray(q_ids_host), jnp.asarray(q_lens),
-                      jnp.asarray(rows))
+                      jnp.asarray(rows), jnp.asarray(prior),
+                      jnp.float32(prior_weight))
         if not fetch:
             return lambda: tuple(np.asarray(x) for x in jax.device_get(out))
         return tuple(np.asarray(x) for x in jax.device_get(out))

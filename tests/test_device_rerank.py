@@ -82,3 +82,19 @@ def test_append_extends_table(ce):
     scores, out_rows = rr.rerank_rows(["retrieval topic 0"],
                                       np.asarray([[10, 11, 0]]), top_k=3)
     assert set(int(r) for r in out_rows[0]) == {10, 11, 0}
+
+
+def test_prior_blend_degenerates_correctly(ce):
+    """weight 0 = pure CE order; huge weight = incoming prior order (the
+    rerank stage cannot lose to the ordering it consumes)."""
+    rr = DeviceReranker(ce, q_len=8, d_len=28, pair_chunk=8)
+    rr.build_table(TEXTS)
+    rows = np.asarray([[2, 9, 15, 4]])
+    prior = np.asarray([[4.0, 3.0, 2.0, 1.0]], np.float32)  # prior: as given
+    _s0, r0 = rr.rerank_rows(["retrieval topic"], rows, top_k=4)
+    _s1, r1 = rr.rerank_rows(["retrieval topic"], rows, top_k=4,
+                             prior_scores=prior, prior_weight=0.0)
+    np.testing.assert_array_equal(r0, r1)  # weight 0 ignores the prior
+    _s2, r2 = rr.rerank_rows(["retrieval topic"], rows, top_k=4,
+                             prior_scores=prior, prior_weight=1e6)
+    np.testing.assert_array_equal(r2, rows)  # huge weight = prior order

@@ -94,8 +94,8 @@ def main(argv=None) -> int:
                          "(BASELINE config #5) on the same corpus")
     ap.add_argument("--rerank-k", type=int, default=32,
                     help="hybrid candidates fed to the reranker per query")
-    ap.add_argument("--ce-steps", type=int, default=6000)
-    ap.add_argument("--ce-layers", type=int, default=4)
+    ap.add_argument("--ce-steps", type=int, default=12000)
+    ap.add_argument("--ce-layers", type=int, default=6)
     ap.add_argument("--ce-dim", type=int, default=128)
     ap.add_argument("--ce-seq-len", type=int, default=128)
     ap.add_argument("--save-ce-ckpt", default="")
@@ -259,12 +259,15 @@ def main(argv=None) -> int:
             from radiant_rag_tpu.parallel.data import train_cross_encoder
 
             t0 = time.time()
+            # listwise over G=8 blocks: 1 positive + 5 BM25 hard negatives
+            # (the rerank candidate distribution) + 2 random
             ce_info, ce_params = train_cross_encoder(
-                texts, bert_cfg=ce_bert, steps=args.ce_steps, batch_size=128,
+                texts, bert_cfg=ce_bert, steps=args.ce_steps, batch_size=256,
                 max_seq_len=args.ce_seq_len, bm25=bm25, rows=list(range(n)),
-                hard_negatives=2, random_negatives=1,
+                hard_negatives=5, random_negatives=2,
                 query_augment=synonym_augment, auto_stop=True,
-                min_steps=2000, plateau_window=1500, plateau_eps=0.005,
+                min_steps=max(2000, args.ce_steps * 2 // 3),
+                plateau_window=3000, plateau_eps=0.005,
                 log_every=500, checkpoint_dir=args.save_ce_ckpt,
                 return_params=True, seed=args.seed)
             ce_info["train_s"] = round(time.time() - t0, 1)
@@ -275,28 +278,60 @@ def main(argv=None) -> int:
                                       batch_size=512),
             bert_cfg=ce_bert, params=ce_params)
 
-        # hybrid top-rerank_k candidates, then CE reranks to top_k
-        res_wide = searcher.search_rows(
-            np.asarray(q_embs, np.float32), q_texts, dense_k=args.rerank_k,
-            bm25_k=args.rerank_k, fused_k=args.rerank_k, mode=mode,
-            fusion="auto")
-        wide_rows = res_wide["fused"][1]
-        pairs, spans = [], []
-        for qi in range(len(q_texts)):
-            cand = [int(r) for r in wide_rows[qi] if r is not None and r >= 0]
-            spans.append((len(pairs), len(cand), cand))
-            pairs.extend((q_texts[qi], texts[r][:1200]) for r in cand)
-        ce.score_pairs(pairs[: args.rerank_k])  # warm the compile
+        from radiant_rag_tpu.models.device_rerank import DeviceReranker
+
+        rr = DeviceReranker(ce, pair_chunk=8192)
         t0 = time.time()
-        scores = ce.score_pairs(pairs)
+        rr.build_table(texts)
+        print(f"rerank token table: {time.time()-t0:.1f}s", file=sys.stderr)
+
+        def wide_search(qs_text, qs_emb):
+            res_w = searcher.search_rows(
+                np.asarray(qs_emb, np.float32), qs_text,
+                dense_k=args.rerank_k, bm25_k=args.rerank_k,
+                fused_k=args.rerank_k, mode=mode, fusion="auto")
+            return res_w["fused"]
+
+        # --- probe-calibrated blend weight: final order = z(CE) + w*z(prior)
+        # (w selected on self-labeled pseudo-query probes; w=inf degenerates
+        # to the incoming hybrid order, so the stage cannot lose) -----------
+        n_probes = 256
+        ptgt = rng.choice(n, n_probes, replace=False)
+        p_texts = []
+        for j, t in enumerate(ptgt):
+            mk = make_paraphrase_query if j % 2 == 0 else make_pseudo_query
+            p_texts.append(mk(texts[t], rng))
+        p_embs = embedder.embed(p_texts)
+        p_scores, p_rows = wide_search(p_texts, p_embs)
+        weights = [0.0, 0.25, 0.5, 1.0, 2.0, 1e6]
+        probe_mrr = {}
+        for w in weights:
+            _s, rr_rows = rr.rerank_rows(p_texts, p_rows, top_k=k,
+                                         prior_scores=p_scores, prior_weight=w)
+            rrr = np.zeros(n_probes)
+            for qi in range(n_probes):
+                hits = [int(r) for r in rr_rows[qi] if r >= 0]
+                if int(ptgt[qi]) in hits:
+                    rrr[qi] = 1.0 / (hits.index(int(ptgt[qi])) + 1)
+            probe_mrr[w] = float(rrr.mean())
+        blend_w = max(weights, key=lambda w: probe_mrr[w])
+        ce_info["blend_weight"] = blend_w
+        ce_info["blend_probe_mrr"] = {str(w): round(v, 4)
+                                      for w, v in probe_mrr.items()}
+        print(f"blend weight: {blend_w} (probe MRRs {ce_info['blend_probe_mrr']})",
+              file=sys.stderr)
+
+        # --- eval: rerank the hybrid top-rerank_k with the selected blend --
+        wide_scores, wide_rows = wide_search(q_texts, q_embs)
+        t0 = time.time()
+        _s, rerank_rows = rr.rerank_rows(q_texts, wide_rows, top_k=k,
+                                         prior_scores=wide_scores,
+                                         prior_weight=blend_w)
         t_rerank = time.time() - t0
-        rerank_rows = []
-        for start, m, cand in spans:
-            order = np.argsort(-scores[start:start + m])
-            rerank_rows.append([cand[i] for i in order[:k]])
         systems["hybrid_rerank"] = per_query_rr(rerank_rows)
         ce_info["rerank_ms_per_query"] = round(1000 * t_rerank / len(q_texts), 2)
-        ce_info["pairs_per_s"] = round(len(pairs) / t_rerank, 1)
+        ce_info["pairs_per_s"] = round(
+            len(q_texts) * args.rerank_k / t_rerank, 1)
         ce_info["rerank_k"] = args.rerank_k
         ce_info["dim"] = args.ce_dim
         ce_info["layers"] = args.ce_layers
