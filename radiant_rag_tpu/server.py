@@ -128,12 +128,37 @@ class RagAPI:
                 return 200, result.to_dict() | {"answer": result.answer}
             if method == "POST" and path == "/search":
                 query = body.get("query", "")
-                if not query:
-                    return 400, {"error": "missing 'query'"}
+                queries = body.get("queries")
+                if not query and not queries:
+                    return 400, {"error": "missing 'query' (or 'queries')"}
                 mode = body.get("mode", "hybrid")
                 if mode not in _SEARCH_MODES:
                     return 400, {"error": f"mode must be one of {_SEARCH_MODES}"}
                 top_k = int(body.get("top_k", 10))
+
+                def hit_dicts(hits):
+                    return [{"doc_id": d.doc_id, "score": s, "source": d.source,
+                             "content": d.content[:1000], "meta": d.meta}
+                            for d, s in hits]
+
+                if queries:
+                    # batch API: the throughput-correct client interface —
+                    # one request = one batched device program for N queries
+                    # (per-query HTTP costs this host ~4 ms of socket+JSON
+                    # each; the chip serves 4096-query batches in ~200 ms).
+                    if not isinstance(queries, list) or \
+                            not all(isinstance(q, str) and q for q in queries):
+                        return 400, {"error": "'queries' must be a list of "
+                                              "non-empty strings"}
+                    t0 = time.perf_counter()
+                    with self._lock:
+                        batched = self.app.search_batch(
+                            list(queries), mode=mode, top_k=top_k)
+                    dt = time.perf_counter() - t0
+                    with self._lat_lock:
+                        self._lat.append(dt / max(len(queries), 1))
+                        self._lat_count += len(queries)
+                    return 200, {"hits_batch": [hit_dicts(h) for h in batched]}
                 t0 = time.perf_counter()
                 if self._coalescer is not None:
                     hits = self._coalescer.submit((mode, top_k), query, timeout=120.0)
@@ -143,11 +168,7 @@ class RagAPI:
                 with self._lat_lock:
                     self._lat.append(time.perf_counter() - t0)
                     self._lat_count += 1
-                return 200, {"hits": [
-                    {"doc_id": d.doc_id, "score": s, "source": d.source,
-                     "content": d.content[:1000], "meta": d.meta}
-                    for d, s in hits
-                ]}
+                return 200, {"hits": hit_dicts(hits)}
             if method == "POST" and path == "/simple_query":
                 question = body.get("question", "")
                 if not question:
