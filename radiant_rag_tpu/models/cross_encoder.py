@@ -55,12 +55,21 @@ class CrossEncoder:
                 from radiant_rag_tpu.models.hf_loading import try_load_cross_encoder_params
 
                 loaded = try_load_cross_encoder_params(self.config.weights_path, self.bert_cfg)
-            if loaded is not None:
-                self.params = loaded
-            else:
+            if loaded is None:
+                # shipped pretrained reranker (trained listwise on the 100k
+                # real-text corpus) when the architecture matches
+                from radiant_rag_tpu.models.pretrained import (
+                    shipped_cross_encoder_params,
+                )
+
                 rng = jax.random.PRNGKey(seed)
                 dummy = jnp.zeros((1, 16), jnp.int32)
-                self.params = self.model.init(rng, dummy, jnp.ones((1, 16), jnp.int32), dummy)
+                template = self.model.init(
+                    rng, dummy, jnp.ones((1, 16), jnp.int32), dummy)
+                loaded = shipped_cross_encoder_params(self.bert_cfg, template)
+                if loaded is None:
+                    loaded = template
+            self.params = loaded
         self._forward = jax.jit(lambda p, i, a, t: self.model.apply(p, i, a, t))
 
     def score_pairs(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:

@@ -64,6 +64,15 @@ class Embedder:
                 from radiant_rag_tpu.models.hf_loading import try_load_bert_params
 
                 loaded = try_load_bert_params(cfg.weights_path, self.bert_cfg)
+            if loaded is None:
+                # shipped pretrained artifact (trained on the 100k real-text
+                # corpus) — a weightless deployment gets a CONTRIBUTING
+                # dense leg out of the box instead of a random-init encoder
+                # (reference ships MiniLM weights, `local_models.py:61-135`)
+                from radiant_rag_tpu.models.pretrained import shipped_embedder_params
+
+                loaded = shipped_embedder_params(
+                    self.bert_cfg, init_params(self.bert_cfg, seed=seed))
             self.params = loaded if loaded is not None else init_params(self.bert_cfg, seed=seed)
         self.cache = cache if cache is not None else EmbeddingCache(cfg.cache_size)
         self._forward = jax.jit(self._forward_impl)

@@ -115,3 +115,41 @@ def test_cross_encoder_scores():
     # determinism
     ranked2 = ce.rerank("query about cats", ["doc one about cats", "doc two about dogs", "third"])
     assert ranked == ranked2
+
+
+def test_pretrained_npz_roundtrip_and_fallback(tmp_path, monkeypatch):
+    """Shipped-artifact loader (VERDICT r4 #3): params-only npz roundtrips
+    exactly; the Embedder falls back to it when no checkpoint/weights are
+    configured and the architecture matches; mismatched shapes are ignored."""
+    import numpy as np
+
+    from radiant_rag_tpu.config import EmbeddingConfig
+    from radiant_rag_tpu.models import pretrained
+    from radiant_rag_tpu.models.bert import BertConfig, init_params
+    from radiant_rag_tpu.models.embedder import Embedder
+
+    cfg = BertConfig(vocab_size=300, hidden_size=16, num_layers=1,
+                     num_heads=2, intermediate_size=32)
+    params = init_params(cfg, seed=7)
+    monkeypatch.setattr(pretrained, "PRETRAINED_DIR", tmp_path)
+    pretrained.save_params_npz(params, str(tmp_path / "embedder_16x1.npz"))
+
+    emb_cfg = EmbeddingConfig(preset="none", dim=16, num_layers=1,
+                              num_heads=2, hidden_dim=32, vocab_size=300,
+                              max_seq_len=32, checkpoint_dir="",
+                              weights_path="")
+    emb = Embedder(emb_cfg, seed=0)  # different seed: random init differs
+    import jax
+
+    flat_loaded = jax.tree_util.tree_leaves(emb.params)
+    flat_saved = jax.tree_util.tree_leaves(params)
+    for a, b in zip(flat_loaded, flat_saved):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # architecture mismatch -> ignored, random init used (no crash)
+    emb_cfg2 = EmbeddingConfig(preset="none", dim=16, num_layers=1,
+                               num_heads=2, hidden_dim=32, vocab_size=301,
+                               max_seq_len=32, checkpoint_dir="",
+                               weights_path="")
+    emb2 = Embedder(emb_cfg2, seed=0)
+    assert emb2.params is not None
