@@ -432,19 +432,23 @@ class RadiantTPU:
         params from the checkpoint (`models/embedder.py`).
 
         auto=True runs the measured capacity recipe as a product path (no
-        harness flags): 12k-step ceiling with accuracy-plateau stopping,
-        batch 64, lr 1e-4 warmup+cosine, BM25-mined hard negatives, and
-        synonym query augmentation so the encoder learns the paraphrase
-        correspondences retrieval is measured on. Pairs with the
-        `trainable-small` embedding preset (`config.py`). The reference
-        deploys with pretrained MiniLM weights
-        (`llm/local_models.py:61-135`); this is the weightless-deploy
-        equivalent: ingest -> train --auto -> a contributing dense leg."""
+        harness flags): 12k-step ceiling with accuracy-plateau stopping
+        (min 5000 steps, 2500-step window — the r4 100k-corpus run showed
+        the looser defaults stop the encoder at 60% of its reachable
+        quality), batch 256 (in-batch negatives scale with batch: dense MRR
+        0.308 -> 0.463 at 100k docs moving 64 -> 256), lr 1e-4
+        warmup+cosine, BM25-mined hard negatives, and synonym query
+        augmentation so the encoder learns the paraphrase correspondences
+        retrieval is measured on. Pairs with the `trainable-small`
+        embedding preset (`config.py`). The reference deploys with
+        pretrained MiniLM weights (`llm/local_models.py:61-135`); this is
+        the weightless-deploy equivalent: ingest -> train --auto -> a
+        contributing dense leg."""
         from radiant_rag_tpu.parallel.data import synonym_augment, train_embedder
 
         if auto:
             steps = max(steps, 12000)
-            batch_size = max(batch_size, 64)
+            batch_size = max(batch_size, 256)
             learning_rate = 1e-4
             hard_negatives = max(hard_negatives, 2)
         metrics, params = train_embedder(
@@ -454,7 +458,9 @@ class RadiantTPU:
             bm25=self.bm25_index.index if hard_negatives > 0 else None,
             hard_negatives=hard_negatives, return_params=True,
             query_augment=synonym_augment if auto else None,
-            auto_stop=auto)
+            auto_stop=auto,
+            **({"min_steps": 5000, "plateau_window": 2500,
+                "plateau_eps": 0.005} if auto else {}))
         self.local_models.embedder.set_params(params)
         self.query_cache.clear()  # search results embed with the old encoder
         if hasattr(self.orchestrator, "invalidate_fusion_calibration"):
