@@ -195,6 +195,14 @@ class CrossEncoderConfig:
     max_seq_len: int = 384
     batch_size: int = 32
     dtype: str = "bfloat16"
+    # architecture (MiniLM-L12 class by default; weightless deploys resolve
+    # to the trainable-small shape so the shipped trained reranker artifact
+    # matches — `_apply_embedding_preset`)
+    dim: int = 384
+    num_layers: int = 12
+    num_heads: int = 12
+    hidden_dim: int = 1536
+    vocab_size: int = 30522
 
 
 @dataclass(frozen=True)
@@ -665,6 +673,11 @@ _TRAINABLE_SMALL = {
     "vocab_size": 8192, "max_seq_len": 64,
 }
 
+_TRAINABLE_SMALL_CE = {
+    "dim": 128, "num_layers": 6, "num_heads": 4, "hidden_dim": 256,
+    "vocab_size": 8192, "max_seq_len": 128,
+}
+
 
 def _explicit_keys(section: str, data: Dict[str, Any]) -> set:
     """Field names the user pinned for `section` via YAML or env."""
@@ -699,6 +712,15 @@ def _apply_embedding_preset(sections: Dict[str, Any], data: Dict[str, Any]) -> N
     if "dim" not in _explicit_keys("index", data):
         sections["index"] = dataclasses.replace(
             sections["index"], dim=sections["embedding"].dim)
+    # weightless deploys also size the cross-encoder to the trainable-small
+    # shape so the shipped trained reranker artifact matches
+    ce = sections["cross_encoder"]
+    if not ce.weights_path:
+        ce_explicit = _explicit_keys("cross_encoder", data)
+        ce_over = {k: v for k, v in _TRAINABLE_SMALL_CE.items()
+                   if k not in ce_explicit}
+        if ce_over:
+            sections["cross_encoder"] = dataclasses.replace(ce, **ce_over)
 
 
 def config_to_dict(cfg: AppConfig, redact_secrets: bool = True) -> Dict[str, Any]:

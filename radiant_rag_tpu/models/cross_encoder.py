@@ -42,8 +42,14 @@ class CrossEncoder:
         seed: int = 1,
     ) -> None:
         self.config = config or CrossEncoderConfig()
+        c = self.config
         self.bert_cfg = bert_cfg or BertConfig(
-            dtype=jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
+            vocab_size=getattr(c, "vocab_size", 30522),
+            hidden_size=getattr(c, "dim", 384),
+            num_layers=getattr(c, "num_layers", 12),
+            num_heads=getattr(c, "num_heads", 12),
+            intermediate_size=getattr(c, "hidden_dim", 1536),
+            dtype=jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32,
         )
         self.model = CrossEncoderModel(self.bert_cfg)
         self.tokenizer = load_tokenizer(self.config.weights_path, self.bert_cfg.vocab_size)
