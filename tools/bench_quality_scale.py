@@ -323,6 +323,11 @@ def main(argv=None) -> int:
 
         # --- eval: rerank the hybrid top-rerank_k with the selected blend --
         wide_scores, wide_rows = wide_search(q_texts, q_embs)
+        # decomposition control: the same depth-rerank_k fused pool truncated
+        # to top-k in pure prior order — separates the "deeper fusion pool"
+        # gain from genuine CE reordering in the rerank deltas below
+        systems["hybrid_wide_trunc"] = per_query_rr(
+            np.asarray(wide_rows)[:, :k])
         t0 = time.time()
         _s, rerank_rows = rr.rerank_rows(q_texts, wide_rows, top_k=k,
                                          prior_scores=wide_scores,
@@ -377,6 +382,8 @@ def main(argv=None) -> int:
     if "hybrid_rerank" in systems:
         add_delta("hybrid_rerank", best_leg)
         add_delta("hybrid_rerank", "hybrid_auto")
+        add_delta("hybrid_wide_trunc", "hybrid_auto")
+        add_delta("hybrid_rerank", "hybrid_wide_trunc")
 
     # --- QPS at this N, the calibrated production path --------------------
     bq = min(1024, store.engine.max_query_bucket())
