@@ -613,9 +613,12 @@ class RadiantTPU:
             # installs mode+weights on the pod store first
             self.orchestrator.calibrate_pod_fusion()
             embs = self.local_models.embed(queries)
+            from radiant_rag_tpu.index.hybrid import resolve_fused_depth
+
             return self.store.search_hybrid(
                 embs, queries, top_k=top_k, fused_k=top_k,
-                rrf_k=self.config.retrieval.rrf_k)
+                rrf_k=self.config.retrieval.rrf_k,
+                fused_depth=resolve_fused_depth(self.config.retrieval))
         embs = self.local_models.embed(queries)
         dense = self.store.retrieve_by_embedding_batch(embs, top_k=top_k)
         sparse = self.bm25_index.search_batch(queries, top_k=top_k)

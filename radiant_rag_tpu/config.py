@@ -125,6 +125,13 @@ class RetrievalConfig:
     # "score": z-normalized score interpolation. "equal": reference parity
     # (`agents/fusion.py:79-102`).
     fusion_weighting: str = "auto"
+    # Candidate-pool deepening: both legs are retrieved and fused at this
+    # depth, then the fused list is truncated to fused_top_k (on device).
+    # -1 = auto (4 x fused_top_k, the reference's rerank candidate ratio,
+    # `agents/rerank.py:85-117`); 0 = off. Measured at 100k real-text docs:
+    # depth 32 vs 10 = +0.047 MRR / +0.05 hit@10 at ~no QPS cost
+    # (BENCH_NOTES round 4 rerank decomposition).
+    fused_depth: int = -1
     # fusion-calibration probe budget and style mix (`calibrate_fusion`):
     # probes are ICT spans + synonym paraphrases, split select/confirm for
     # unbiased config selection. calibration_seeds > 1 re-draws probes and

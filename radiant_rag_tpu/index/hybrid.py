@@ -34,6 +34,18 @@ from radiant_rag_tpu.ops.bm25 import (
 from radiant_rag_tpu.ops.fusion import rrf_fuse, score_fuse, weighted_rrf_fuse
 
 
+def resolve_fused_depth(retrieval_cfg) -> int:
+    """Resolve retrieval.fused_depth: -1 (auto) = 4 x fused_top_k — the
+    reference's rerank candidate ratio (`agents/rerank.py:85-117`), measured
+    here to carry the quality gain on its own (BENCH_NOTES round 4:
+    fuse@32 -> top-10 = +0.047 MRR over fuse@10 at 100k real-text docs).
+    0 disables deepening; > 0 is the explicit pool depth."""
+    fd = getattr(retrieval_cfg, "fused_depth", -1)
+    if fd is None or int(fd) < 0:
+        return 4 * int(getattr(retrieval_cfg, "fused_top_k", 15))
+    return int(fd)
+
+
 def _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k, fusion,
                 dense_s=None, bm_s=None):
     """Equal-weight RRF (reference parity), calibration-weighted RRF (the
@@ -86,39 +98,50 @@ def _hybrid_sketch_core(
     queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
     mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
-    select: str = "",
+    select: str = "", pool: int = 0,
 ):
     """Hybrid with impact-sketch BM25 stage-1 (MXU matmul) + EXACT BM25
     candidate rescore — the sparse leg mirrors the dense two-stage design:
-    approximate full-corpus scan, exact scoring of the survivors."""
+    approximate full-corpus scan, exact scoring of the survivors.
+
+    pool > 0 enables candidate-pool deepening: both legs are computed at
+    depth `pool`, fusion runs over the deep pools (output still fused_k),
+    and the returned legs are sliced back to dense_k/bm25_k. Measured on the
+    100k real-text corpus: fusing at pool=32 and truncating to 10 gains
+    +0.047 MRR / +0.05 hit@10 over fusing at 10 (BENCH_NOTES round 4) — a
+    doc ranked 11-32 by one leg but high by the other can enter the fused
+    top-k only if fusion sees it."""
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
     mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
 
+    dk_eff = max(dense_k, pool) if pool else dense_k
+    bk_eff = max(bm25_k, pool) if pool else bm25_k
     dense_s, dense_i = _dense_stage(
-        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc,
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dk_eff, kc,
         mode, select)
 
-    if bm_kc > bm25_k:  # exact rescore of sketch candidates
+    if bm_kc > bk_eff:  # exact rescore of sketch candidates
         _s1, cand = bm25_sketch_select(sketch, sketch_scale, qind, mask, bm_kc, select)
         cand = sim.sort_candidates_by_row(cand)  # exact-path tie-break parity
         exact = bm25_candidate_rescore(dm_tids, dm_tfs, doc_lens, avgdl,
                                        cand, q_tids, q_idfs, k1, b)
-        bm_s, sel = jax.lax.top_k(exact, bm25_k)
+        bm_s, sel = jax.lax.top_k(exact, bk_eff)
         bm_i = jnp.take_along_axis(cand, sel, axis=1)
         bm_i = jnp.where(bm_s > 0.0, bm_i, -1)
     else:
-        bm_s, bm_i = bm25_sketch_select(sketch, sketch_scale, qind, mask, bm25_k, select)
+        bm_s, bm_i = bm25_sketch_select(sketch, sketch_scale, qind, mask, bk_eff, select)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
     fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k,
                                    fusion, dense_s, bm_s)
-    return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
+    return _pack(dense_s[:, :dense_k], dense_i[:, :dense_k],
+                 bm_s[:, :bm25_k], bm_i[:, :bm25_k], fused_s, fused_i)
 
 
 _hybrid_program_sketch = partial(jax.jit, static_argnames=(
     "dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
-    "fusion", "select"))(_hybrid_sketch_core)
+    "fusion", "select", "pool"))(_hybrid_sketch_core)
 
 
 # --------------------------------------------------------------------------
@@ -242,14 +265,14 @@ def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
 
 @partial(jax.jit, static_argnames=("bq", "t", "dense_k", "bm25_k", "fused_k",
                                    "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
-                                   "fusion", "select"))
+                                   "fusion", "select", "pool"))
 def _hybrid_program_sketch_blob(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     sketch, sketch_scale, dm_tids, dm_tfs, doc_lens,
     blob, bq: int, t: int,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
     mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
-    select: str = "",
+    select: str = "", pool: int = 0,
 ):
     d = i8.shape[1]
     s = sketch.shape[1]
@@ -260,12 +283,13 @@ def _hybrid_program_sketch_blob(
         sketch, sketch_scale, qind,
         dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
         queries, qvalid, level_code, lang_code, leg_w,
-        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion, select)
+        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion,
+        select, pool)
 
 
 @partial(jax.jit, static_argnames=("bq", "t", "dense_k", "bm25_k", "fused_k",
                                    "rrf_k", "kc", "bm_kc", "mode", "k1", "b",
-                                   "fusion", "select"))
+                                   "fusion", "select", "pool"))
 def _hybrid_program_sketch_blob_qdev(
     qdev,  # (bq, D) device-resident L2-normalized queries (rows >= n_valid are zero)
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
@@ -273,7 +297,7 @@ def _hybrid_program_sketch_blob_qdev(
     blob, bq: int, t: int,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, bm_kc: int,
     mode: str, k1: float = 1.5, b: float = 0.75, fusion: str = "confidence",
-    select: str = "",
+    select: str = "", pool: int = 0,
 ):
     """The blob program with DEVICE queries: the blob carries only the BM25
     sections (d=0 layout — no fp16 dense block), so an embed program's output
@@ -286,37 +310,41 @@ def _hybrid_program_sketch_blob_qdev(
         sketch, sketch_scale, qind,
         dm_tids, dm_tfs, doc_lens, avgdl, q_tids, q_idfs,
         qdev.astype(jnp.float32), qvalid, level_code, lang_code, leg_w,
-        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion, select)
+        dense_k, bm25_k, fused_k, rrf_k, kc, bm_kc, mode, k1, b, fusion,
+        select, pool)
 
 
-@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion", "select"))
+@partial(jax.jit, static_argnames=("dense_k", "bm25_k", "fused_k", "rrf_k", "kc", "mode", "bq", "num_docs", "k1", "b", "fusion", "select", "pool"))
 def _hybrid_program(
     vecs, codes, i8, i8_scale, i8_offset, valid, level, lang,
     post_rows, post_tf, page_start, page_len, page_qidx, page_idf, doc_lens, avgdl,
     queries, qvalid, level_code, lang_code, leg_w,
     dense_k: int, bm25_k: int, fused_k: int, rrf_k: int, kc: int, mode: str,
     bq: int, num_docs: int, k1: float, b: float, fusion: str = "confidence",
-    select: str = "",
+    select: str = "", pool: int = 0,
 ):
     mask = valid
     mask = mask & jnp.where(level_code < 0, True, level.astype(jnp.int32) == level_code)
     mask = mask & jnp.where(lang_code < 0, True, lang == lang_code)
 
+    dk_eff = max(dense_k, pool) if pool else dense_k
+    bk_eff = max(bm25_k, pool) if pool else bm25_k
     dense_s, dense_i = _dense_stage(
-        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dense_k, kc,
+        vecs, codes, i8, i8_scale, i8_offset, mask, queries, qvalid, dk_eff, kc,
         mode, select)
 
     # exact sparse stage (shares the same mask/row space)
     bm_scores = bm25_pages_scores(
         post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
         doc_lens, avgdl, mask, bq, num_docs, k1, b)
-    bm_s, bm_i = jax.lax.top_k(bm_scores, bm25_k)
+    bm_s, bm_i = jax.lax.top_k(bm_scores, bk_eff)
     bm_i = jnp.where(bm_s > 0.0, bm_i, -1).astype(jnp.int32)
     bm_i = jnp.where(qvalid[:, None], bm_i, -1)
 
     fused_s, fused_i = _fuse_stage(dense_i, bm_i, leg_w, fused_k, rrf_k,
                                    fusion, dense_s, bm_s)
-    return _pack(dense_s, dense_i, bm_s, bm_i, fused_s, fused_i)
+    return _pack(dense_s[:, :dense_k], dense_i[:, :dense_k],
+                 bm_s[:, :bm25_k], bm_i[:, :bm25_k], fused_s, fused_i)
 
 
 class HybridSearcher:
@@ -331,6 +359,13 @@ class HybridSearcher:
         # resolved by calibrate_fusion()'s probe-measured config selection;
         # "auto" queries resolve to this ("confidence" until calibrated)
         self.fusion_mode = "confidence"
+        # candidate-pool deepening default for search_rows(fused_depth=None):
+        # legs are computed and fused at this depth, the fused output is
+        # truncated to fused_k on device. 0 = off (legs at their own k's —
+        # the pre-round-4 semantics every parity test pins). The product
+        # sets this from retrieval.fused_depth (orchestrator/app): measured
+        # +0.047 MRR / +0.05 hit@10 at depth 32 vs 10 on 100k real text.
+        self.default_fused_depth = 0
         self._calibrated_at = -1  # engine.count when last calibrated
         self.last_calibration = None
 
@@ -562,6 +597,10 @@ class HybridSearcher:
         fusion: str = "auto",  # auto (calibration-selected) | confidence | score | equal
         select: str = "",  # stage-1 selection policy ("" = engine/env default)
         fetch: bool = True,  # False -> (device_result, unpack_fn) for pipelining
+        fused_depth: Optional[int] = None,  # candidate-pool deepening: legs
+        # computed + fused at this depth, fused output truncated to fused_k
+        # (None = self.default_fused_depth; 0 = off). BENCH_NOTES round 4:
+        # depth 32 vs 10 at 100k real text = +0.047 MRR / +0.05 hit@10.
         _qdev: Optional[jax.Array] = None,  # device-resident queries, shape
         # (engine bucket, D), pre-padded (Embedder.embed_device). When given,
         # queries_dense is ignored and the blob ships WITHOUT the fp16 dense
@@ -576,6 +615,8 @@ class HybridSearcher:
         select = select or getattr(eng, "stage1_select", "") or sim._default_select()
         if fusion == "auto":  # calibration-selected mode ("confidence" until calibrated)
             fusion = self.fusion_mode
+        if fused_depth is None:
+            fused_depth = self.default_fused_depth
         b = len(queries_text) if _qdev is not None else queries_dense.shape[0]
         if eng.count == 0:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
@@ -590,14 +631,16 @@ class HybridSearcher:
             # pipelining only makes sense within one device program
             res = self.search_rows(queries_dense, queries_text, dense_k, bm25_k,
                                    fused_k, rrf_k, mode, rescore_multiplier,
-                                   level_code, lang_code, bm25_mode, fusion, select)
+                                   level_code, lang_code, bm25_mode, fusion,
+                                   select, fused_depth=fused_depth)
             return None, (lambda: res)
         if b > max_b:  # chunk oversized batches
             parts = [self.search_rows(queries_dense[s : s + max_b],
                                       list(queries_text[s : s + max_b]),
                                       dense_k, bm25_k, fused_k, rrf_k, mode,
                                       rescore_multiplier, level_code, lang_code,
-                                      bm25_mode, fusion, select)
+                                      bm25_mode, fusion, select,
+                                      fused_depth=fused_depth)
                      for s in range(0, b, max_b)]
             return {name: (np.concatenate([p[name][0] for p in parts]),
                            np.concatenate([p[name][1] for p in parts]))
@@ -627,8 +670,15 @@ class HybridSearcher:
         qhost = None if _qdev is not None else np.asarray(queries_dense, np.float32)
         dk = min(dense_k, eng.capacity)
         bk = min(bm25_k, num_docs)
-        fk = min(fused_k, dk + bk)
-        kc = min(max(dk, int(round(dk * rescore_multiplier))), eng.capacity)
+        pool = 0
+        if fused_depth and fused_depth > 0:
+            pool = min(int(fused_depth), eng.capacity, num_docs)
+            if pool <= max(dk, bk):
+                pool = 0  # legs already at least this deep — nothing to gain
+        dk_eff, bk_eff = (max(dk, pool), max(bk, pool)) if pool else (dk, bk)
+        fk = min(fused_k, dk_eff + bk_eff)
+        kc = min(max(dk_eff, int(round(dk_eff * rescore_multiplier))),
+                 eng.capacity)
         bq = eng._bucket_of(b)
         common = (
             eng.vecs, eng.codes, eng.i8, *qz.int8_scale_offset(eng.i8_lo, eng.i8_hi),
@@ -646,7 +696,8 @@ class HybridSearcher:
                 q_bins = np.pad(q_bins, ((0, pad), (0, 0)), constant_values=-1)
                 q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
                 q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
-            bm_kc = min(max(bk, int(round(bk * rescore_multiplier))), num_docs)
+            bm_kc = min(max(bk_eff, int(round(bk_eff * rescore_multiplier))),
+                        num_docs)
             # ONE h2d upload per batch (fp16 queries + sparse bins; see
             # pack_query_blob) — per-batch transfer cost dominated the fused
             # program itself at <=100k docs before this.
@@ -672,7 +723,7 @@ class HybridSearcher:
                 self.bm25._dl_dev,
                 jnp.asarray(blob), bq, int(q_tids.shape[1]),
                 dk, bk, fk, rrf_k, kc, bm_kc, mode,
-                self.bm25.k1, self.bm25.b, fusion, select,
+                self.bm25.k1, self.bm25.b, fusion, select, pool,
             )
             if _qdev is not None:
                 packed = _hybrid_program_sketch_blob_qdev(_qdev, *sketch_args)
@@ -697,7 +748,7 @@ class HybridSearcher:
                 dl, jnp.asarray(self.bm25.avgdl, jnp.float32),
                 *codes_args,
                 dk, bk, fk, rrf_k, kc, mode, bq, num_docs,
-                self.bm25.k1, self.bm25.b, fusion, select,
+                self.bm25.k1, self.bm25.b, fusion, select, pool,
             )
         if not fetch:
             # pipelining seam: hand back the in-flight device result so the

@@ -50,7 +50,7 @@ from radiant_rag_tpu.agents.synthesis import AnswerSynthesisAgent
 from radiant_rag_tpu.agents.tools import ToolSelector, create_default_tool_registry
 from radiant_rag_tpu.agents.web_search import WebSearchAgent
 from radiant_rag_tpu.config import AppConfig
-from radiant_rag_tpu.index.hybrid import HybridSearcher
+from radiant_rag_tpu.index.hybrid import HybridSearcher, resolve_fused_depth
 from radiant_rag_tpu.utils.metrics import RunMetrics
 
 logger = logging.getLogger(__name__)
@@ -160,6 +160,12 @@ class RAGOrchestrator:
         elif (hasattr(store, "source") and hasattr(store.source, "engine")
               and hasattr(bm25_index, "index")):
             self._hybrid = HybridSearcher(store.source.engine, bm25_index._index)
+        if self._hybrid is not None:
+            # candidate-pool deepening (retrieval.fused_depth; -1 = auto
+            # 4 x fused_top_k): every search_rows through this searcher —
+            # serving dispatch, the agentic path, warmup, calibration —
+            # fuses at the same depth, so one jit program serves them all
+            self._hybrid.default_fused_depth = resolve_fused_depth(cfg.retrieval)
 
         self.strategy_memory = (
             RetrievalStrategyMemory(cfg.strategy_memory.path, cfg.strategy_memory.decay)
@@ -677,7 +683,8 @@ class RAGOrchestrator:
         embeddings = self.local_models.embed(list(queries))
         res = self.store.search_hybrid(
             embeddings, list(queries), top_k=max(cfg.dense_top_k, cfg.bm25_top_k),
-            fused_k=cfg.fused_top_k, rrf_k=cfg.rrf_k, return_legs=True)
+            fused_k=cfg.fused_top_k, rrf_k=cfg.rrf_k, return_legs=True,
+            fused_depth=resolve_fused_depth(cfg))
         ctx.dense_docs = dedup_best_score(
             [h for run in res["dense"] for h in run
              if h[1] >= cfg.min_similarity])

@@ -261,30 +261,36 @@ class ShardedVectorStore(BaseVectorStore):
         fused_k: int = 15,
         rrf_k: int = 60,
         return_legs: bool = False,
+        fused_depth: int = 0,
     ):
         """Pod-scale hybrid retrieval, hydrated to documents. Each leg merges
         the sharded base with the delta segment before fusion, so freshly
         ingested docs rank under the same RRF as the base corpus.
         return_legs=True also hydrates the per-leg runs (the orchestrator's
         pod path fills ctx.dense_docs/bm25_docs from them):
-        returns {"fused": [...], "dense": [...], "bm25": [...]}."""
+        returns {"fused": [...], "dense": [...], "bm25": [...]}.
+        fused_depth > top_k deepens the candidate pool: legs retrieved and
+        fused at that depth, fused output truncated to fused_k, returned legs
+        truncated back to top_k (same semantics as the single-device
+        HybridSearcher.search_rows fused_depth)."""
         if self._hybrid is None and self._bm25 is None:
             raise RuntimeError("hybrid serving requires a BM25 index at build")
         embeddings = np.atleast_2d(np.asarray(embeddings, np.float32))
         b = embeddings.shape[0]
+        leg_k = max(top_k, int(fused_depth or 0))
         if self._hybrid is not None:
             res = self._hybrid.hybrid_search(
-                embeddings, list(queries_text), dense_k=top_k, bm25_k=top_k,
+                embeddings, list(queries_text), dense_k=leg_k, bm25_k=leg_k,
                 fused_k=fused_k, rrf_k=rrf_k)
             base_dense, base_bm25 = res["dense"], res["bm25"]
         else:
-            empty = (np.full((b, top_k), -np.inf, np.float32),
-                     np.full((b, top_k), -1, np.int64))
+            empty = (np.full((b, leg_k), -np.inf, np.float32),
+                     np.full((b, leg_k), -1, np.int64))
             base_dense = base_bm25 = empty
-        d_delta = self._delta_dense(embeddings, top_k)
-        s_delta = self._delta_sparse(queries_text, top_k)
-        d_leg = self._merge_leg(base_dense, d_delta, top_k)
-        b_leg = self._merge_leg(base_bm25, s_delta, top_k)
+        d_delta = self._delta_dense(embeddings, leg_k)
+        s_delta = self._delta_sparse(queries_text, leg_k)
+        d_leg = self._merge_leg(base_dense, d_delta, leg_k)
+        b_leg = self._merge_leg(base_bm25, s_delta, leg_k)
         if d_delta is None and s_delta is None and not self._tombstones \
                 and self._hybrid is not None:
             scores, rows = res["fused"]  # pure base: on-device fusion stands
@@ -309,8 +315,9 @@ class ShardedVectorStore(BaseVectorStore):
         fused = hydrate(scores, rows)
         if not return_legs:
             return fused
-        return {"fused": fused, "dense": hydrate(*d_leg),
-                "bm25": hydrate(*b_leg)}
+        return {"fused": fused,
+                "dense": hydrate(d_leg[0][:, :top_k], d_leg[1][:, :top_k]),
+                "bm25": hydrate(b_leg[0][:, :top_k], b_leg[1][:, :top_k])}
 
     # -- admin / listing ------------------------------------------------------
     def list_doc_ids(self) -> List[str]:
