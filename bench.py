@@ -155,6 +155,50 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
             f"batches in {pipe_s:.2f}s -> {rep_qps:.1f} QPS")
         qps = max(qps, rep_qps)
 
+    # Candidate-pool deepening (the round-4 product default,
+    # retrieval.fused_depth = 4 x fused_top_k): same queries, legs fused at
+    # depth 4*TOP_K and truncated on device. Measured separately from the
+    # headline so the QPS series stays comparable across rounds; if the cost
+    # is ~0 the depth number IS the product's serving throughput.
+    depth = int(__import__("os").environ.get("BENCH_FUSED_DEPTH", 4 * TOP_K))
+    depth_stats = {}
+    if depth > 0:
+        searcher.default_fused_depth = depth
+
+        t0 = time.perf_counter()
+        hybrid_batch(queries_dense[:BATCH], queries_text[:BATCH])
+        log(f"fused_depth={depth} warmup/compile: {time.perf_counter()-t0:.1f}s")
+        dtimes = []
+        for b in range(min(8, N_QUERY_BATCHES)):
+            qd = queries_dense[b * BATCH : (b + 1) * BATCH]
+            qt = queries_text[b * BATCH : (b + 1) * BATCH]
+            t0 = time.perf_counter()
+            hybrid_batch(qd, qt)
+            dtimes.append(time.perf_counter() - t0)
+        dmed = float(np.median(dtimes))
+        dpipe = 0.0
+        for rep in range(2):
+            t0 = time.perf_counter()
+            inflight = []
+            for b in range(N_QUERY_BATCHES):
+                qd = queries_dense[b * BATCH : (b + 1) * BATCH]
+                qt = queries_text[b * BATCH : (b + 1) * BATCH]
+                _, unpack = searcher.search_rows(
+                    qd, qt, dense_k=TOP_K, bm25_k=TOP_K, fused_k=FUSED_K,
+                    mode=DENSE_MODE, fetch=False)
+                inflight.append(unpack)
+            for unpack in inflight:
+                unpack()
+            dpipe = max(dpipe, N_QUERY_BATCHES * BATCH / (time.perf_counter() - t0))
+        depth_stats = {
+            "fused_depth": depth,
+            "fused_depth_seq_qps": round(BATCH / dmed, 1),
+            "fused_depth_pipelined_qps": round(dpipe, 1),
+        }
+        log(f"fused_depth={depth}: {dmed*1000:.1f} ms/batch -> "
+            f"{BATCH/dmed:.1f} QPS seq, {dpipe:.1f} pipelined")
+        searcher.default_fused_depth = 0  # restore for the legs/rerank below
+
     # BASELINE config #5: cross-encoder rerank of the hybrid top-40 (the
     # reference reranks top k*4, `agents/rerank.py:85-117`). Opt-in via
     # BENCH_RERANK=1: tokenizes the corpus once into the device token table
@@ -250,6 +294,7 @@ def bench_tpu(vecs, texts, queries_dense, queries_text):
         "warmup_s": round(warmup_s, 1),
         "warmup_small_batch_s": round(warm_small_s, 1),
         "warmup_full_batch_s": round(warm_full_s, 1),
+        **depth_stats,
         **rerank_stats,
     }
 

@@ -20,13 +20,14 @@ class CrossEncoderRerankingAgent(BaseAgent):
 
     def __init__(self, local_models, top_k: int = 8, candidate_multiplier: int = 4,
                  min_candidates: int = 16, max_chars: int = 3000,
-                 enabled: bool = True) -> None:
+                 enabled: bool = True, prior_weight: float = 1.0) -> None:
         super().__init__(enabled=enabled)
         self.local_models = local_models
         self.top_k = top_k
         self.candidate_multiplier = candidate_multiplier
         self.min_candidates = min_candidates
         self.max_chars = max_chars
+        self.prior_weight = prior_weight
 
     def _execute(self, ctx: AgentContext, **kwargs: Any) -> List[DocScore]:
         docs = kwargs.get("docs")
@@ -44,9 +45,31 @@ class CrossEncoderRerankingAgent(BaseAgent):
         candidates = docs[:n_cand]
         ranked = self.local_models.rerank(
             query, [d.content for d, _ in candidates],
-            top_k=top_k, max_chars=self.max_chars,
+            top_k=None, max_chars=self.max_chars,
         )
-        return [(candidates[i][0], float(score)) for i, score in ranked]
+        if self.prior_weight <= 0.0 or len(candidates) < 2:
+            return [(candidates[i][0], float(score))
+                    for i, score in ranked[:top_k]]
+        # Retrieval-prior blend: order by z(CE) + w * z(incoming score) so a
+        # weak/untrained CE cannot drop the fused ordering it consumes (the
+        # device path does the same — `models/device_rerank.py`; measured:
+        # pure CE order with a from-scratch CE = 0.54 MRR vs incoming 0.82,
+        # BENCH_NOTES round 4). Returned scores stay raw CE logits, matching
+        # DeviceReranker's output semantics.
+        import numpy as np
+
+        ce = np.zeros(len(candidates), np.float64)
+        for i, score in ranked:
+            ce[i] = score
+        prior = np.asarray([s for _, s in candidates], np.float64)
+
+        def z(x):
+            sd = x.std()
+            return (x - x.mean()) / (sd if sd > 1e-12 else 1.0)
+
+        final = z(ce) + self.prior_weight * z(prior)
+        order = np.argsort(-final)[:top_k]
+        return [(candidates[int(i)][0], float(ce[int(i)])) for i in order]
 
     def _on_error(self, ctx: AgentContext, exc: Exception, **kwargs: Any) -> List[DocScore]:
         docs = kwargs.get("docs") or ctx.auto_merged_docs or ctx.fused_docs or []

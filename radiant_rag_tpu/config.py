@@ -151,6 +151,13 @@ class RerankConfig:
     candidate_multiplier: int = 4
     min_candidates: int = 16
     max_chars: int = 3000
+    # Retrieval-prior blend: final order = z(CE score) + prior_weight *
+    # z(incoming retrieval score). 0 = pure CE order (reference behavior —
+    # safe only with strong pretrained CE weights); large values degenerate
+    # to the incoming order, so the stage cannot lose to the ordering it
+    # consumes. Measured on 100k real text with a from-scratch CE: pure CE
+    # order 0.54 MRR vs incoming 0.82; w=1.0 blend 0.85 (BENCH_NOTES r4).
+    prior_weight: float = 1.0
 
 
 @dataclass(frozen=True)

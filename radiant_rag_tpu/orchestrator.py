@@ -202,7 +202,8 @@ class RAGOrchestrator:
             candidate_multiplier=cfg.rerank.candidate_multiplier,
             min_candidates=cfg.rerank.min_candidates,
             max_chars=cfg.rerank.max_chars,
-            enabled=p.use_rerank and cfg.rerank.enabled)
+            enabled=p.use_rerank and cfg.rerank.enabled,
+            prior_weight=getattr(cfg.rerank, "prior_weight", 1.0))
         self.synthesis = AnswerSynthesisAgent(
             llm, max_context_docs=cfg.synthesis.max_context_docs,
             max_chars_per_doc=cfg.synthesis.max_chars_per_doc,

@@ -97,13 +97,41 @@ class FakeModels:
 
 
 def test_rerank_candidate_window_and_remap():
+    # prior_weight=0: pure CE ordering (reference parity semantics)
     agent = CrossEncoderRerankingAgent(FakeModels(), top_k=2,
-                                       candidate_multiplier=2, min_candidates=3)
+                                       candidate_multiplier=2, min_candidates=3,
+                                       prior_weight=0.0)
     docs = [(leaf(i), 1.0 - i * 0.1) for i in range(6)]
     out = agent.rerank("q", docs, top_k=2)
     # candidates = max(2*2, 3) = 4 -> fake reranker reverses -> leaf3 first
     assert [d.doc_id for d, _ in out] == ["leaf3", "leaf2"]
     assert out[0][1] >= out[1][1]
+
+
+def test_rerank_prior_blend_guards_against_weak_ce():
+    """With a large prior weight the blend degenerates to the incoming
+    order — an adversarial (reversing) CE cannot destroy the fused ranking
+    it consumes (BENCH_NOTES round 4: pure CE order with a from-scratch CE
+    = 0.54 MRR vs incoming 0.82)."""
+    agent = CrossEncoderRerankingAgent(FakeModels(), top_k=3,
+                                       candidate_multiplier=2,
+                                       prior_weight=100.0)
+    docs = [(leaf(i), 1.0 - i * 0.1) for i in range(8)]
+    out = agent.rerank("q", docs, top_k=3)
+    assert [d.doc_id for d, _ in out] == ["leaf0", "leaf1", "leaf2"]
+    # returned scores are the raw CE logits of the selected docs
+    assert out[0][1] == 1.0  # FakeModels CE score of index 0 in a 6-window
+
+
+def test_rerank_prior_blend_breaks_prior_ties():
+    """Equal incoming scores: the CE decides (the blend's tie-break role)."""
+    agent = CrossEncoderRerankingAgent(FakeModels(), top_k=2,
+                                       candidate_multiplier=2,
+                                       prior_weight=1.0)
+    docs = [(leaf(i), 0.5) for i in range(4)]
+    out = agent.rerank("q", docs, top_k=2)
+    # prior all-tied -> z(prior)=0 -> CE (reversed) order wins
+    assert [d.doc_id for d, _ in out] == ["leaf3", "leaf2"]
 
 
 def test_rerank_on_error_truncates_input():

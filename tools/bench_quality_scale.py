@@ -189,6 +189,10 @@ def main(argv=None) -> int:
     assert probe_rows == [0, n // 2, n - 1], probe_rows
 
     searcher = HybridSearcher(store.engine, bm25)
+    # product parity: serving fuses the legs at retrieval.fused_depth
+    # (auto = 4 x fused_top_k) and truncates on device — measure the same
+    # path here (calibration below inherits it too, as in production)
+    searcher.default_fused_depth = 4 * args.top_k
 
     def text_of(row: int):
         return texts[row] if 0 <= row < n else None
@@ -229,11 +233,18 @@ def main(argv=None) -> int:
                 rr[qi] = 1.0 / (hits.index(int(tgt[qi])) + 1)
         return rr
 
+    # shallow-fusion control: the pre-round-4 path (legs fused at k) — the
+    # paired delta against hybrid_auto isolates the fused_depth gain
+    res_shallow = searcher.search_rows(np.asarray(q_embs, np.float32),
+                                       q_texts, dense_k=k, bm25_k=k,
+                                       fused_k=k, mode=mode, fusion="auto",
+                                       fused_depth=0)
     systems = {
         "dense_exact": per_query_rr(exact_rows),
         "dense_int8_two_stage": per_query_rr(res["dense"][1]),
         "bm25": per_query_rr(res["bm25"][1]),
         "hybrid_auto": per_query_rr(res["fused"][1]),
+        "hybrid_fused_at_k": per_query_rr(res_shallow["fused"][1]),
     }
     style = np.asarray(q_style)
 
@@ -379,6 +390,7 @@ def main(argv=None) -> int:
 
     add_delta("hybrid_auto", "bm25")
     add_delta("hybrid_auto", "dense_int8_two_stage")
+    add_delta("hybrid_auto", "hybrid_fused_at_k")
     if "hybrid_rerank" in systems:
         add_delta("hybrid_rerank", best_leg)
         add_delta("hybrid_rerank", "hybrid_auto")
