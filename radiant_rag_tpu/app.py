@@ -343,7 +343,15 @@ class RadiantTPU:
             return {}
         engine = getattr(self.store, "engine", None)
         if max_batch <= 0:
-            max_batch = engine.max_query_bucket() if engine is not None else 256
+            # size to the HYBRID gate where a fused searcher exists: at the
+            # pages-only 10M tier it admits smaller buckets than the
+            # engine's (chunked-select) gate, and warming unusable buckets
+            # would compile programs serving can never dispatch
+            searcher = self._fused_searcher()
+            if searcher is not None:
+                max_batch = searcher.max_query_bucket()
+            else:
+                max_batch = engine.max_query_bucket() if engine is not None else 256
         if engine is not None:
             # EVERY bucket the coalescer can round a live batch up to: an
             # unwarmed bucket ambushes a request with the per-process

@@ -48,6 +48,14 @@ def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.findall(text.lower()) if len(t) > 1]
 
 
+def _round_up(n: int, quantum: int) -> int:
+    """Smallest multiple of `quantum` >= n (postings padding: pow2 padding
+    doubled the device postings arrays at the 10M tier — 600M postings
+    padded to 1.07B cost +3.8 GB HBM for nothing; gathers are clamped and
+    len-masked, so any size >= total is valid)."""
+    return -(-n // quantum) * quantum
+
+
 def _next_pow2(n: int, floor: int = 64) -> int:
     p = floor
     while p < n:
@@ -132,6 +140,15 @@ class BM25Index:
         # (doc-major tables) and the pages route for rare-term queries bound
         # the quality cost (docs/QUANTIZATION.md, sketch fidelity study).
         self.sketch_hbm_budget_gb = float(sketch_hbm_budget_gb)
+        # configured ceiling — `sketch_dim` is the LIVE value that plan_hbm
+        # may reduce (or zero out -> pages-only tier) for the current corpus
+        # size; the cfg survives so a rebuild at smaller N restores fidelity
+        self._sketch_dim_cfg = sketch_dim
+        # doc-major rescore-table width (terms kept per doc for the sketch
+        # path's exact rescore; 512-char chunks have ~60 unique terms).
+        # plan_hbm reduces it at scale — the table is 8 bytes/term/doc and
+        # was the round-4 10M OOM's largest single contributor (10.2 GB).
+        self.doc_major_width = 128
         # method='auto' routes a batch to the exact pages path when every
         # query's total posting volume is at most this many postings (rare
         # terms: exact AND cheap; also where hashed-sketch stage-1 is weakest
@@ -336,8 +353,12 @@ class BM25Index:
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
     def _device_doc_lens(self, num_rows: int) -> jnp.ndarray:
+        # exact sizing: callers pass the engine capacity (hybrid asserts
+        # _dl_size == capacity) or an already-rounded row count — pow2
+        # padding here would desync from the engine's quantum-rounded
+        # capacity above CAPACITY_QUANTUM
         if self._dl_dirty or self._dl_size < num_rows:
-            size = _next_pow2(max(num_rows, 1), floor=256)
+            size = max(num_rows, 256)
             dl = np.zeros((size,), np.float32)
             for row, ln in self.doc_lens.items():
                 if row < size:
@@ -381,7 +402,7 @@ class BM25Index:
         counts = np.bincount(all_tids, minlength=t) if total else np.zeros(t, np.int64)
         starts = np.zeros((t + 1,), np.int64)
         np.cumsum(counts, out=starts[1:])
-        size = _next_pow2(max(total, 1), floor=PAGE_SIZE)
+        size = _round_up(max(total, 1), PAGE_SIZE)
         rows = np.zeros((size,), np.int32)
         tfs = np.zeros((size,), np.float32)
         rows[:total] = all_rows[order]
@@ -416,6 +437,75 @@ class BM25Index:
             self._term_bin[tid] = b
         return b
 
+    def plan_hbm(self, num_docs: int) -> None:
+        """Fit the sketch path's device structures to the HBM budget.
+
+        The budget (sketch_hbm_budget_gb) covers BOTH per-doc structures the
+        MXU sketch path keeps resident: the (N, S) int8 sketch and the
+        (N, L) doc-major rescore tables (8 bytes/term/doc — the round-4 10M
+        OOM's single largest contributor at L=128). Degrade order, cheapest
+        fidelity cost first: L 128->64 (chunks have ~60 unique terms, near
+        lossless), then S halves to 128 (collisions rise; the exact rescore
+        and the pages route bound the cost — docs/QUANTIZATION.md), then
+        L=32, then the sketch tier is DISABLED (sketch_dim=0): the corpus
+        serves pages-only, the documented >=10M configuration. Recomputed
+        from the configured ceiling each call, so a rebuild at smaller N
+        restores fidelity."""
+        if self._sketch_dim_cfg <= 0:
+            self.sketch_dim = 0
+            return
+        budget = int(self.sketch_hbm_budget_gb * (1 << 30))
+        cands = [(self._sketch_dim_cfg, 128), (self._sketch_dim_cfg, 64)]
+        s = self._sketch_dim_cfg // 2
+        while s >= 128:
+            cands.append((s, 64))
+            s //= 2
+        cands.append((128, 32))
+        plan = next(((ps, pl) for ps, pl in cands
+                     if num_docs * (ps + pl * 8) <= budget), None)
+        if plan is None:
+            if self.sketch_dim != 0:
+                logger.warning(
+                    "bm25 hbm plan: %d docs cannot fit the sketch tier's "
+                    "minimum (S=128 + L=32 doc-major = %.1f GB) in the "
+                    "%.1f GB budget; serving PAGES-ONLY (exhaustive-exact "
+                    "postings scoring on device).", num_docs,
+                    num_docs * (128 + 32 * 8) / (1 << 30),
+                    self.sketch_hbm_budget_gb)
+            self.sketch_dim = 0
+            return
+        ps, pl = plan
+        if ps != self.sketch_dim:
+            if self.sketch_dim and ps < self.sketch_dim:
+                logger.warning(
+                    "bm25 hbm plan: %d docs reduce sketch S %d -> %d "
+                    "(budget %.1f GB). Rare-term queries still route to "
+                    "the exact pages path.", num_docs, self.sketch_dim, ps,
+                    self.sketch_hbm_budget_gb)
+            self.sketch_dim = ps
+            self._term_bin.clear()  # bins depend on S; rehash lazily
+            self._sketch_dirty = True
+        if pl != self.doc_major_width:
+            logger.info("bm25 hbm plan: doc-major width %d -> %d at %d docs",
+                        self.doc_major_width, pl, num_docs)
+            self.doc_major_width = pl
+            self._dm_dirty = True
+
+    def device_bytes_projected(self, num_docs: int) -> int:
+        """Projected device-HBM residency of this index's arrays at
+        num_docs rows under the CURRENT plan (call plan_hbm first). Used by
+        the hybrid path to shrink the query-bucket gate's transient budget."""
+        if self._dev_post_rows is not None:
+            post = int(self._dev_post_rows.size) * 8
+        elif self._term_start is not None:
+            post = _round_up(max(int(self._term_start[-1]), 1), PAGE_SIZE) * 8
+        else:
+            post = 0
+        b = post + num_docs * 4  # doc_lens
+        if self.sketch_dim > 0:
+            b += num_docs * (self.sketch_dim + self.doc_major_width * 8)
+        return b
+
     def ensure_sketch(self, num_docs: int) -> None:
         """Build/refresh the (num_docs, S) int8 impact sketch on device.
 
@@ -424,24 +514,9 @@ class BM25Index:
         hashed term bins host-side with np.bincount (a device scatter into
         num_docs*S elements is pathological at scale); stage-1 BM25 is then an
         int8 MXU matmul (`ops/bm25.py:bm25_sketch_scores`)."""
+        self.plan_hbm(num_docs)
         if self.sketch_dim <= 0:
             return
-        budget = int(self.sketch_hbm_budget_gb * (1 << 30))
-        if num_docs * self.sketch_dim > budget:
-            new_dim = self.sketch_dim
-            while new_dim > 128 and num_docs * new_dim > budget:
-                new_dim //= 2
-            logger.warning(
-                "bm25 sketch: %d docs x S=%d = %.1f GB exceeds the %.1f GB "
-                "HBM budget; reducing S to %d (%.1f GB). Rare-term queries "
-                "still route to the exact pages path.",
-                num_docs, self.sketch_dim,
-                num_docs * self.sketch_dim / (1 << 30),
-                self.sketch_hbm_budget_gb, new_dim,
-                num_docs * new_dim / (1 << 30))
-            self.sketch_dim = new_dim
-            self._term_bin.clear()  # bins depend on S; rehash lazily
-            self._sketch_dirty = True
         if not self._sketch_dirty and self._sketch_rows >= num_docs:
             return
         self._finalize_csr()
@@ -485,10 +560,12 @@ class BM25Index:
         self._sketch_dirty = False
 
     # -- doc-major table (exact candidate rescore) --------------------------
-    def ensure_doc_major(self, num_docs: int, max_terms: int = 128) -> None:
+    def ensure_doc_major(self, num_docs: int, max_terms: int = 0) -> None:
         """Build (num_docs, L) device term-id/tf tables for exact candidate
         rescoring after the sketch scan. Docs with more than L unique terms
-        keep their L highest-tf terms (512-char chunks have ~60)."""
+        keep their L highest-tf terms (512-char chunks have ~60). Default
+        width is the HBM plan's (plan_hbm; 128 below ~2M docs)."""
+        max_terms = max_terms or self.doc_major_width
         if (not getattr(self, "_dm_dirty", True)
                 and getattr(self, "_dm_rows", 0) >= num_docs
                 and getattr(self, "_dm_width", 0) == max_terms):
@@ -732,10 +809,11 @@ class BM25Index:
         if valid_mask is not None:
             n_rows = max(n_rows, int(valid_mask.shape[0]))
         self._device_doc_lens(n_rows)
-        n_rows = self._dl_size  # pow2 >= everything above
+        n_rows = self._dl_size  # >= everything above
         dl = self._dl_dev
 
         self._finalize_csr()
+        self.plan_hbm(n_rows)  # may disable the sketch tier at scale
         tids_list = self.query_tids(queries)  # tokenize ONCE per batch
 
         mask = valid_mask
@@ -753,6 +831,10 @@ class BM25Index:
                           if self.query_posting_volume(queries, tids_list)
                           <= self.pages_route_threshold
                           else "sketch")
+        if method == "sketch" and self.sketch_dim <= 0:
+            # explicit sketch request at a corpus size the HBM plan serves
+            # pages-only (plan_hbm above) — honor the budget, not the arg
+            method = "pages"
         if method == "sketch":
             from radiant_rag_tpu.ops.bm25 import bm25_sketch_rescore_topk
 
@@ -906,7 +988,7 @@ class PersistentBM25Index:
                             b=float(data.get("b", self._index.b)),
                             max_query_terms=self._index.max_query_terms,
                             max_postings=self._index.max_postings,
-                            sketch_dim=self._index.sketch_dim,
+                            sketch_dim=self._index._sketch_dim_cfg,
                             pages_route_threshold=self._index.pages_route_threshold,
                             sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
             resolved = 0
@@ -1005,7 +1087,7 @@ class PersistentBM25Index:
             self._index = BM25Index(k1=self._index.k1, b=self._index.b,
                                     max_query_terms=self._index.max_query_terms,
                                     max_postings=self._index.max_postings,
-                                    sketch_dim=self._index.sketch_dim,
+                                    sketch_dim=self._index._sketch_dim_cfg,
                                     pages_route_threshold=self._index.pages_route_threshold,
                                     sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
             self._index.bulk_build(rows, texts)

@@ -24,6 +24,7 @@ All queries run as single fused jit programs (ops/similarity.py). Filters
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -44,6 +45,20 @@ def _next_pow2(n: int, floor: int = 1) -> int:
     while p < n:
         p *= 2
     return p
+
+
+# Capacity rounding: pow2 while small (cheap, few recompiles), then multiples
+# of this quantum. Pow2 all the way up wastes real HBM at the 10M tier — a
+# 10M-row reserve would pad to 16.78M, inflating every per-row array by 1.67x
+# (int8 alone +2.5 GB; the round-4 10M product run OOM'd on exactly this).
+# 65536 is TILE_N-aligned (pallas path needs capacity % 1024 == 0).
+CAPACITY_QUANTUM = 1 << 16
+
+
+def _round_capacity(n: int) -> int:
+    if n <= CAPACITY_QUANTUM:
+        return _next_pow2(max(n, 256))
+    return -(-n // CAPACITY_QUANTUM) * CAPACITY_QUANTUM
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -134,6 +149,10 @@ class DeviceVectorIndex:
     # in 16 GB HBM, so the budget models the LARGEST single transient plus
     # corpus residency headroom (vecs+i8+codes ~2.2 GB at 1M x 384).
     SCORE_BYTES_CAP = 9 << 30
+    # Usable HBM on the target chip (v5e: 15.75 GB physical; keep headroom
+    # for outputs/fragmentation). The transient budget is the MINIMUM of
+    # SCORE_BYTES_CAP and what residency leaves free (_transient_budget).
+    HBM_USABLE_BYTES = int(float(os.environ.get("RAD_HBM_GB", "15.0")) * (1 << 30))
 
     def __init__(
         self,
@@ -154,7 +173,7 @@ class DeviceVectorIndex:
         self.dim = dim
         self.words = qz.packed_words(dim)
         self.count = 0
-        self.capacity = _next_pow2(max(initial_capacity, 256))
+        self.capacity = _round_capacity(max(initial_capacity, 256))
         self.device = device
         self.store_fp32 = store_fp32
         import jax.numpy as _jnp
@@ -184,7 +203,16 @@ class DeviceVectorIndex:
         self.graph = None
 
     def _auto_select(self) -> str:
-        """Capacity-aware stage-1 select default (see __init__ comment)."""
+        """Capacity-aware stage-1 select default (see __init__ comment).
+
+        Above the size where even a modest serving bucket's (B, N) stage-1
+        transient no longer fits next to the corpus residency (~9-10M rows
+        fp32-free), flip to the bounded-footprint chunked scan — the measured
+        10M configuration (BENCH_NOTES: 8.4k QPS at 0.9625 recall in <7 GB).
+        Non-chunked stays the default below that: chunked LOSES at 1M
+        (round-3 settled result)."""
+        if 256 * self.capacity * 4 > self._transient_budget():
+            return "bf16_chunked"
         return "bf16" if self.capacity >= (1 << 20) else "f32"
 
     # -- allocation --------------------------------------------------------
@@ -207,12 +235,15 @@ class DeviceVectorIndex:
         final size (ingest knows its chunk count before upserting) reserve
         once instead."""
         if total_rows > self.capacity:
-            self._grow(total_rows)
+            self._grow(total_rows, tight=True)
 
-    def _grow(self, need: int) -> None:
-        new_cap = self.capacity
-        while new_cap < need:
-            new_cap *= 2
+    def _grow(self, need: int, tight: bool = False) -> None:
+        # tight (reserve with a known final size): quantum-rounded, no
+        # doubling slack — at 10M rows pow2 padding would waste 1.67x HBM
+        # on every per-row array. Incremental growth keeps amortized
+        # doubling (quantum-aligned once past CAPACITY_QUANTUM).
+        new_cap = (_round_capacity(need) if tight
+                   else _round_capacity(max(need, self.capacity * 2)))
         logger.info("growing device index %d -> %d rows", self.capacity, new_cap)
         pad = new_cap - self.capacity
 
@@ -376,7 +407,24 @@ class DeviceVectorIndex:
         return s, i
 
     # -- queries -----------------------------------------------------------
-    def max_query_bucket(self) -> int:
+    def resident_bytes(self) -> int:
+        """Device HBM held by the corpus arrays at current capacity."""
+        m = self.memory_bytes()
+        aux = self.capacity * 10  # valid(1) + level(1) + lang(4) + doc_len(4)
+        return sum(m.values()) + aux
+
+    def _transient_budget(self, extra_resident: int = 0) -> int:
+        """Bytes available for the peak stage-1 transient: what's left of
+        the chip after corpus residency (plus any caller-resident arrays,
+        e.g. the hybrid path's BM25 structures), capped by SCORE_BYTES_CAP's
+        measured sequential-scheduling model. At <=1M the cap binds (budget
+        unchanged vs rounds 2-3); at 10M residency binds — a fixed cap there
+        compiled 17 GB programs and OOM'd (round-4 10M product run)."""
+        free = self.HBM_USABLE_BYTES - self.resident_bytes() - extra_resident
+        return max(0, min(self.SCORE_BYTES_CAP, free))
+
+    def max_query_bucket(self, extra_resident: int = 0,
+                         score_gated: bool = False) -> int:
         """Largest usable query bucket for this corpus size (HBM-gated).
 
         Accounting is 4 bytes per (bucket, capacity) element for the PEAK
@@ -387,7 +435,12 @@ class DeviceVectorIndex:
         budgets one such buffer, not two. This admits B=2048 at 1M docs
         (pipelined QPS 15.9k -> 21.5k measured in round 2) and B=4096 to
         ~590k docs. RAD_MAX_QUERY_BUCKET still overrides for deployments
-        that validated something else on their chip."""
+        that validated something else on their chip.
+
+        score_gated=True forces the (B, N) gate even under a chunked dense
+        select — the hybrid path passes it because its BM25 legs materialize
+        (B, N) regardless of how the dense leg scans (extra_resident carries
+        the BM25 device arrays' bytes)."""
         import os
 
         override = os.environ.get("RAD_MAX_QUERY_BUCKET")
@@ -398,13 +451,19 @@ class DeviceVectorIndex:
             # the operator validated
             fits = [b for b in self.QUERY_BUCKETS if b <= int(override)]
             return fits[-1] if fits else self.QUERY_BUCKETS[0]
-        if self.stage1_select.endswith("chunked"):
+        budget = self._transient_budget(extra_resident)
+        if self.stage1_select.endswith("chunked") and not score_gated:
             # chunked stage-1 never materializes (B, N): peak transient is
-            # (B, SCAN_CHUNK), so the score-buffer gate does not apply —
-            # this is the >=10M fp32-free serving configuration
-            return self.QUERY_BUCKETS[-1]
+            # (B, SCAN_CHUNK) — this is the >=10M fp32-free serving
+            # configuration. Still bounded by the chunk buffer.
+            from radiant_rag_tpu.ops.similarity import SCAN_CHUNK
+
+            cap = self.QUERY_BUCKETS[-1]
+            while cap > 1 and cap * SCAN_CHUNK * 4 > budget:
+                cap //= 2
+            return cap
         cap = self.QUERY_BUCKETS[-1]
-        while cap > 256 and cap * self.capacity * 4 > self.SCORE_BYTES_CAP:
+        while cap > 1 and cap * self.capacity * 4 > budget:
             cap //= 2
         return cap
 

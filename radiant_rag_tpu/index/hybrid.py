@@ -369,6 +369,18 @@ class HybridSearcher:
         self._calibrated_at = -1  # engine.count when last calibrated
         self.last_calibration = None
 
+    def max_query_bucket(self) -> int:
+        """Hybrid-aware bucket gate: the engine gate forced to score mode
+        (the BM25 legs materialize a (B, N) transient even under a chunked
+        dense select) minus the BM25 device arrays' residency. Serving
+        callers size coalescer batches/warmup ladders with THIS, not the
+        engine gate — at the pages-only 10M tier the two diverge."""
+        eng = self.engine
+        self.bm25.plan_hbm(eng.capacity)
+        return eng.max_query_bucket(
+            extra_resident=self.bm25.device_bytes_projected(eng.capacity),
+            score_gated=True)
+
     def rebind_bm25(self, bm25: BM25Index) -> None:
         """Point at a replacement BM25 index (load/rebuild swaps the object).
 
@@ -622,7 +634,13 @@ class HybridSearcher:
             empty = lambda k: (np.full((b, k), -1e30, np.float32), np.full((b, k), -1, np.int64))
             res = {"dense": empty(dense_k), "bm25": empty(bm25_k), "fused": empty(fused_k)}
             return (None, lambda: res) if not fetch else res
-        max_b = eng.max_query_bucket()
+        self.bm25._finalize_csr()
+        # Hybrid-aware bucket gate: the BM25 legs materialize a (B, N)
+        # 4-byte transient regardless of the dense select mode (sketch MXU
+        # accumulator is int32, pages scatter is f32), so the gate is forced
+        # even under a chunked dense select, and the BM25 device arrays
+        # (postings/sketch/doc-major) shrink the free-HBM transient budget.
+        max_b = self.max_query_bucket()  # also runs bm25.plan_hbm
         if _qdev is not None and b > max_b:
             # oversized batches take the host chunking path below
             queries_dense = np.asarray(_qdev)[:b]
@@ -646,7 +664,6 @@ class HybridSearcher:
                            np.concatenate([p[name][1] for p in parts]))
                     for name in ("dense", "bm25", "fused")}
 
-        self.bm25._finalize_csr()
         q_tids_list = self.bm25.query_tids(queries_text)  # tokenize ONCE per batch
         if self.bm25.sketch_dim <= 0:
             bm25_mode = "pages"
@@ -659,7 +676,7 @@ class HybridSearcher:
                          if self.bm25.query_posting_volume(queries_text, q_tids_list)
                          <= self.bm25.pages_route_threshold
                          else "sketch")
-        num_docs = eng.capacity  # pow2; bm25 doc_lens sized to match
+        num_docs = eng.capacity  # bm25 doc_lens sized to match exactly
 
         if _qdev is not None and bm25_mode != "sketch":
             # the exact-pages program takes host-bucketed queries; this path

@@ -346,21 +346,48 @@ def test_double_update_between_finalizes_keeps_latest_only():
 
 
 def test_sketch_hbm_budget_reduces_dim():
-    """10M-scale guard (VERDICT r4 #5a): when N x S int8 exceeds the HBM
-    budget, ensure_sketch halves S (pow2, floor 128), rehashes term bins,
-    and search results stay correct (stage-2 rescore is exact)."""
+    """10M-scale guard (VERDICT r4 #5a): when the sketch tier's device
+    structures exceed the HBM budget (the (N,S) sketch AND the (N,L)
+    doc-major rescore table — 8 B/term/doc), plan_hbm degrades S/L in
+    fidelity order, rehashes term bins, and search results stay correct
+    (stage-2 rescore is exact)."""
     from radiant_rag_tpu.index.bm25 import BM25Index
 
     n = 600
     texts = [f"alpha{i % 7} shared beta{i} gamma{i % 11}" for i in range(n)]
-    # budget allows only n*256 bytes -> S must drop 1024 -> 256
+    # budget allows n*(256 + 64*8) bytes -> plan lands on S=256, L=64
     idx = BM25Index(sketch_dim=1024,
-                    sketch_hbm_budget_gb=n * 256 / (1 << 30))
+                    sketch_hbm_budget_gb=n * (256 + 64 * 8) / (1 << 30))
     idx.bulk_build(list(range(n)), texts)
     idx.ensure_sketch(n)
     assert idx.sketch_dim == 256
+    assert idx.doc_major_width == 64
     assert idx._sketch.shape == (n, 256)
     s, rows = idx.search_rows_batch(["beta42 alpha0", "gamma3 shared"],
                                     top_k=5, method="sketch",
                                     valid_mask=None, num_rows=n)
     assert 42 in [int(r) for r in rows[0]]
+
+
+def test_hbm_plan_pages_only_tier():
+    """Past the size where even the minimum sketch config (S=128, L=32)
+    exceeds the budget, the plan disables the sketch tier entirely and
+    every query — including explicit method='sketch' — serves via the
+    exact pages path (the documented >=10M configuration)."""
+    from radiant_rag_tpu.index.bm25 import BM25Index
+
+    n = 400
+    texts = [f"alpha{i % 7} shared beta{i}" for i in range(n)]
+    idx = BM25Index(sketch_dim=1024,
+                    sketch_hbm_budget_gb=n * 100 / (1 << 30))  # < S128+L32
+    idx.bulk_build(list(range(n)), texts)
+    s, rows = idx.search_rows_batch(["beta42 alpha0"], top_k=5,
+                                    method="sketch", num_rows=n)
+    assert idx.sketch_dim == 0  # pages-only tier
+    assert idx._sketch is None
+    assert 42 in [int(r) for r in rows[0]]
+    # a rebuild at small N under a roomy budget restores the configured S
+    idx2 = BM25Index(sketch_dim=1024)
+    idx2.bulk_build(list(range(10)), texts[:10])
+    idx2.ensure_sketch(10)
+    assert idx2.sketch_dim == 1024

@@ -298,7 +298,10 @@ def test_max_query_bucket_hbm_gate(monkeypatch):
     """The HBM gate budgets the PEAK single (B, N) 4-byte transient
     (sequential leg scheduling — see engine.SCORE_BYTES_CAP): measured-safe
     points are B=4096 at <=512k rows and B=2048 at 1M rows (chip-validated,
-    BENCH_NOTES round 2/3); 2M rows drops to 1024; the floor is 256."""
+    BENCH_NOTES round 2/3); 2M rows drops to 1024. There is NO fixed floor:
+    past ~9M rows the bucket keeps shrinking so the transient stays inside
+    the budget (the old 256 floor compiled 17 GB programs at 16.7M rows —
+    the round-4 10M OOM); the dense auto-select flips to chunked there."""
     from radiant_rag_tpu.index.engine import DeviceVectorIndex
 
     monkeypatch.delenv("RAD_MAX_QUERY_BUCKET", raising=False)
@@ -308,15 +311,14 @@ def test_max_query_bucket_hbm_gate(monkeypatch):
         (1 << 19, 4096),   # 512k — admitted by the sequential model
         (1 << 20, 2048),   # 1M north-star corpus
         (1 << 21, 1024),
-        (1 << 23, 256),    # floor: chunked select / fp32-free territory
-        (1 << 25, 256),
+        (1 << 23, 256),    # 8.4M: last capacity where 256 fits the budget
+        (1 << 25, 64),     # 33.5M: keeps shrinking — no floor
     ]:
         eng.capacity = capacity
         got = eng.max_query_bucket()
         assert got == expect, (capacity, got, expect)
-        # budget actually respected (except at the floor)
-        if got > 256:
-            assert got * capacity * 4 <= DeviceVectorIndex.SCORE_BYTES_CAP
+        # budget actually respected
+        assert got * capacity * 4 <= DeviceVectorIndex.SCORE_BYTES_CAP
 
 
 def test_max_query_bucket_override_clamps_to_real_bucket(monkeypatch):
@@ -355,7 +357,16 @@ def test_stage1_select_auto_policy(monkeypatch):
     assert DeviceVectorIndex(16, initial_capacity=256).stage1_select == "f32"
     big = DeviceVectorIndex.__new__(DeviceVectorIndex)
     big.capacity = 1 << 20
+    big.dim, big.words, big.store_fp32 = 16, 1, True
+    import jax.numpy as _jnp
+
+    big.vec_dtype = _jnp.float32
     assert DeviceVectorIndex._auto_select(big) == "bf16"
+    # deep fp32-free territory: even a B=256 (B, N) transient no longer fits
+    # next to the residency -> the auto policy flips to the chunked scan
+    big.capacity = 24 << 20
+    big.store_fp32 = False
+    assert DeviceVectorIndex._auto_select(big) == "bf16_chunked"
 
     eng = DeviceVectorIndex(16, initial_capacity=256)
     eng._grow(1 << 20)

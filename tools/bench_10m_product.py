@@ -119,8 +119,11 @@ def main(argv=None) -> int:
     log(f"bm25 build: {t_bm25:.1f}s")
 
     searcher = HybridSearcher(store.engine, bm25)
-    bq = args.batch or min(1024, store.engine.max_query_bucket())
-    log(f"query batch: {bq} (engine max {store.engine.max_query_bucket()})")
+    # hybrid gate, not engine gate: at the pages-only 10M tier the BM25 legs
+    # still materialize (B, N) while the chunked dense select does not
+    bq = args.batch or min(1024, searcher.max_query_bucket())
+    log(f"query batch: {bq} (hybrid max {searcher.max_query_bucket()}, "
+        f"engine max {store.engine.max_query_bucket()})")
 
     qidx = rng.integers(0, n, args.queries)
     oracle_q = vecs[qidx] + 0.25 * rng.standard_normal(
@@ -196,9 +199,9 @@ def main(argv=None) -> int:
         arr = getattr(eng, name, None)
         if arr is not None and hasattr(arr, "nbytes"):
             hbm += arr.nbytes
-    sketch_b = bm25._sketch.nbytes if bm25._sketch is not None else 0
-    log(f"HBM: engine {hbm / 2**30:.2f} GB + sketch {sketch_b / 2**30:.2f} GB "
-        f"(S={bm25.sketch_dim})")
+    bm_dev = bm25.device_bytes_projected(eng.capacity)
+    log(f"HBM: engine {hbm / 2**30:.2f} GB + bm25 device {bm_dev / 2**30:.2f} "
+        f"GB (sketch S={bm25.sketch_dim}; 0 = pages-only tier)")
 
     # ---- persist -> restore -> serve ----
     t0 = time.time()
@@ -208,7 +211,8 @@ def main(argv=None) -> int:
                if f.is_file())
     log(f"save: {t_save:.1f}s ({disk / 2**30:.2f} GB on disk)")
 
-    del store
+    del searcher, res  # drop every ref to the old engine's device arrays —
+    del store          # two 10M corpora cannot coexist in HBM at restore
     t0 = time.time()
     store2 = TpuVectorStore.load(data_dir, index_config=cfg)
     t_load = time.time() - t0
@@ -232,7 +236,7 @@ def main(argv=None) -> int:
         "dense_recall_at_10_vs_fp32": round(float(recall), 4),
         "bm25_sketch_dim_effective": bm25.sketch_dim,
         "hbm_gb": {"engine": round(hbm / 2**30, 2),
-                   "bm25_sketch": round(sketch_b / 2**30, 2)},
+                   "bm25_device": round(bm_dev / 2**30, 2)},
         "host_ram_high_water_gb": round(rss_gb(), 1),
         "disk_gb": round(disk / 2**30, 2),
         "timings_s": {"corpus_gen": round(t_gen, 1),
