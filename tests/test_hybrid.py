@@ -414,15 +414,16 @@ def test_calibration_selects_fusion_mode(rng):
     assert cal["fusion_mode"] in ("confidence", "score")
     assert "probe_fused_mrr" in cal and "confidence" in cal["probe_fused_mrr"]
     # held-out selection: every candidate carries select + confirm MRR and
-    # the chosen config is a top-select finalist (within eps of the best
-    # select MRR is not required — the confirm half arbitrates finalists)
+    # the chosen config comes from the pooled near-tie set — within eps
+    # (0.02, plus the 0.01 confirm-override margin) of the best select MRR
     chosen_key = ("confidence" if cal["fusion_mode"] == "confidence"
                   else f"score@{cal['weights'][0]:.2f}")
     table = cal["probe_fused_mrr"]
     assert chosen_key in table
     assert set(table[chosen_key]) == {"select", "confirm"}
-    select_ranked = sorted((v["select"] for v in table.values()), reverse=True)
-    assert table[chosen_key]["select"] >= select_ranked[min(2, len(select_ranked) - 1)]
+    best_select = max(v["select"] for v in table.values())
+    assert table[chosen_key]["select"] >= best_select - 0.03 - 1e-9
+    assert chosen_key in cal["pooled_near_ties"]
     assert cal["n_seeds"] >= 1 and cal["seed_configs"]
 
     # 'auto' resolves to the selected mode: identical results
