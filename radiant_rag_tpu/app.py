@@ -67,6 +67,7 @@ class RadiantTPU:
             auto_build=self.config.bm25.auto_build,
             sketch_dim=self.config.bm25.sketch_dim,
             sketch_hbm_budget_gb=self.config.bm25.sketch_hbm_budget_gb,
+            disc_route_df_frac=self.config.bm25.disc_route_df_frac,
         )
         if hasattr(self.store, "attach_bm25"):
             # sharded pod backend: hand it the BM25 index (built after the

@@ -100,6 +100,11 @@ class BM25Config:
     # default S=1024 would need 10.2 GB, so the index auto-halves S to fit
     # (exact pages routing covers rare-term queries regardless)
     sketch_hbm_budget_gb: float = 3.0
+    # auto-router: a query containing a term with df <= this fraction of
+    # live docs takes the exact pages path even at high posting volume
+    # (the sketch measurably fails "discriminative term at volume" traffic
+    # at the 1M scale — BENCH_NOTES router study)
+    disc_route_df_frac: float = 0.01
     # above this many docs, skip JSON persistence and rebuild from the store
     # on load instead (the native bulk build is faster than parsing the file)
     persist_max_docs: int = 200000

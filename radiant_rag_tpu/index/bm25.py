@@ -126,7 +126,8 @@ class BM25Index:
     def __init__(self, k1: float = 1.5, b: float = 0.75,
                  max_query_terms: int = 32, max_postings: int = 1 << 18,
                  sketch_dim: int = 1024, pages_route_threshold: int = 1 << 15,
-                 sketch_hbm_budget_gb: float = 3.0) -> None:
+                 sketch_hbm_budget_gb: float = 3.0,
+                 disc_route_df_frac: float = 0.01) -> None:
         self.k1 = k1
         self.b = b
         self.max_query_terms = max_query_terms
@@ -154,6 +155,15 @@ class BM25Index:
         # terms: exact AND cheap; also where hashed-sketch stage-1 is weakest
         # because a singleton term's signal drowns in bin collisions)
         self.pages_route_threshold = pages_route_threshold
+        # ...or when the query contains a DISCRIMINATIVE term (df below this
+        # fraction of live docs): the 1M router study (BENCH_NOTES) measured
+        # the sketch failing exactly on "discriminative term AT volume"
+        # queries (signed hashing removes the collision BIAS but not the
+        # 1M-doc noise tail that buries a single term's candidates), while
+        # the pages path's impact-ordered budget serves them exactly at
+        # bounded cost. The sketch keeps only all-common-term traffic, where
+        # its score regret at 1M is 2-6% (tie-dense score bands).
+        self.disc_route_df_frac = float(disc_route_df_frac)
         # vocabulary
         self.terms: List[str] = []  # tid -> term
         self.vocab: Dict[str, int] = {}
@@ -192,6 +202,7 @@ class BM25Index:
         self._sketch_dirty = True
         self._term_bin: Dict[int, int] = {}
         self._bins_per_term: Optional[np.ndarray] = None  # tid -> bin (ensure_sketch)
+        self._signs_per_term: Optional[np.ndarray] = None  # tid -> ±1 (ensure_sketch)
         # native query tokenizer (vocab snapshot; rebuilt when vocab grows)
         self._qtok = None
         self._qtok_nterms = -1
@@ -284,6 +295,7 @@ class BM25Index:
         # merely stale (incremental adds never remap, so only rebuilds clear)
         self._term_bin = {}
         self._bins_per_term = None
+        self._signs_per_term = None
         self.df = built.df.astype(np.int64).tolist()
         self._base_start = built.term_start
         self._base_rows = built.post_rows
@@ -320,6 +332,7 @@ class BM25Index:
         self._stale_base = set()
         self._term_bin = {}
         self._bins_per_term = None
+        self._signs_per_term = None
         self._mark_dirty()
 
     def remove_document(self, row: int) -> bool:
@@ -437,6 +450,19 @@ class BM25Index:
             self._term_bin[tid] = b
         return b
 
+    def _sign_of(self, tid: int) -> int:
+        """±1 hashing sign for a term (signed feature hashing): colliding
+        terms' impacts CANCEL in expectation instead of inflating every doc
+        that contains any collider. Without signs the sketch estimate is
+        biased +Σ(colliding impacts) — at 1M docs / 125k terms / S=1024
+        (~122 terms/bin) that bias drowned the true signal entirely
+        (BENCH_NOTES router-fidelity study: sketch-routed common-term recall
+        0.0004 unsigned). Derived from a hash bit independent of the bin
+        (bin = low bits via % pow2-S; sign = bit 16)."""
+        from radiant_rag_tpu.utils.hashing import stable_hash32
+
+        return 1 if (stable_hash32(self.terms[tid]) >> 16) & 1 else -1
+
     def plan_hbm(self, num_docs: int) -> None:
         """Fit the sketch path's device structures to the HBM budget.
 
@@ -534,10 +560,16 @@ class BM25Index:
         idf_per_post = np.repeat(self._term_idf, lengths)
         bins_per_term = np.asarray([self._bin_of(tid) for tid in range(t)], np.int32)
         self._bins_per_term = bins_per_term
+        signs_per_term = np.asarray([self._sign_of(tid) for tid in range(t)], np.int8)
+        self._signs_per_term = signs_per_term
         bin_per_post = np.repeat(bins_per_term, lengths)
         dl = dl_arr[np.minimum(rows, num_docs - 1)]
         denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
-        w = idf_per_post * tfs * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
+        # signed impacts (see _sign_of): bins hold Σ sign_t * impact_t, the
+        # query side scatters sign_t, so q·sketch is an UNBIASED estimate of
+        # Σ impact over the query's own terms — collision noise is zero-mean
+        w = (idf_per_post * tfs * (self.k1 + 1.0) / np.maximum(denom, 1e-6)
+             ) * np.repeat(signs_per_term, lengths)
         # Host aggregation in the SPARSE domain: ~2.5% of doc x bin cells are
         # nonzero, so aggregate colliding postings per occupied cell (unique +
         # bincount over the compressed index space) and quantize only those —
@@ -549,8 +581,8 @@ class BM25Index:
             occupied, inv = np.unique(flat, return_inverse=True)
             sums = np.bincount(inv, weights=w.astype(np.float64),
                                minlength=len(occupied))
-            scale = max(float(sums.max()) / 127.0, 1e-6)
-            sketch_host[occupied] = np.clip(np.round(sums / scale), 0, 127
+            scale = max(float(np.abs(sums).max()) / 127.0, 1e-6)
+            sketch_host[occupied] = np.clip(np.round(sums / scale), -127, 127
                                             ).astype(np.int8)
         else:
             scale = 1e-6
@@ -672,51 +704,81 @@ class BM25Index:
         per_tid = np.where(tids >= 0, lengths[np.maximum(tids, 0)], 0)
         return int(per_tid.sum(axis=1).max(initial=0))
 
+    def routes_pages(self, queries: Sequence[str],
+                     tids: Optional[np.ndarray] = None) -> bool:
+        """The method='auto' batch router: True -> exact pages path.
+
+        A batch takes the pages path unless EVERY query is an all-common
+        -term query at volume: per query, pages when (a) total posting
+        volume <= pages_route_threshold (rare terms: exact AND cheap), or
+        (b) any term is discriminative (df <= disc_route_df_frac of live
+        docs) — the family the sketch measurably fails at scale (see
+        __init__ comment / BENCH_NOTES router study). Routing is per batch
+        because method selects one device program; a mixed batch errs
+        toward exactness."""
+        self._finalize_csr()
+        if tids is None:
+            tids = self.query_tids(queries)
+        if tids.size == 0:
+            return True
+        lengths = np.diff(self._term_start)
+        per_tid = np.where(tids >= 0, lengths[np.maximum(tids, 0)], 0)
+        small = per_tid.sum(axis=1) <= self.pages_route_threshold
+        df_cap = max(1.0, self.disc_route_df_frac * max(len(self.doc_lens), 1))
+        has_disc = ((per_tid > 0) & (per_tid <= df_cap)).any(axis=1)
+        return bool(np.all(small | has_disc))
+
     def make_query_bins(self, queries: Sequence[str],
                         tids: Optional[np.ndarray] = None) -> np.ndarray:
-        """(B, T) sketch-bin ids of each query's terms, -1 pad (int16, or
-        int32 for sketch_dim beyond the int16 range).
+        """(B, T) SIGNED sketch-bin codes of each query's terms: the value
+        is (bin + 1) * sign_of(term) with 0 = pad, so the hashing sign
+        (see `_sign_of`) rides the same int16 without a new blob section.
+        int32 when sketch_dim exceeds the int16 encoding range.
 
         The SPARSE form of `make_query_indicator`: the device program
-        scatter-adds these into the dense (B, S) indicator, so the host
+        scatter-adds sign into the dense (B, S) indicator, so the host
         ships 2 bytes per query term instead of S bytes per query (the
         indicator upload was the largest slice of per-batch h2d traffic —
         tools/profile_host_dispatch.py)."""
         if tids is None:
             tids = self.query_tids(queries)
-        dt = np.int16 if self.sketch_dim <= (1 << 15) - 1 else np.int32
-        out = np.full(tids.shape, -1, dt)
-        bins = self._bins_per_term
+        dt = np.int16 if self.sketch_dim <= (1 << 15) - 2 else np.int32
+        out = np.zeros(tids.shape, dt)
+        bins, signs = self._bins_per_term, self._signs_per_term
         qidx, pos = np.nonzero(tids >= 0)
         if len(qidx) == 0:
             return out
         flat_tids = tids[qidx, pos]
-        if bins is not None and len(bins) > int(flat_tids.max(initial=-1)):
-            out[qidx, pos] = bins[flat_tids].astype(dt)
+        if (bins is not None and signs is not None
+                and len(bins) > int(flat_tids.max(initial=-1))):
+            out[qidx, pos] = ((bins[flat_tids] + 1)
+                              * signs[flat_tids]).astype(dt)
         else:
             for q, p, tid in zip(qidx, pos, flat_tids):
-                out[q, p] = self._bin_of(int(tid))
+                out[q, p] = (self._bin_of(int(tid)) + 1) * self._sign_of(int(tid))
         return out
 
     def make_query_indicator(self, queries: Sequence[str],
                              tids: Optional[np.ndarray] = None) -> np.ndarray:
-        """(B, S) int8 indicator over each query's unique terms' bins."""
+        """(B, S) int8 SIGNED indicator over each query's terms' bins
+        (each term adds its hashing sign — see `_sign_of`)."""
         if tids is None:
             tids = self.query_tids(queries)
         out = np.zeros((tids.shape[0], self.sketch_dim), np.int8)
         # vocab may have grown since the sketch build; term ids are append-only
         # (only full rebuilds remap, and those clear _bins_per_term), so new
         # tids fall back to _bin_of until the next ensure_sketch
-        bins = self._bins_per_term
+        bins, signs = self._bins_per_term, self._signs_per_term
         qidx, pos = np.nonzero(tids >= 0)
         if len(qidx) == 0:
             return out
         flat_tids = tids[qidx, pos]
-        if bins is not None and len(bins) > int(flat_tids.max(initial=-1)):
-            np.add.at(out, (qidx, bins[flat_tids]), 1)
+        if (bins is not None and signs is not None
+                and len(bins) > int(flat_tids.max(initial=-1))):
+            np.add.at(out, (qidx, bins[flat_tids]), signs[flat_tids])
         else:
             for q, tid in zip(qidx, flat_tids):
-                out[q, self._bin_of(int(tid))] += 1
+                out[q, self._bin_of(int(tid))] += self._sign_of(int(tid))
         return out
 
     # -- page table --------------------------------------------------------
@@ -824,12 +886,10 @@ class BM25Index:
             if self.sketch_dim <= 0:
                 method = "pages"
             else:
-                # exact pages path when posting volume is small (rare-term
-                # queries): cheap there, and immune to the sketch's hash-bin
-                # collisions which can drown a singleton term's signal
-                method = ("pages"
-                          if self.query_posting_volume(queries, tids_list)
-                          <= self.pages_route_threshold
+                # exact pages path for rare-term AND discriminative-term
+                # queries (routes_pages); sketch only for all-common-term
+                # traffic at volume
+                method = ("pages" if self.routes_pages(queries, tids_list)
                           else "sketch")
         if method == "sketch" and self.sketch_dim <= 0:
             # explicit sketch request at a corpus size the HBM plan serves
@@ -990,7 +1050,8 @@ class PersistentBM25Index:
                             max_postings=self._index.max_postings,
                             sketch_dim=self._index._sketch_dim_cfg,
                             pages_route_threshold=self._index.pages_route_threshold,
-                            sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
+                            sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb,
+                            disc_route_df_frac=self._index.disc_route_df_frac)
             resolved = 0
             for key, payload in docs.items():
                 row = self.store.row_of(key) if hasattr(self.store, "row_of") else None
@@ -1089,7 +1150,8 @@ class PersistentBM25Index:
                                     max_postings=self._index.max_postings,
                                     sketch_dim=self._index._sketch_dim_cfg,
                                     pages_route_threshold=self._index.pages_route_threshold,
-                                    sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb)
+                                    sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb,
+                                    disc_route_df_frac=self._index.disc_route_df_frac)
             self._index.bulk_build(rows, texts)
             self.save()
             return len(rows)

@@ -162,9 +162,10 @@ _BLOB_HDR = 32  # bytes: i32 n_valid, level_code, lang_code, pad; f32 leg_w[2], 
 
 
 def _blob_layout(bq: int, d: int, t: int, s: int) -> Dict[str, Tuple[int, int]]:
-    """Byte offsets/sizes of each section (all 4-byte aligned). Bin ids are
-    int16 unless the sketch width exceeds the int16 range."""
-    bw = 2 if s <= (1 << 15) - 1 else 4
+    """Byte offsets/sizes of each section (all 4-byte aligned). Bin codes
+    (±(bin+1), see make_query_bins) are int16 unless the sketch width
+    exceeds the int16 encoding range."""
+    bw = 2 if s <= (1 << 15) - 2 else 4
     off = _BLOB_HDR
     lay = {}
     lay["q16"] = (off, bq * d * 2); off += bq * d * 2
@@ -252,13 +253,16 @@ def _unpack_query_blob(blob: jax.Array, bq: int, d: int, t: int, s: int):
     bw = lay["_binw"][1]
     q_bins = cut("bins", bw, jnp.int16 if bw == 2 else jnp.int32).reshape(bq, t)
     qvalid = jnp.arange(bq) < n_valid
-    # dense (bq, S) int8 indicator via scatter-add (keeps collision
-    # multiplicity = make_query_indicator parity); -1 pads drop
-    flat = jnp.where(q_bins >= 0,
-                     jnp.arange(bq, dtype=jnp.int32)[:, None] * s + q_bins.astype(jnp.int32),
+    # dense (bq, S) int8 SIGNED indicator via scatter-add (parity with
+    # make_query_indicator): blob bin codes are ±(bin+1), 0 = pad
+    # (make_query_bins) — decode sign and index, drop pads
+    sign = jnp.where(q_bins > 0, 1, -1).astype(jnp.int8)
+    bin_idx = jnp.abs(q_bins.astype(jnp.int32)) - 1
+    flat = jnp.where(q_bins != 0,
+                     jnp.arange(bq, dtype=jnp.int32)[:, None] * s + bin_idx,
                      bq * s)
     qind = jnp.zeros((bq * s,), jnp.int8).at[flat.reshape(-1)].add(
-        1, mode="drop").reshape(bq, s)
+        sign.reshape(-1), mode="drop").reshape(bq, s)
     return (queries, qvalid, q_tids, q_idfs, qind, level_code, lang_code,
             leg_w, avgdl)
 
@@ -728,13 +732,12 @@ class HybridSearcher:
         if self.bm25.sketch_dim <= 0:
             bm25_mode = "pages"
         elif bm25_mode == "auto":
-            # same routing as BM25Index.search_rows_batch: rare-term queries
-            # take the exact pages program (cheap at low posting volume, and
-            # immune to sketch hash-bin collisions); common-term queries take
-            # the sketch MXU program. Both jit programs are compiled once.
+            # same routing as BM25Index.search_rows_batch (routes_pages):
+            # rare-term and discriminative-term queries take the exact pages
+            # program; only all-common-term traffic takes the sketch MXU
+            # program. Both jit programs are compiled once.
             bm25_mode = ("pages"
-                         if self.bm25.query_posting_volume(queries_text, q_tids_list)
-                         <= self.bm25.pages_route_threshold
+                         if self.bm25.routes_pages(queries_text, q_tids_list)
                          else "sketch")
         num_docs = eng.capacity  # bm25 doc_lens sized to match exactly
 
@@ -770,7 +773,7 @@ class HybridSearcher:
             q_tids, q_idfs = self.bm25.make_query_terms(queries_text, tids=q_tids_list)
             if q_tids.shape[0] < bq:
                 pad = bq - q_tids.shape[0]
-                q_bins = np.pad(q_bins, ((0, pad), (0, 0)), constant_values=-1)
+                q_bins = np.pad(q_bins, ((0, pad), (0, 0)))  # 0 = pad (signed-bin encoding)
                 q_tids = np.pad(q_tids, ((0, pad), (0, 0)), constant_values=-1)
                 q_idfs = np.pad(q_idfs, ((0, pad), (0, 0)))
             bm_kc = min(max(bk_eff, int(round(bk_eff * rescore_multiplier))),

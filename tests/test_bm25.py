@@ -189,10 +189,10 @@ def test_sketch_sparse_build_matches_dense_reference():
         for tid, tf in pairs:
             w = idx._idf(tid) * tf * (idx.k1 + 1) / (
                 tf + idx.k1 * (1 - idx.b + idx.b * dl / idx.avgdl))
-            dense[row, idx._bin_of(tid)] += w
-    ref_scale = dense.max() / 127.0
+            dense[row, idx._bin_of(tid)] += w * idx._sign_of(tid)
+    ref_scale = np.abs(dense).max() / 127.0
     assert abs(scale - ref_scale) / ref_scale < 1e-6
-    ref = np.clip(np.round(dense / ref_scale), 0, 127).astype(np.int8)
+    ref = np.clip(np.round(dense / ref_scale), -127, 127).astype(np.int8)
     assert np.array_equal(got, ref)
 
 
@@ -316,6 +316,33 @@ def test_auto_routes_rare_term_queries_to_exact_pages():
     assert idx.query_posting_volume(["shared"]) == n
     big_vol_q = ["shared " + " ".join(f"t{d}q0" for d in range(30))]
     assert idx.query_posting_volume(big_vol_q) <= idx.pages_route_threshold
+
+
+def test_auto_routes_discriminative_at_volume_to_pages():
+    """A query whose posting volume exceeds the pages threshold but that
+    contains a discriminative (low-df) term must route to the exact pages
+    path: the 1M router study measured the sketch failing exactly this
+    family (the rare term's candidates buried in the hashing noise tail),
+    while all-common-term traffic stays on the sketch."""
+    idx = BM25Index(pages_route_threshold=64)
+    n = 256
+    # every doc shares 4 common words; doc d also has a unique marker
+    texts = [f"alpha beta gamma delta uniq{d}" for d in range(n)]
+    idx.bulk_build(list(range(n)), texts)
+    disc_q = ["alpha beta gamma uniq42"]  # volume 3n+1 >> 64, df(uniq42)=1
+    assert idx.query_posting_volume(disc_q) > idx.pages_route_threshold
+    assert idx.routes_pages(disc_q)
+    common_q = ["alpha beta gamma delta"]
+    assert not idx.routes_pages(common_q)  # all-common at volume -> sketch
+    # batch granularity: method selects ONE device program, so a mixed
+    # batch routes pages only when EVERY query qualifies (a lone all-common
+    # query keeps the batch on the sketch; serving per-request batches are
+    # b=1, so single-user traffic routes per query)
+    assert not idx.routes_pages(common_q + disc_q)
+    # end-to-end: auto finds the unique doc despite the volume
+    s, r = idx.search_rows_batch(["alpha beta gamma uniq42"], top_k=3,
+                                 method="auto")
+    assert int(r[0][0]) == 42, r[0][:3].tolist()
 
 
 def test_double_update_between_finalizes_keeps_latest_only():

@@ -243,9 +243,11 @@ def test_query_blob_roundtrip():
     queries = rng.standard_normal((bq, d)).astype(np.float16).astype(np.float32)
     q_tids = rng.integers(-1, 30_000, (bq, t)).astype(np.int32)
     q_idfs = rng.random((bq, t)).astype(np.float32)
-    q_bins = np.where(q_tids >= 0, (q_tids % s), -1).astype(np.int16)
-    # duplicate bin inside one query: multiplicity must survive
-    q_bins[0, 1] = q_bins[0, 0] = 7
+    # signed-bin encoding (make_query_bins): ±(bin+1), 0 = pad
+    sign = np.where(q_tids % 2 == 0, 1, -1)
+    q_bins = np.where(q_tids >= 0, ((q_tids % s) + 1) * sign, 0).astype(np.int16)
+    # duplicate bin inside one query (same sign): multiplicity must survive
+    q_bins[0, 1] = q_bins[0, 0] = 8  # bin 7, sign +
     q_tids[0, 0] = 11
     q_tids[0, 1] = 12
     leg_w = np.asarray([0.7, 0.3], np.float32)
@@ -264,7 +266,13 @@ def test_query_blob_roundtrip():
     assert float(np.asarray(uavgdl)) == 12.5
     ind = np.asarray(uqind)
     assert ind[0, 7] == 2  # collision multiplicity preserved
-    assert ind.sum() == (q_bins >= 0).sum()
+    # exact signed-indicator parity: every code adds its sign to its bin
+    exp = np.zeros((bq, s), np.int8)
+    for qi in range(bq):
+        for v in q_bins[qi]:
+            if v != 0:
+                exp[qi, abs(int(v)) - 1] += 1 if v > 0 else -1
+    np.testing.assert_array_equal(ind, exp)
 
 
 def test_query_blob_wide_sketch_int32_bins():
@@ -283,20 +291,21 @@ def test_query_blob_wide_sketch_int32_bins():
     queries = np.zeros((bq, d), np.float32)
     q_tids = np.asarray([[1, 2, -1, -1], [3, -1, -1, -1]], np.int32)
     q_idfs = np.ones((bq, t), np.float32)
-    q_bins = np.asarray([[40000, 7, -1, -1], [65535, -1, -1, -1]], np.int32)
+    # signed-bin codes ±(bin+1), 0 pad: bins 40000 (+), 7 (-), 65535 (+)
+    q_bins = np.asarray([[40001, -8, 0, 0], [65536, 0, 0, 0]], np.int32)
     blob = pack_query_blob(queries, q_tids, q_idfs, q_bins, 2, -1, -1,
                            np.asarray([0.5, 0.5], np.float32), s)
     out = jax.jit(_unpack_query_blob, static_argnums=(1, 2, 3, 4))(
         jax.numpy.asarray(blob), bq, d, t, s)
     ind = np.asarray(out[4])
-    assert ind[0, 40000] == 1 and ind[0, 7] == 1
+    assert ind[0, 40000] == 1 and ind[0, 7] == -1
     assert ind[1, 65535] == 1
-    assert ind.sum() == 3
+    assert abs(ind).sum() == 3
     # and make_query_bins reports int32 for wide sketches
     bm.add_document(0, "alpha bravo")
     got = bm.make_query_bins(["alpha bravo"])
     assert got.dtype == np.int32
-    assert (got[got >= 0] < s).all()
+    assert (np.abs(got[got != 0]) - 1 < s).all()
 
 
 def test_blob_sketch_matches_explicit_program(setup):

@@ -50,7 +50,10 @@ def main() -> int:
     from radiant_rag_tpu.index.bm25 import BM25Index
 
     rng = np.random.default_rng(42)
-    vocab_size = 30_000
+    # vocab grows with the corpus (Heaps' law in real text): a fixed 30k
+    # vocab saturates at ~1M docs x 48 tokens (min df >> 32 — no rare tail
+    # exists at all, which is itself unrealistic for text)
+    vocab_size = max(30_000, n // 8)
     zipf = rng.zipf(1.3, size=(n, 48)) % vocab_size
     texts = [" ".join(f"w{t}" for t in row) for row in zipf]
     print(f"corpus built ({n} docs)", file=sys.stderr, flush=True)
@@ -65,7 +68,9 @@ def main() -> int:
     df = np.asarray(bm25.df)
     order = np.argsort(-df)
     common_terms = [bm25.terms[i] for i in order[:50]]
-    rare_tids = [i for i in order[::-1] if df[i] <= 32][:20_000]
+    rare_tids = [i for i in order[::-1] if 0 < df[i] <= 32][:20_000]
+    if not rare_tids:  # saturated vocab: lowest-df tail regardless of cutoff
+        rare_tids = [i for i in order[::-1] if df[i] > 0][:20_000]
     rare_terms = [bm25.terms[i] for i in rare_tids]
 
     fams = {}
@@ -73,15 +78,30 @@ def main() -> int:
     fams["mixed"] = [" ".join(texts[rng.integers(0, n)].split()[:6])
                      for _ in range(n_q)]
     fams["rare"] = [" ".join(rng.choice(rare_terms, 6)) for _ in range(n_q)]
+    # the router's actual risk family: posting volume ABOVE the threshold
+    # (5 common terms force the sketch route) but relevance carried by one
+    # rare high-idf term — the regime the round-3 fidelity study flagged
+    # (a rare term's small bin signal drowning in collisions) and the one
+    # signed hashing is supposed to repair
+    fams["disc_at_volume"] = [
+        " ".join(list(rng.choice(common_terms, 5)) + [str(rng.choice(rare_terms))])
+        for _ in range(n_q)]
 
     report = {"docs": n, "queries_per_family": n_q,
               "pages_route_threshold": bm25.pages_route_threshold,
               "families": {}}
     for fam, qs in fams.items():
         vols = np.asarray([bm25.query_posting_volume([q]) for q in qs])
-        routed_sketch = vols > bm25.pages_route_threshold
+        # the PRODUCT routing signal, per query (b=1 batches): pages when
+        # volume is small OR the query has a discriminative term
+        routed_sketch = np.asarray([not bm25.routes_pages([q]) for q in qs])
         t0 = time.time()
-        o_s, o_i = bm25.search_rows_batch(qs, k, method="pages")
+        # top-50 oracle in one call: top-10 plus the tie-aware membership
+        # window (synthetic zipf text at 1M is tie-dense — exact-top-10
+        # identity is ill-defined among equal scores; cf. the round-3 graph
+        # study's in-oracle50 metric)
+        o_s50, o_i50 = bm25.search_rows_batch(qs, 50, method="pages")
+        o_s, o_i = o_s50[:, :k], o_i50[:, :k]
         t_pages = time.time() - t0
         res = {}
         for label, mult in (("shallow_4x", 4.0), ("product_16x", 16.0)):
@@ -89,24 +109,44 @@ def main() -> int:
             s_s, s_i = bm25.search_rows_batch(qs, k, method="sketch",
                                               rescore_multiplier=mult)
             t_sketch = time.time() - t0
-            recalls, regrets = [], []
+            recalls, regrets, in50, regrets10 = [], [], [], []
+            routed_flags, routed_regrets10 = [], []
             for qi in range(len(qs)):
                 oracle = [r for r in o_i[qi] if r >= 0]
                 if not oracle:
                     continue
-                got = set(r for r in s_i[qi] if r >= 0)
-                recalls.append(len(got & set(oracle)) / len(oracle))
+                routed_flags.append(bool(routed_sketch[qi]))
+                got = [r for r in s_i[qi] if r >= 0]
+                recalls.append(len(set(got) & set(oracle)) / len(oracle))
+                in50.append(len(set(got) & set(r for r in o_i50[qi] if r >= 0))
+                            / max(1, len(got)))
                 om = float(np.max(o_s[qi]))
                 if om > 0:
                     # score regret: oracle top-1 score vs sketch top-1
                     regrets.append(max(0.0, (om - float(np.max(s_s[qi]))) / om))
+                    # tie-aware: mean exact score of the RETURNED top-10
+                    # (stage-2 rescore is exact BM25) vs the oracle's —
+                    # equal-score different docs cost nothing here
+                    o10 = float(np.mean(o_s[qi][o_s[qi] > -1e29]))
+                    s10 = float(np.mean(s_s[qi][:k][s_s[qi][:k] > -1e29])) \
+                        if (s_s[qi][:k] > -1e29).any() else 0.0
+                    r10 = max(0.0, (o10 - s10) / max(o10, 1e-9))
+                    regrets10.append(r10)
+                    if routed_sketch[qi]:
+                        routed_regrets10.append(r10)
             recalls = np.asarray(recalls)
-            sk = recalls[routed_sketch[:len(recalls)]] \
-                if routed_sketch.any() else np.asarray([])
+            routed_flags = np.asarray(routed_flags, bool)
+            sk = recalls[routed_flags] if routed_flags.any() else np.asarray([])
             res[label] = {
                 "recall@10_vs_exact_mean": round(float(recalls.mean()), 4),
+                "in_oracle50_mean": round(float(np.mean(in50)), 4),
+                "mean_top10_score_regret": round(float(np.mean(regrets10)), 4)
+                if regrets10 else 0.0,
                 "sketch_routed_recall_mean": (round(float(sk.mean()), 4)
                                               if sk.size else None),
+                "sketch_routed_regret10_mean": (
+                    round(float(np.mean(routed_regrets10)), 4)
+                    if routed_regrets10 else None),
                 "false_route_rate": (round(float((sk < 1.0).mean()), 4)
                                      if sk.size else None),
                 "false_route_rate_lt0.9": (round(float((sk < 0.9).mean()), 4)
