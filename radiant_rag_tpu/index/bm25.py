@@ -510,6 +510,9 @@ class BM25Index:
                     self.sketch_hbm_budget_gb)
             self.sketch_dim = ps
             self._term_bin.clear()  # bins depend on S; rehash lazily
+            self._bins_per_term = None  # the vectorized cache too — a
+            # make_query_* between this plan and the next ensure_sketch
+            # must not mix old-S bins with the new-S sketch
             self._sketch_dirty = True
         if pl != self.doc_major_width:
             logger.info("bm25 hbm plan: doc-major width %d -> %d at %d docs",
