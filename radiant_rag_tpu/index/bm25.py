@@ -457,11 +457,24 @@ class BM25Index:
         biased +Σ(colliding impacts) — at 1M docs / 125k terms / S=1024
         (~122 terms/bin) that bias drowned the true signal entirely
         (BENCH_NOTES router-fidelity study: sketch-routed common-term recall
-        0.0004 unsigned). Derived from a hash bit independent of the bin
-        (bin = low bits via % pow2-S; sign = bit 16)."""
+        0.0004 unsigned). Derived from a SALTED second hash so the sign is
+        independent of the bin for EVERY sketch width — a bit of the same
+        hash would correlate with bin = hash % S once S reaches that bit
+        (e.g. S=2^17 covers bit 16), silently degenerating all colliders in
+        a bin to one shared sign, i.e. back to the unsigned biased
+        estimator."""
         from radiant_rag_tpu.utils.hashing import stable_hash32
 
-        return 1 if (stable_hash32(self.terms[tid]) >> 16) & 1 else -1
+        return 1 if stable_hash32("s!" + self.terms[tid]) & 1 else -1
+
+    def _free_sketch_arrays(self) -> None:
+        """Drop the sketch-tier device arrays (sketch + doc-major tables)
+        so HBM is actually reclaimed when the plan disables the tier."""
+        self._sketch = None
+        self._sketch_rows = 0
+        self._sketch_dirty = True
+        self._dm_tids = self._dm_tfs = None
+        self._dm_dirty = True
 
     def plan_hbm(self, num_docs: int) -> None:
         """Fit the sketch path's device structures to the HBM budget.
@@ -486,7 +499,7 @@ class BM25Index:
         while s >= 128:
             cands.append((s, 64))
             s //= 2
-        cands.append((128, 32))
+        cands.append((min(128, self._sketch_dim_cfg), 32))
         plan = next(((ps, pl) for ps, pl in cands
                      if num_docs * (ps + pl * 8) <= budget), None)
         if plan is None:
@@ -499,6 +512,10 @@ class BM25Index:
                     num_docs * (128 + 32 * 8) / (1 << 30),
                     self.sketch_hbm_budget_gb)
             self.sketch_dim = 0
+            self._free_sketch_arrays()  # a previously built sketch/doc-major
+            # would otherwise stay resident in HBM forever AND be excluded
+            # from device_bytes_projected (sketch_dim == 0), undercounting
+            # residency exactly where the bucket gate needs it
             return
         ps, pl = plan
         if ps != self.sketch_dim:
@@ -514,11 +531,13 @@ class BM25Index:
             # make_query_* between this plan and the next ensure_sketch
             # must not mix old-S bins with the new-S sketch
             self._sketch_dirty = True
+            self._sketch = None  # free the old-S array now (it can be GBs)
         if pl != self.doc_major_width:
             logger.info("bm25 hbm plan: doc-major width %d -> %d at %d docs",
                         self.doc_major_width, pl, num_docs)
             self.doc_major_width = pl
             self._dm_dirty = True
+            self._dm_tids = self._dm_tfs = None  # free the old-L tables
 
     def device_bytes_projected(self, num_docs: int) -> int:
         """Projected device-HBM residency of this index's arrays at
@@ -711,14 +730,18 @@ class BM25Index:
                      tids: Optional[np.ndarray] = None) -> bool:
         """The method='auto' batch router: True -> exact pages path.
 
-        A batch takes the pages path unless EVERY query is an all-common
-        -term query at volume: per query, pages when (a) total posting
-        volume <= pages_route_threshold (rare terms: exact AND cheap), or
-        (b) any term is discriminative (df <= disc_route_df_frac of live
-        docs) — the family the sketch measurably fails at scale (see
-        __init__ comment / BENCH_NOTES router study). Routing is per batch
-        because method selects one device program; a mixed batch errs
-        toward exactness."""
+        Per query, pages when (a) total posting volume <=
+        pages_route_threshold (rare terms: exact AND cheap), or (b) any
+        term is discriminative (df <= disc_route_df_frac of live docs) —
+        the family the sketch measurably fails at scale (see __init__
+        comment / BENCH_NOTES router study). Routing is per BATCH because
+        method selects one device program, and the batch goes pages only
+        when EVERY query qualifies: a lone all-common-term query keeps the
+        whole batch on the sketch (its pages cost is fine, but the common
+        query would eat most of the impact-ordered postings budget).
+        Per-request serving is b=1, so single-user traffic routes per
+        query; whether coalesced mixed batches should instead force pages
+        awaits the chip-side pages-at-1M cost measurement (BENCH_NOTES)."""
         self._finalize_csr()
         if tids is None:
             tids = self.query_tids(queries)
@@ -852,25 +875,33 @@ class BM25Index:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched BM25 scoring in one device program.
 
-        method='pages' traverses every query term's full posting list
-        (exhaustive-exact); 'sketch' scans the int8 impact sketch and EXACTLY
-        rescores the top-(k x rescore_multiplier) candidates — returned docs
-        carry exact scores, ~10x faster on common-term queries, recall
-        bounded by the candidate margin. That margin is the honest caveat:
-        on common-term queries the stage-1 candidate set is hash-collision
-        limited (rare high-idf terms sharing a query term's bin outrank the
-        near-tied common-word tail), and the limit is intrinsic to hashed
-        bins — signed hashing, count-min, per-bin scales and fp32 sketches
-        all measure identically (BENCH_NOTES "sketch stage-1 fidelity";
-        tools/bench_sketch_dim.py). Discriminative-term matches always
-        survive, and 'auto' routes rare-term queries to exact pages; raise
+        method='pages' traverses every query term's posting list under the
+        impact-ordered budget (exact within it); 'sketch' scans the SIGNED
+        int8 impact sketch (see `_sign_of`) and EXACTLY rescores the
+        top-(k x rescore_multiplier) candidates — returned docs carry exact
+        scores, ~10x faster on common-term queries, recall bounded by the
+        candidate margin. The honest caveats (BENCH_NOTES "router fidelity
+        at 1M", docs/QUANTIZATION.md): all-common-term queries keep a small
+        exact-score regret (tie-dense bands; ~6% top-10 at 1M product
+        depth), and a lone discriminative term at high posting volume is
+        still buried by hashing noise — 'auto' (routes_pages) therefore
+        sends rare-term AND discriminative-term queries to pages; raise
         rescore_multiplier where exact common-word-tail fidelity matters."""
         bq = len(queries)
         if self.num_docs == 0:
             return (np.full((bq, top_k), -1e30, np.float32),
                     np.full((bq, top_k), -1, np.int64))
         max_row = max(self.doc_lens.keys(), default=-1) + 1
-        n_rows = num_rows or _next_pow2(max(max_row, 1), floor=256)
+        if num_rows:
+            n_rows = num_rows
+        else:
+            # standalone default: round EXACTLY like the engine rounds its
+            # capacity (pow2 small, 64k quanta large). A pow2 default here
+            # could size _dl_dev ABOVE a quantum-rounded engine capacity,
+            # and the hybrid path asserts _dl_size == capacity.
+            from radiant_rag_tpu.index.engine import _round_capacity
+
+            n_rows = _round_capacity(max(max_row, 1))
         if valid_mask is not None:
             n_rows = max(n_rows, int(valid_mask.shape[0]))
         self._device_doc_lens(n_rows)

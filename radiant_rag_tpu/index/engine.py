@@ -240,10 +240,20 @@ class DeviceVectorIndex:
     def _grow(self, need: int, tight: bool = False) -> None:
         # tight (reserve with a known final size): quantum-rounded, no
         # doubling slack — at 10M rows pow2 padding would waste 1.67x HBM
-        # on every per-row array. Incremental growth keeps amortized
-        # doubling (quantum-aligned once past CAPACITY_QUANTUM).
-        new_cap = (_round_capacity(need) if tight
-                   else _round_capacity(max(need, self.capacity * 2)))
+        # on every per-row array. But tight growth is only exact-sized when
+        # it at least DOUBLES capacity (a one-shot bulk reserve): honoring
+        # exact sizes for a stream of small reserve(count+delta) calls
+        # (app.ingest reserves per call) would do a full O(capacity) device
+        # copy + append-program recompile per call. Otherwise growth stays
+        # amortized: 2x while small, 1.25x once capacity is HBM-relevant
+        # (pow2 doubling at 8M rows wastes GBs; 1.25x keeps copies O(log)
+        # while bounding slack at 25%).
+        if tight and need >= 2 * self.capacity:
+            new_cap = _round_capacity(need)
+        else:
+            amort = (self.capacity * 2 if self.capacity < (1 << 21)
+                     else self.capacity + self.capacity // 4)
+            new_cap = _round_capacity(max(need, amort))
         logger.info("growing device index %d -> %d rows", self.capacity, new_cap)
         pad = new_cap - self.capacity
 

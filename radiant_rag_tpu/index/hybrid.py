@@ -427,7 +427,9 @@ class HybridSearcher:
         score weight — grid weights have reproducible identity where the
         confidence mode's continuous leg weights do not), and a different
         near-tie candidate ships only when its pooled confirm MRR wins by
-        > 0.01. Probe-MRR differences inside eps are noise at these probe
+        > 0.03 (above the confirm-MRR noise floor at these probe counts;
+        a 0.01 margin measurably let single seeds flip the mode).
+        Probe-MRR differences inside eps are noise at these probe
         counts (se ~0.035 at n=128), so the canonical pick trades nothing
         measurable for cross-draw reproducibility — which matters in
         production: a recalibration that flips the fusion mode invalidates
@@ -526,9 +528,11 @@ class HybridSearcher:
             "seed_configs": [
                 {"mode": r["fusion_mode"], "w_dense": round(r["weights"][0], 3)}
                 for r in runs],
+            # near set plus the shipped key: the leg-quality gate can force
+            # "confidence" even when it is outside the select near-tie set
             "pooled_near_ties": {k: {"select": round(stats[k][0], 4),
                                      "confirm": round(stats[k][1], 4)}
-                                 for k in near},
+                                 for k in sorted(set(near) | {best_key})},
         }
         return self.leg_weights
 

@@ -413,6 +413,19 @@ def test_hbm_plan_pages_only_tier():
     assert idx.sketch_dim == 0  # pages-only tier
     assert idx._sketch is None
     assert 42 in [int(r) for r in rows[0]]
+    # a sketch BUILT at a roomy budget must be FREED when the budget shrinks
+    # to pages-only (stale device arrays would stay resident in HBM and be
+    # excluded from device_bytes_projected — undercounting residency where
+    # the bucket gate needs it)
+    idx3 = BM25Index(sketch_dim=256)
+    idx3.bulk_build(list(range(n)), texts)
+    idx3.ensure_sketch(n)
+    idx3.ensure_doc_major(n)
+    assert idx3._sketch is not None and idx3._dm_tids is not None
+    idx3.sketch_hbm_budget_gb = n * 100 / (1 << 30)  # shrink below minimum
+    idx3.plan_hbm(n)
+    assert idx3.sketch_dim == 0
+    assert idx3._sketch is None and idx3._dm_tids is None and idx3._dm_tfs is None
     # a rebuild at small N under a roomy budget restores the configured S
     idx2 = BM25Index(sketch_dim=1024)
     idx2.bulk_build(list(range(10)), texts[:10])

@@ -424,7 +424,8 @@ def test_calibration_selects_fusion_mode(rng):
     assert "probe_fused_mrr" in cal and "confidence" in cal["probe_fused_mrr"]
     # held-out selection: every candidate carries select + confirm MRR and
     # the chosen config comes from the pooled near-tie set — within eps
-    # (0.02, plus the 0.01 confirm-override margin) of the best select MRR
+    # (eps=0.02; the confirm override needs a 0.03 margin) of the best
+    # select MRR — with a perfect dense leg the leg-quality gate never fires
     chosen_key = ("confidence" if cal["fusion_mode"] == "confidence"
                   else f"score@{cal['weights'][0]:.2f}")
     table = cal["probe_fused_mrr"]
