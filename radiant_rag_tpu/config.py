@@ -498,6 +498,16 @@ class ServerConfig:
     # batches kept in flight by the coalescer worker (device->host fetch of
     # one batch overlaps the next batch's dispatch); 1 = sequential
     pipeline_depth: int = 2
+    # Concurrent requests allowed inside the HTTP host-path CPU sections
+    # (read + JSON parse, JSON serialize + socket write). The server is
+    # thread-per-connection; under heavy client oversubscription on a
+    # small host the GIL time-slices every live request's CPU section and
+    # the p99 explodes (round-4: 3.28 s at 64 clients on one core). The
+    # gate serializes those sections down to `request_workers` at a time
+    # (waiters queue FIFO on the semaphore) WITHOUT capping coalescer
+    # batch formation — waiting inside the coalescer holds no gate slot.
+    # 0 disables the gate.
+    request_workers: int = 8
 
 
 # ---------------------------------------------------------------------------

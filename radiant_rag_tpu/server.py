@@ -41,6 +41,16 @@ logger = logging.getLogger(__name__)
 _SEARCH_MODES = ("hybrid", "dense", "bm25")
 
 
+class _null_gate:
+    """No-op context manager used when the work gate is disabled."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 class RagAPI:
     """Transport-independent request handlers (unit-testable)."""
 
@@ -57,6 +67,14 @@ class RagAPI:
         scfg = getattr(getattr(app, "config", None), "server", None)
         if coalesce is None:
             coalesce = scfg.coalesce if scfg is not None else True
+        # Bounded host-path concurrency (see ServerConfig.request_workers):
+        # caps how many connection threads run their CPU sections at once so
+        # oversubscribed clients queue FIFO instead of GIL-thrashing every
+        # in-flight request's parse/serialize. Device waits (coalescer,
+        # device lock) do NOT hold a slot.
+        workers = scfg.request_workers if scfg is not None else 8
+        self.work_gate = (threading.BoundedSemaphore(workers)
+                          if workers and workers > 0 else None)
         self._coalescer: Optional[RequestCoalescer] = None
         if coalesce and hasattr(app, "search_batch"):
             depth = scfg.pipeline_depth if scfg is not None else 2
@@ -214,21 +232,34 @@ def make_server(app, host: str = "0.0.0.0", port: int = 8080) -> ThreadingHTTPSe
         protocol_version = "HTTP/1.1"
 
         def _respond(self, method: str) -> None:
+            # CPU sections (parse / serialize+write) run under the bounded
+            # work gate; api.handle's internal waits (coalescer, device
+            # lock) run outside it so batch formation stays unbounded.
+            gate = api.work_gate
+
+            def gated():
+                return gate if gate is not None else _null_gate()
+
+            # socket read stays OUTSIDE the gate: it can block on a slow
+            # client (I/O wait, GIL released) and must not hold a slot
             length = int(self.headers.get("Content-Length", 0) or 0)
-            try:
-                body = json.loads(self.rfile.read(length)) if length else {}
-            except json.JSONDecodeError:
-                body = None
+            raw = self.rfile.read(length) if length else b""
+            with gated():
+                try:
+                    body = json.loads(raw) if raw else {}
+                except json.JSONDecodeError:
+                    body = None
             if body is None:
                 status, payload = 400, {"error": "invalid JSON body"}
             else:
                 status, payload = api.handle(method, self.path.rstrip("/") or "/", body)
-            data = json.dumps(payload, default=str).encode()
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+            with gated():
+                data = json.dumps(payload, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
 
         def do_GET(self):  # noqa: N802
             self._respond("GET")

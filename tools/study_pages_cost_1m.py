@@ -70,11 +70,21 @@ def main() -> int:
     print(f"bm25 build: {time.time()-t0:.1f}s ({len(bm25.terms)} terms)",
           file=sys.stderr, flush=True)
 
+    if bm25.sketch_dim <= 0:
+        # plan_hbm disabled the sketch tier (bm25.py degrade ladder): every
+        # 'sketch' row would silently coerce to the pages program and the
+        # study would compare pages against itself. Fail loudly instead.
+        sys.exit(f"sketch tier disabled at {n} docs (sketch_dim=0) — "
+                 "the sketch-vs-pages comparison is meaningless at this size")
+
     df = np.asarray(bm25.df)
     order = np.argsort(-df)
     common_terms = [bm25.terms[i] for i in order[:50]]
     rare_tids = [i for i in order[::-1] if 0 < df[i] <= 32][:20_000]
     rare_terms = [bm25.terms[i] for i in rare_tids]
+    if not rare_terms:
+        sys.exit(f"no df<=32 terms at {n} docs — corpus too small for the "
+                 "rare-query family; raise N_DOCS")
 
     pool = max(BATCHES)
     fams = {
@@ -85,7 +95,8 @@ def main() -> int:
     }
 
     report = {"docs": n, "vocab": vocab_size, "top_k": k, "reps": REPS,
-              "max_postings": bm25.max_postings, "rows": []}
+              "max_postings": bm25.max_postings,
+              "sketch_dim": int(bm25.sketch_dim), "rows": []}
     for fam, qs_pool in fams.items():
         for b in BATCHES:
             qs = qs_pool[:b]
