@@ -89,6 +89,11 @@ def main(argv=None) -> int:
     ap.add_argument("--save-ckpt", default="",
                     help="orbax dir for the trained params (ship in data/)")
     ap.add_argument("--load-ckpt", default="", help="skip training")
+    ap.add_argument("--use-shipped", action="store_true",
+                    help="eval-only: load the shipped npz artifacts "
+                         "(radiant_rag_tpu/data/*.npz) for the embedder and "
+                         "(with --rerank) the cross-encoder — the exact "
+                         "weights a weightless deploy serves with")
     ap.add_argument("--rerank", action="store_true",
                     help="train + evaluate the cross-encoder rerank stage "
                          "(BASELINE config #5) on the same corpus")
@@ -100,7 +105,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ce-seq-len", type=int, default=128)
     ap.add_argument("--save-ce-ckpt", default="")
     ap.add_argument("--load-ce-ckpt", default="")
-    ap.add_argument("--out", default="data/quality_scale.json")
+    # tracked path: bench.py lifts this into the driver scoreboard — a
+    # gitignored location silently produced a quality-free BENCH_r04.json
+    ap.add_argument("--out", default="bench_artifacts/quality_scale.json")
     ap.add_argument("--qps-batches", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -140,7 +147,23 @@ def main(argv=None) -> int:
     print(f"bm25 built in {t_bm25:.1f}s", file=sys.stderr)
 
     train_info = {}
-    if args.load_ckpt:
+    if args.use_shipped:
+        import jax.numpy as jnp
+
+        from radiant_rag_tpu.models.bert import BertConfig, init_params
+        from radiant_rag_tpu.models.pretrained import shipped_embedder_params
+
+        bert_cfg = BertConfig(  # mirror Embedder.__init__'s mapping
+            vocab_size=emb_cfg.vocab_size, hidden_size=emb_cfg.dim,
+            num_layers=emb_cfg.num_layers, num_heads=emb_cfg.num_heads,
+            intermediate_size=emb_cfg.hidden_dim,
+            dtype=jnp.bfloat16 if emb_cfg.dtype == "bfloat16" else jnp.float32)
+        params = shipped_embedder_params(bert_cfg, init_params(bert_cfg, seed=0))
+        if params is None:
+            sys.exit("--use-shipped: no shipped embedder npz matches "
+                     f"dim={args.dim} layers={args.layers}")
+        train_info = {"loaded": "shipped-npz"}
+    elif args.load_ckpt:
         from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
 
         params = TrainCheckpointer(args.load_ckpt).restore()["params"]
@@ -261,7 +284,24 @@ def main(argv=None) -> int:
             vocab_size=8192, hidden_size=args.ce_dim,
             num_layers=args.ce_layers, num_heads=4,
             intermediate_size=args.ce_dim * 2, dtype=jnp.bfloat16)
-        if args.load_ce_ckpt:
+        if args.use_shipped:
+            import jax
+
+            from radiant_rag_tpu.models.cross_encoder import CrossEncoderModel
+            from radiant_rag_tpu.models.pretrained import (
+                shipped_cross_encoder_params,
+            )
+
+            dummy = jnp.zeros((1, 16), jnp.int32)
+            template = CrossEncoderModel(ce_bert).init(
+                jax.random.PRNGKey(0), dummy, jnp.ones((1, 16), jnp.int32),
+                dummy)
+            ce_params = shipped_cross_encoder_params(ce_bert, template)
+            if ce_params is None:
+                sys.exit("--use-shipped: no shipped cross-encoder npz matches "
+                         f"dim={args.ce_dim} layers={args.ce_layers}")
+            ce_info = {"loaded": "shipped-npz"}
+        elif args.load_ce_ckpt:
             from radiant_rag_tpu.parallel.checkpoint import TrainCheckpointer
 
             ce_params = TrainCheckpointer(args.load_ce_ckpt).restore()["params"]

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Price the (B, N) top-k bound and try the untried select variant.
+
+VERDICT r4 weak #7: at 1M docs the fused hybrid batch spends ~80% in
+score-materialization + top-k; the int8 matmul itself is 2-4 ms of 89 ms,
+and a pure-bandwidth pass over the (B, N) f32 buffer should cost ~10 ms
+(8 GB at 819 GB/s for write+read at B=1024). Every variant tried so far
+(bf16 buffer, chunked scan, pallas blockmax, pallas fused scan-topk)
+reshapes the SAME approx_max_k-style reduce; none separates "HBM floor"
+from "reduce inefficiency". This study does, on the real chip:
+
+  floor      matmul -> (B, N) i32 -> sum over N (the cheapest possible
+             full read of the score matrix: what bandwidth alone costs)
+  approx     matmul -> approx_max_k(k)        [the shipped default]
+  exactk     matmul -> lax.top_k(k)           [the exact reduce]
+  twolevel   matmul -> reshape (B, nb, block) -> per-block max+argmax
+             (a vectorizable segment reduce) -> approx_max_k over the
+             (B, nb) block maxima (256-1024x smaller) -> gather the top
+             m=ceil(1.5k) blocks' score columns -> exact top_k inside
+             (B, m*block). XLA-native (no pallas); recall loss only when
+             >1 true top-k candidate collides in a non-selected block.
+
+Per variant: device-timed ms/batch (median of 5 via utils/profiling
+.device_timer semantics — one host fetch per call), plus recall@k vs the
+exact reduce for the approximate ones.
+
+If twolevel loses like the others, the ledger closes with the floor
+measured: "the reduce costs X ms of a Y ms floor — Z ms is irreducible
+bandwidth, the rest is the partial-reduce and every alternative pays
+more". If it wins, it becomes a select policy.
+
+Reference anchor: the reference top-k is RediSearch-internal
+(`/root/reference/radiant/storage/redis_store.py:689-755`) — it never
+faces this; on a TPU the reduce IS the serving cost at 1M.
+
+Usage: python tools/study_topk_variants.py [--docs 1000000] [--batch 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--k", type=int, default=40,
+                    help="candidate depth (the two-stage k_candidates)")
+    ap.add_argument("--blocks", default="256,512,1024",
+                    help="comma list of twolevel block sizes")
+    ap.add_argument("--out", default="bench_artifacts/topk_variants.json")
+    args = ap.parse_args(argv)
+
+    from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    n, b, d, k = args.docs, args.batch, args.dim, args.k
+    rng = np.random.default_rng(0)
+    codes = rng.integers(-127, 128, (n, d), dtype=np.int8)
+    qi = rng.integers(-127, 128, (b, d), dtype=np.int8)
+    codes_d = jax.device_put(codes)
+    qi_d = jax.device_put(qi)
+
+    def matmul(q, c):
+        return jax.lax.dot_general(
+            q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @jax.jit
+    def floor_sum(q, c):
+        # cheapest full consumption of the (B, N) scores: one add-reduce
+        return matmul(q, c).sum(axis=1)
+
+    @jax.jit
+    def approx(q, c):
+        s = matmul(q, c)
+        return jax.lax.approx_max_k(s.astype(jnp.float32), k)
+
+    @jax.jit
+    def exactk(q, c):
+        s = matmul(q, c)
+        return jax.lax.top_k(s, k)
+
+    def make_twolevel(block: int):
+        nb = n // block
+        m = max(k + k // 2, 8)  # blocks kept per query
+
+        @jax.jit
+        def twolevel(q, c):
+            s = matmul(q, c)  # (B, N) i32
+            sb = s.reshape(b, nb, block)
+            bmax = sb.max(axis=2)  # (B, nb)
+            _, bidx = jax.lax.approx_max_k(bmax.astype(jnp.float32), m)
+            # gather the selected blocks' full score columns
+            cols = (bidx[:, :, None] * block
+                    + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+                    ).reshape(b, m * block)
+            band = jnp.take_along_axis(s, cols, axis=1)  # (B, m*block)
+            ts, sel = jax.lax.top_k(band, k)
+            return ts, jnp.take_along_axis(cols, sel, axis=1)
+
+        return twolevel, {"block": block, "nb": nb, "m": m}
+
+    def timed(fn, iters=5):
+        out = fn(qi_d, codes_d)
+        jax.device_get(jax.tree.leaves(out)[0])  # warm/compile
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(qi_d, codes_d)
+            jax.device_get(jax.tree.leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3, out
+
+    report = {"docs": n, "batch": b, "dim": d, "k": k, "rows": []}
+
+    ms, _ = timed(floor_sum)
+    report["rows"].append({"variant": "floor_sum", "ms": round(ms, 2)})
+    print(json.dumps(report["rows"][-1]), file=sys.stderr, flush=True)
+
+    ms, (es, ei) = timed(exactk)
+    exact_rows = np.asarray(ei)
+    report["rows"].append({"variant": "exact_topk", "ms": round(ms, 2)})
+    print(json.dumps(report["rows"][-1]), file=sys.stderr, flush=True)
+
+    def recall_vs_exact(rows) -> float:
+        rows = np.asarray(rows)
+        return float(np.mean([
+            len(set(rows[i]) & set(exact_rows[i])) / k for i in range(b)]))
+
+    ms, (_, ai) = timed(approx)
+    report["rows"].append({"variant": "approx_max_k", "ms": round(ms, 2),
+                           "recall_vs_exact": round(recall_vs_exact(ai), 4)})
+    print(json.dumps(report["rows"][-1]), file=sys.stderr, flush=True)
+
+    for blk in [int(x) for x in args.blocks.split(",") if x]:
+        if n % blk:
+            continue
+        fn, info = make_twolevel(blk)
+        ms, (_, ti) = timed(fn)
+        report["rows"].append({
+            "variant": f"twolevel_b{blk}", "ms": round(ms, 2),
+            "recall_vs_exact": round(recall_vs_exact(ti), 4), **info})
+        print(json.dumps(report["rows"][-1]), file=sys.stderr, flush=True)
+
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=1))
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
