@@ -446,14 +446,16 @@ class RadiantTPU:
         the looser defaults stop the encoder at 60% of its reachable
         quality), batch 256 (in-batch negatives scale with batch: dense MRR
         0.308 -> 0.463 at 100k docs moving 64 -> 256), lr 1e-4
-        warmup+cosine, BM25-mined hard negatives, and synonym query
-        augmentation so the encoder learns the paraphrase correspondences
-        retrieval is measured on. Pairs with the `trainable-small`
+        warmup+cosine, BM25-mined hard negatives, and mixed paraphrase
+        query augmentation (30% verbatim / 40% partial synonym swap / 30%
+        full stopword-dropped paraphrase — `parallel/data.
+        paraphrase_augment`) so the encoder learns the paraphrase
+        correspondences retrieval is measured on. Pairs with the `trainable-small`
         embedding preset (`config.py`). The reference deploys with
         pretrained MiniLM weights (`llm/local_models.py:61-135`); this is
         the weightless-deploy equivalent: ingest -> train --auto -> a
         contributing dense leg."""
-        from radiant_rag_tpu.parallel.data import synonym_augment, train_embedder
+        from radiant_rag_tpu.parallel.data import paraphrase_augment, train_embedder
 
         if auto:
             steps = max(steps, 12000)
@@ -466,7 +468,7 @@ class RadiantTPU:
             checkpoint_dir=checkpoint_dir or self.config.embedding.checkpoint_dir,
             bm25=self.bm25_index.index if hard_negatives > 0 else None,
             hard_negatives=hard_negatives, return_params=True,
-            query_augment=synonym_augment if auto else None,
+            query_augment=paraphrase_augment if auto else None,
             auto_stop=auto,
             **({"min_steps": 5000, "plateau_window": 2500,
                 "plateau_eps": 0.005} if auto else {}))

@@ -163,6 +163,14 @@ class RerankConfig:
     # consumes. Measured on 100k real text with a from-scratch CE: pure CE
     # order 0.54 MRR vs incoming 0.82; w=1.0 blend 0.85 (BENCH_NOTES r4).
     prior_weight: float = 1.0
+    # Measured auto-disable: after fusion calibration, self-retrieval probes
+    # price the CE blend against the incoming fused order on the LIVE
+    # corpus; if the stage adds < auto_disable_min_gain MRR it is switched
+    # off for the session (the CE costs ~10x serving QPS when on — round-4:
+    # 1,262 vs ~16k QPS at 1M — and a CE that cannot beat its own input by
+    # the margin is a passenger). 0 probes disables the check.
+    auto_disable_probes: int = 64
+    auto_disable_min_gain: float = 0.005
 
 
 @dataclass(frozen=True)

@@ -204,6 +204,10 @@ class RAGOrchestrator:
             max_chars=cfg.rerank.max_chars,
             enabled=p.use_rerank and cfg.rerank.enabled,
             prior_weight=getattr(cfg.rerank, "prior_weight", 1.0))
+        # measured CE auto-disable state (`_ensure_rerank_calibration`):
+        # corpus size at last probe run (-1 = never) + the probe verdict
+        self._rerank_calibrated_at = -1
+        self.rerank_calibration: Dict[str, Any] = {}
         self.synthesis = AnswerSynthesisAgent(
             llm, max_context_docs=cfg.synthesis.max_context_docs,
             max_chars_per_doc=cfg.synthesis.max_chars_per_doc,
@@ -569,6 +573,128 @@ class RAGOrchestrator:
         retrain/hot-swap, BM25 analyzer change (VERDICT r2 weak #6)."""
         if self._hybrid is not None:
             self._hybrid.invalidate_calibration()
+        # leg quality shifts change the incoming order the CE is priced
+        # against, so the rerank verdict must be re-earned too
+        self._rerank_calibrated_at = -1
+        if self.rerank_calibration.get("auto_disabled") and \
+                self.config.pipeline.use_rerank and self.config.rerank.enabled:
+            self.rerank.enabled = True  # re-measure before trusting the off
+
+    def _ensure_rerank_calibration(self) -> None:
+        """Measured CE auto-disable (VERDICT r4 #3): price the rerank stage
+        against the fused order it consumes, on the LIVE corpus.
+
+        Self-retrieval probes (ICT spans + synonym paraphrases, the fusion
+        calibrator's probe family) are answered by the fused hybrid at the
+        rerank candidate depth; the CE blend reranks them and both orders
+        are scored by probe-target MRR. A stage that cannot beat its own
+        input by rerank.auto_disable_min_gain is switched off for the
+        session — it costs ~10x serving QPS when on (BENCH_NOTES r4: 1,262
+        vs ~16k QPS at 1M). Re-runs after >20% corpus growth or
+        invalidate_fusion_calibration() (retrain changes both orders).
+        Small corpora (< 8x probe count) skip the check: the probe MRRs
+        would be near-1.0 for every order and the verdict noise."""
+        rcfg = self.config.rerank
+        n_probes = int(getattr(rcfg, "auto_disable_probes", 64))
+        if n_probes <= 0 or self._hybrid is None or not self._hybrid_serves:
+            return
+        if not (self.rerank.enabled or self.rerank_calibration.get("auto_disabled")):
+            return
+        try:
+            count = int(self.store.count_documents())
+        except Exception:
+            return
+        if self._rerank_calibrated_at >= 0 and \
+                (count - self._rerank_calibrated_at) <= 0.2 * max(self._rerank_calibrated_at, 1):
+            return
+        if count < 8 * n_probes:
+            self._rerank_calibrated_at = count
+            return
+        import numpy as np
+
+        from radiant_rag_tpu.parallel.data import (
+            make_paraphrase_query, make_pseudo_query,
+        )
+
+        try:
+            engine = self._hybrid.engine
+            rng = np.random.default_rng(17)
+            rows, queries = [], []
+            tries = 0
+            while len(rows) < n_probes and tries < 20 * n_probes:
+                tries += 1
+                r = int(rng.integers(0, engine.count))
+                doc_id = self.store.id_for_row(r)
+                doc = self.store.get_doc(doc_id) if doc_id else None
+                if doc is None or not doc.content or len(doc.content.split()) < 6:
+                    continue
+                q = (make_paraphrase_query(doc.content, rng)
+                     if len(rows) % 2 else make_pseudo_query(doc.content, rng))
+                if not q.strip():
+                    continue
+                rows.append(r)
+                queries.append(q)
+            if len(rows) < max(4, n_probes // 2):
+                self._rerank_calibrated_at = count
+                return
+            kc = max(self.rerank.top_k * self.rerank.candidate_multiplier,
+                     self.rerank.min_candidates)
+            q_embs = np.asarray(self.local_models.embed(queries), np.float32)
+            res = self._hybrid.search_rows(
+                q_embs, queries, dense_k=kc, bm25_k=kc, fused_k=kc)
+            f_scores, f_rows = res["fused"]
+
+            def rr_incoming(qi: int) -> float:
+                hits = [int(x) for x in f_rows[qi] if x >= 0]
+                return 1.0 / (hits.index(rows[qi]) + 1) if rows[qi] in hits else 0.0
+
+            was_enabled = self.rerank.enabled
+            self.rerank.enabled = True  # probe the stage even if it was off
+            rr_in, rr_ce = [], []
+            for qi in range(len(rows)):
+                docs = []
+                for j, r in enumerate(f_rows[qi]):
+                    r = int(r)
+                    if r < 0:
+                        continue
+                    did = self.store.id_for_row(r)
+                    d = self.store.get_doc(did) if did else None
+                    if d is not None:
+                        docs.append((d, float(f_scores[qi][j])))
+                if not docs:
+                    continue
+                reranked = self.rerank.rerank(queries[qi], docs, top_k=kc)
+                rr_in.append(rr_incoming(qi))
+                rank = 0.0
+                for pos, (d, _) in enumerate(reranked, start=1):
+                    if self.store.row_of(d.doc_id) == rows[qi]:
+                        rank = 1.0 / pos
+                        break
+                rr_ce.append(rank)
+            self.rerank.enabled = was_enabled
+            gain = float(np.mean(rr_ce) - np.mean(rr_in)) if rr_ce else 0.0
+            min_gain = float(getattr(rcfg, "auto_disable_min_gain", 0.005))
+            verdict = {
+                "probes": len(rr_ce), "incoming_mrr": round(float(np.mean(rr_in)), 4),
+                "rerank_mrr": round(float(np.mean(rr_ce)), 4),
+                "gain": round(gain, 4), "min_gain": min_gain,
+                "auto_disabled": gain < min_gain,
+            }
+            self.rerank_calibration = verdict
+            self._rerank_calibrated_at = count
+            if verdict["auto_disabled"]:
+                self.rerank.enabled = False
+                logger.warning(
+                    "rerank auto-disabled: CE blend adds %+.4f MRR over the "
+                    "fused order on %d probes (< %.3f); the stage costs ~10x "
+                    "serving QPS — re-enable via rerank.auto_disable_probes=0 "
+                    "or retrain the cross-encoder", gain, len(rr_ce), min_gain)
+            else:
+                self.rerank.enabled = True
+                logger.info("rerank calibration: %s", verdict)
+        except Exception as exc:  # never block retrieval on calibration
+            logger.warning("rerank calibration failed (%s); stage unchanged", exc)
+            self._rerank_calibrated_at = count
 
     def _ensure_fusion_calibration(self) -> None:
         """Lazily calibrate per-leg RRF weights against the live corpus
@@ -701,6 +827,8 @@ class RAGOrchestrator:
             res = self.automerge.run(ctx)
             if not res.success:
                 metrics.mark_degraded("automerge", res.error)
+        if ctx.plan.get("use_rerank", True):
+            self._ensure_rerank_calibration()
         if ctx.plan.get("use_rerank", True) and self.rerank.enabled:
             res = self.rerank.run(ctx)
             if not res.success:

@@ -123,6 +123,38 @@ def synonym_augment(query: str, rng: np.random.Generator,
     return " ".join(out)
 
 
+def paraphrase_augment(query: str, rng: np.random.Generator) -> str:
+    """Richer training-time augmentation matching the full paraphrase regime.
+
+    `synonym_augment` keeps stopwords and swaps each content word with
+    p=0.5 — strictly weaker than the paraphrase-style queries retrieval
+    actually faces (and that the quality harness evaluates), which drop
+    stopwords and swap EVERY content word. An encoder trained only on the
+    weak transform sees the full transform as out-of-distribution (round-4:
+    dense 0.463 MRR vs BM25 0.830 at product depth). Mixes three views per
+    query draw: 30% untouched (verbatim/ICT regime), 40% the p=0.5 swap,
+    30% the full transform (stopwords dropped, every known content word
+    swapped, word order lightly shuffled)."""
+    r = rng.random()
+    if r < 0.30:
+        return query
+    if r < 0.70:
+        return synonym_augment(query, rng)
+    out: List[str] = []
+    for w in query.split():
+        lw = "".join(ch for ch in w.lower() if ch.isalnum())
+        if not lw or lw in STOPWORDS:
+            continue
+        out.extend(SYNONYMS.get(lw, lw).split())
+    if not out:
+        return synonym_augment(query, rng)
+    if len(out) > 3 and rng.random() < 0.5:
+        # light order perturbation: swap two adjacent content words
+        i = int(rng.integers(0, len(out) - 1))
+        out[i], out[i + 1] = out[i + 1], out[i]
+    return " ".join(out)
+
+
 class ContrastivePairSampler:
     """Batches of tokenized (query, doc) pairs from stored documents.
 

@@ -347,3 +347,71 @@ def test_calibration_propagates_to_sharded_store(stack):
         del orch.store.set_fusion
     assert received["mode"] == orch._hybrid.fusion_mode
     assert received["weights"] == [float(x) for x in orch._hybrid.leg_weights]
+
+
+def _big_stack(tmp_path, n_docs=96):
+    """A corpus big enough for the rerank auto-disable probe gate."""
+    cfg = AppConfig(
+        index=IndexConfig(dim=64, initial_capacity=256, data_dir=str(tmp_path / "idx")),
+        embedding=EmbeddingConfig(dim=64, num_layers=2, num_heads=4, hidden_dim=128,
+                                  vocab_size=1000, max_seq_len=64, batch_size=8),
+        cross_encoder=CrossEncoderConfig(max_seq_len=64, batch_size=16),
+        strategy_memory=StrategyMemoryConfig(path=str(tmp_path / "sm.json.gz")),
+    )
+    store = TpuVectorStore(dim=64, index_config=cfg.index, quantization=cfg.quantization)
+    embedder = Embedder(cfg.embedding)
+    ce = CrossEncoder(cfg.cross_encoder, bert_cfg=BertConfig(
+        vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, dtype=jnp.float32))
+    models = LocalNLPModels(cfg, embedder=embedder, cross_encoder=ce)
+    topics = ["mitochondria energy", "photosynthesis light", "nucleus dna",
+              "ribosome protein", "golgi transport", "membrane lipid"]
+    texts = [f"Document {i} about {topics[i % len(topics)]} with unique "
+             f"token zq{i} describing cellular biology mechanisms in detail."
+             for i in range(n_docs)]
+    embs = models.embed(texts)
+    store.upsert_batch([(t, {"source": f"d{i}.txt"}, embs[i])
+                        for i, t in enumerate(texts)])
+    bm25 = PersistentBM25Index(store, path=str(tmp_path / "bm25.json.gz"))
+    bm25.build_from_store()
+    return cfg, store, bm25, models
+
+
+def test_rerank_auto_disable_measured(tmp_path):
+    """A CE blend that cannot beat the fused order it consumes by the
+    configured margin is switched off after the probe run (VERDICT r4 #3:
+    the stage costs ~10x serving QPS; a passenger must not ride by
+    default) — and the verdict is recorded with the probe MRRs."""
+    from radiant_rag_tpu.config import RerankConfig
+
+    cfg, store, bm25, models = _big_stack(tmp_path)
+    cfg = dataclasses.replace(cfg, rerank=RerankConfig(
+        auto_disable_probes=8, auto_disable_min_gain=0.005))
+    orch = RAGOrchestrator(cfg, store, bm25, models, scripted_llm())
+    assert orch.rerank.enabled
+    orch._ensure_rerank_calibration()
+    v = orch.rerank_calibration
+    assert v and v["probes"] >= 4
+    # random-init CE + prior blend: gain ~0 -> the measured auto-disable
+    assert v["auto_disabled"] == (v["gain"] < v["min_gain"])
+    assert orch.rerank.enabled == (not v["auto_disabled"])
+    # verdict is sticky until growth/invalidation: second call is a no-op
+    stamp = orch._rerank_calibrated_at
+    orch._ensure_rerank_calibration()
+    assert orch._rerank_calibrated_at == stamp
+    # retrain/hot-swap invalidation re-arms the probe AND the stage
+    orch.invalidate_fusion_calibration()
+    assert orch._rerank_calibrated_at == -1
+    if v["auto_disabled"]:
+        assert orch.rerank.enabled  # re-measure before trusting the off
+
+
+def test_rerank_auto_disable_opt_out(tmp_path):
+    """auto_disable_probes=0 leaves the stage exactly as configured."""
+    from radiant_rag_tpu.config import RerankConfig
+
+    cfg, store, bm25, models = _big_stack(tmp_path)
+    cfg = dataclasses.replace(cfg, rerank=RerankConfig(auto_disable_probes=0))
+    orch = RAGOrchestrator(cfg, store, bm25, models, scripted_llm())
+    orch._ensure_rerank_calibration()
+    assert orch.rerank.enabled and not orch.rerank_calibration

@@ -120,7 +120,7 @@ def main(argv=None) -> int:
     from radiant_rag_tpu.models.tokenizer import load_tokenizer
     from radiant_rag_tpu.parallel.data import (
         ContrastivePairSampler, make_paraphrase_query, make_pseudo_query,
-        synonym_augment, train_embedder,
+        paraphrase_augment, train_embedder,
     )
     from radiant_rag_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -174,7 +174,7 @@ def main(argv=None) -> int:
             texts, tokenizer, batch_size=args.train_batch,
             max_seq_len=emb_cfg.max_seq_len, seed=args.seed,
             bm25=bm25, rows=list(range(n)), n_hard_negatives=2,
-            query_augment=synonym_augment)
+            query_augment=paraphrase_augment)
         t0 = time.time()
         train_info, params = train_embedder(
             None, emb_cfg, steps=args.train_steps, batch_size=args.train_batch,
@@ -316,7 +316,7 @@ def main(argv=None) -> int:
                 texts, bert_cfg=ce_bert, steps=args.ce_steps, batch_size=256,
                 max_seq_len=args.ce_seq_len, bm25=bm25, rows=list(range(n)),
                 hard_negatives=5, random_negatives=2,
-                query_augment=synonym_augment, auto_stop=True,
+                query_augment=paraphrase_augment, auto_stop=True,
                 min_steps=max(2000, args.ce_steps * 2 // 3),
                 plateau_window=3000, plateau_eps=0.005,
                 log_every=500, checkpoint_dir=args.save_ce_ckpt,
