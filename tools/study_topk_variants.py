@@ -56,8 +56,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--k", type=int, default=40,
                     help="candidate depth (the two-stage k_candidates)")
-    ap.add_argument("--blocks", default="256,512,1024",
-                    help="comma list of twolevel block sizes")
+    ap.add_argument("--blocks", default="250,500,1000",
+                    help="comma list of twolevel block sizes (must divide "
+                         "--docs; defaults divide the 1M default)")
     ap.add_argument("--out", default="bench_artifacts/topk_variants.json")
     args = ap.parse_args(argv)
 
@@ -149,6 +150,8 @@ def main(argv=None) -> int:
 
     for blk in [int(x) for x in args.blocks.split(",") if x]:
         if n % blk:
+            print(f"skip twolevel_b{blk}: {blk} does not divide {n}",
+                  file=sys.stderr)
             continue
         fn, info = make_twolevel(blk)
         ms, (_, ti) = timed(fn)
