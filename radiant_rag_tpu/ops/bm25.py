@@ -102,12 +102,18 @@ def bm25_pages_scores(
     denom = tfs + k1 * (1.0 - b + b * dl / jnp.maximum(avgdl, 1e-6))
     contrib = page_idf[:, None] * tfs * (k1 + 1.0) / jnp.maximum(denom, 1e-6)
     contrib = jnp.where(valid, contrib, 0.0)
-    flat_idx = page_qidx[:, None] * num_docs + rows  # (Pg, PAGE)
-    flat_idx = jnp.where(valid, flat_idx, b_queries * num_docs)  # drop bucket
-    scores = jnp.zeros((b_queries * num_docs,), jnp.float32).at[
-        flat_idx.reshape(-1)
+    # 2-D scatter-add: (query, row) index pairs into the (B, N) score
+    # matrix. The previous flattened form indexed a (B*N,) buffer, which
+    # hits EXACTLY 2^31 elements at b=2048 x a 1M-padded corpus — int32
+    # index arithmetic overflowed at trace time and any large batch routed
+    # to the pages program crashed (found by the round-5 1M cost study).
+    # Invalid slots scatter to (0, 0) with their contrib already zeroed
+    # above — a harmless +0.0.
+    q_i = jnp.where(valid, jnp.broadcast_to(page_qidx[:, None], rows.shape), 0)
+    r_i = jnp.where(valid, rows, 0)
+    scores = jnp.zeros((b_queries, num_docs), jnp.float32).at[
+        q_i.reshape(-1), r_i.reshape(-1)
     ].add(contrib.reshape(-1), mode="drop")
-    scores = scores.reshape(b_queries, num_docs)
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
     else:

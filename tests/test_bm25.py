@@ -431,3 +431,58 @@ def test_hbm_plan_pages_only_tier():
     idx2.bulk_build(list(range(10)), texts[:10])
     idx2.ensure_sketch(10)
     assert idx2.sketch_dim == 1024
+
+
+def test_pages_scatter_index_no_int32_overflow():
+    """Regression: the pages program's invalid-slot scatter bucket was
+    `b_queries * num_docs`, which hits EXACTLY 2^31 at b=2048 x a 1M-padded
+    corpus and overflowed the int32 literal at trace time — any large batch
+    routed to the exact pages path crashed (found by the round-5 1M
+    pages-cost study). Trace the op at that shape via eval_shape (no
+    allocation) and check the small-shape result is still exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from radiant_rag_tpu.ops.bm25 import bm25_pages_scores
+
+    b_queries, num_docs = 2048, 1 << 20  # b * N == 2**31 exactly
+    pg, ptot = 8, 64
+
+    def run(post_rows, post_tf, page_start, page_len, page_qidx, page_idf,
+            doc_lens, avgdl, mask):
+        return bm25_pages_scores(post_rows, post_tf, page_start, page_len,
+                                 page_qidx, page_idf, doc_lens, avgdl, mask,
+                                 b_queries, num_docs)
+
+    shapes = (
+        jax.ShapeDtypeStruct((ptot,), jnp.int32),
+        jax.ShapeDtypeStruct((ptot,), jnp.float32),
+        jax.ShapeDtypeStruct((pg,), jnp.int32),
+        jax.ShapeDtypeStruct((pg,), jnp.int32),
+        jax.ShapeDtypeStruct((pg,), jnp.int32),
+        jax.ShapeDtypeStruct((pg,), jnp.float32),
+        jax.ShapeDtypeStruct((num_docs,), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        None,
+    )
+    out = jax.eval_shape(run, *shapes)  # raised OverflowError before the fix
+    assert out.shape == (b_queries, num_docs)
+
+    # small-shape exactness: invalid slots (beyond page_len) add nothing
+    post_rows = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    post_tf = jnp.asarray([2.0, 1.0, 3.0, 1.0], jnp.float32)
+    page_start = jnp.asarray([0, 2], jnp.int32)
+    page_len = jnp.asarray([2, 1], jnp.int32)  # second page: 1 valid of 2
+    page_qidx = jnp.asarray([0, 1], jnp.int32)
+    page_idf = jnp.asarray([1.0, 2.0], jnp.float32)
+    doc_lens = jnp.full((8,), 4.0, jnp.float32)
+    scores = bm25_pages_scores(post_rows, post_tf, page_start, page_len,
+                               page_qidx, page_idf, doc_lens,
+                               jnp.float32(4.0), None, 2, 8)
+    k1, b = 1.5, 0.75
+    exp = 1.0 * 2.0 * (k1 + 1) / (2.0 + k1)  # q0, doc0, tf=2, dl=avgdl
+    assert abs(float(scores[0, 0]) - exp) < 1e-5
+    # q1 gets ONLY its page's first posting (doc 2); the invalid slot
+    # (doc 3) must contribute nothing anywhere
+    assert float(scores[1, 3]) < 0  # NEG_INF (no contribution)
+    assert float(scores[0, 2]) < 0 and float(scores[0, 3]) < 0
