@@ -68,6 +68,8 @@ class RadiantTPU:
             sketch_dim=self.config.bm25.sketch_dim,
             sketch_hbm_budget_gb=self.config.bm25.sketch_hbm_budget_gb,
             disc_route_df_frac=self.config.bm25.disc_route_df_frac,
+            pages_route_max_pages=self.config.bm25.pages_route_max_pages,
+            pages_route_max_cells=self.config.bm25.pages_route_max_cells,
         )
         if hasattr(self.store, "attach_bm25"):
             # sharded pod backend: hand it the BM25 index (built after the

@@ -105,6 +105,15 @@ class BM25Config:
     # (the sketch measurably fails "discriminative term at volume" traffic
     # at the 1M scale — BENCH_NOTES router study)
     disc_route_df_frac: float = 0.01
+    # auto-router COST GATE (round-5 chip study, BENCH_NOTES "pages cost
+    # at 1M"): the pages program's cost is ~linear in the page count and
+    # its (B, N) f32 scatter buffer OOMs outright at b=2048 x 1M, so a
+    # qualifying batch only takes pages when its estimated page count and
+    # score-matrix cells stay under these caps (4096 pages ~= 1.1 s/batch
+    # worst-case measured; 2^30 cells = a 4 GB score buffer). Oversized
+    # qualifying batches fall back to the sketch + exact rescore.
+    pages_route_max_pages: int = 4096
+    pages_route_max_cells: int = 1 << 30
     # above this many docs, skip JSON persistence and rebuild from the store
     # on load instead (the native bulk build is faster than parsing the file)
     persist_max_docs: int = 200000

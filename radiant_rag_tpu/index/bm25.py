@@ -127,7 +127,9 @@ class BM25Index:
                  max_query_terms: int = 32, max_postings: int = 1 << 18,
                  sketch_dim: int = 1024, pages_route_threshold: int = 1 << 15,
                  sketch_hbm_budget_gb: float = 3.0,
-                 disc_route_df_frac: float = 0.01) -> None:
+                 disc_route_df_frac: float = 0.01,
+                 pages_route_max_pages: int = 4096,
+                 pages_route_max_cells: int = 1 << 30) -> None:
         self.k1 = k1
         self.b = b
         self.max_query_terms = max_query_terms
@@ -164,6 +166,13 @@ class BM25Index:
         # bounded cost. The sketch keeps only all-common-term traffic, where
         # its score regret at 1M is 2-6% (tie-dense score bands).
         self.disc_route_df_frac = float(disc_route_df_frac)
+        # pages COST GATE (round-5 chip study, BENCH_NOTES "pages cost at
+        # 1M"): pages ms/batch is ~linear in page count (1.5k pages=0.36 s,
+        # 12k=5.3 s, 33k=10 s) and the (B, N) f32 scatter OOMs at
+        # b=2048 x 1M — a qualifying batch only routes to pages when its
+        # estimated pages and score cells fit these caps
+        self.pages_route_max_pages = int(pages_route_max_pages)
+        self.pages_route_max_cells = int(pages_route_max_cells)
         # vocabulary
         self.terms: List[str] = []  # tid -> term
         self.vocab: Dict[str, int] = {}
@@ -727,7 +736,8 @@ class BM25Index:
         return int(per_tid.sum(axis=1).max(initial=0))
 
     def routes_pages(self, queries: Sequence[str],
-                     tids: Optional[np.ndarray] = None) -> bool:
+                     tids: Optional[np.ndarray] = None,
+                     num_docs: int = 0) -> bool:
         """The method='auto' batch router: True -> exact pages path.
 
         Per query, pages when (a) total posting volume <=
@@ -740,8 +750,15 @@ class BM25Index:
         whole batch on the sketch (its pages cost is fine, but the common
         query would eat most of the impact-ordered postings budget).
         Per-request serving is b=1, so single-user traffic routes per
-        query; whether coalesced mixed batches should instead force pages
-        awaits the chip-side pages-at-1M cost measurement (BENCH_NOTES)."""
+        query (measured at par with the sketch there: ~0.9-1.1x ms/batch).
+
+        COST GATE (round-5 chip study at 1M, BENCH_NOTES): even a fully
+        qualifying batch stays on the sketch when its estimated page count
+        exceeds pages_route_max_pages (pages ms/batch is ~linear in pages:
+        1.5k=0.36 s, 12k=5.3 s vs a flat ~0.1 s sketch) or its (B, N)
+        score matrix exceeds pages_route_max_cells (the f32 scatter buffer
+        OOMs at b=2048 x 1M). The sketch's exact doc-major rescore bounds
+        the quality cost of the fallback."""
         self._finalize_csr()
         if tids is None:
             tids = self.query_tids(queries)
@@ -752,7 +769,13 @@ class BM25Index:
         small = per_tid.sum(axis=1) <= self.pages_route_threshold
         df_cap = max(1.0, self.disc_route_df_frac * max(len(self.doc_lens), 1))
         has_disc = ((per_tid > 0) & (per_tid <= df_cap)).any(axis=1)
-        return bool(np.all(small | has_disc))
+        if not bool(np.all(small | has_disc)):
+            return False
+        n_pages = int(np.ceil(per_tid / PAGE_SIZE).sum())
+        if n_pages > self.pages_route_max_pages:
+            return False
+        n = int(num_docs) or len(self.doc_lens)
+        return tids.shape[0] * n <= self.pages_route_max_cells
 
     def make_query_bins(self, queries: Sequence[str],
                         tids: Optional[np.ndarray] = None) -> np.ndarray:
@@ -923,7 +946,8 @@ class BM25Index:
                 # exact pages path for rare-term AND discriminative-term
                 # queries (routes_pages); sketch only for all-common-term
                 # traffic at volume
-                method = ("pages" if self.routes_pages(queries, tids_list)
+                method = ("pages" if self.routes_pages(
+                              queries, tids_list, num_docs=n_rows)
                           else "sketch")
         if method == "sketch" and self.sketch_dim <= 0:
             # explicit sketch request at a corpus size the HBM plan serves
@@ -1085,7 +1109,9 @@ class PersistentBM25Index:
                             sketch_dim=self._index._sketch_dim_cfg,
                             pages_route_threshold=self._index.pages_route_threshold,
                             sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb,
-                            disc_route_df_frac=self._index.disc_route_df_frac)
+                            disc_route_df_frac=self._index.disc_route_df_frac,
+                            pages_route_max_pages=self._index.pages_route_max_pages,
+                            pages_route_max_cells=self._index.pages_route_max_cells)
             resolved = 0
             for key, payload in docs.items():
                 row = self.store.row_of(key) if hasattr(self.store, "row_of") else None
@@ -1185,7 +1211,9 @@ class PersistentBM25Index:
                                     sketch_dim=self._index._sketch_dim_cfg,
                                     pages_route_threshold=self._index.pages_route_threshold,
                                     sketch_hbm_budget_gb=self._index.sketch_hbm_budget_gb,
-                                    disc_route_df_frac=self._index.disc_route_df_frac)
+                                    disc_route_df_frac=self._index.disc_route_df_frac,
+                                    pages_route_max_pages=self._index.pages_route_max_pages,
+                                    pages_route_max_cells=self._index.pages_route_max_cells)
             self._index.bulk_build(rows, texts)
             self.save()
             return len(rows)

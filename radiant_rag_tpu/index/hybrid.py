@@ -741,7 +741,8 @@ class HybridSearcher:
             # program; only all-common-term traffic takes the sketch MXU
             # program. Both jit programs are compiled once.
             bm25_mode = ("pages"
-                         if self.bm25.routes_pages(queries_text, q_tids_list)
+                         if self.bm25.routes_pages(queries_text, q_tids_list,
+                                                   num_docs=eng.capacity)
                          else "sketch")
         num_docs = eng.capacity  # bm25 doc_lens sized to match exactly
 

@@ -486,3 +486,27 @@ def test_pages_scatter_index_no_int32_overflow():
     # (doc 3) must contribute nothing anywhere
     assert float(scores[1, 3]) < 0  # NEG_INF (no contribution)
     assert float(scores[0, 2]) < 0 and float(scores[0, 3]) < 0
+
+
+def test_routes_pages_cost_gate():
+    """Qualifying batches stay on the sketch when the estimated page count
+    or the (B, N) score-matrix cells exceed the cost caps (round-5 chip
+    study: pages ms/batch is ~linear in pages and the f32 scatter buffer
+    OOMs at b=2048 x 1M)."""
+    idx = BM25Index(sketch_dim=128)
+    texts = [f"rare{i} filler common shared" for i in range(64)]
+    idx.bulk_build(list(range(64)), texts)
+    qs = ["rare3", "rare7"]
+    assert idx.routes_pages(qs)  # rare-term traffic, tiny: pages
+    idx.pages_route_max_pages = 0
+    assert not idx.routes_pages(qs)  # page budget exhausted -> sketch
+    idx.pages_route_max_pages = 4096
+    idx.pages_route_max_cells = 1  # 2 queries x 64 docs > 1 cell
+    assert not idx.routes_pages(qs)
+    idx.pages_route_max_cells = 1 << 30
+    assert idx.routes_pages(qs)
+    # a num_docs override (padded engine capacity) is what the cells gate
+    # must price, not the live-doc count
+    idx.pages_route_max_cells = 100
+    assert not idx.routes_pages(qs, num_docs=64)
+    assert idx.routes_pages(qs, num_docs=32)

@@ -102,11 +102,21 @@ def main() -> int:
             qs = qs_pool[:b]
             n_pages = int((bm25.make_pages(qs)["len"] > 0).sum())
             for method in ("sketch", "pages"):
-                # warmup compiles this (method, batch, page-bucket) shape
-                bm25.search_rows_batch(qs, k, method=method)
-                t0 = time.time()
-                for _ in range(REPS):
+                try:
+                    # warmup compiles this (method, batch, page-bucket) shape
                     bm25.search_rows_batch(qs, k, method=method)
+                    t0 = time.time()
+                    for _ in range(REPS):
+                        bm25.search_rows_batch(qs, k, method=method)
+                except Exception as exc:  # e.g. HBM OOM: the (B, N) f32
+                    # scatter buffer alone is 8.6 GB at b=2048 x 1M — a
+                    # result in itself; record it and keep measuring
+                    row = {"family": fam, "batch": b, "method": method,
+                           "error": f"{type(exc).__name__}",
+                           "pages_per_batch": n_pages if method == "pages" else 0}
+                    report["rows"].append(row)
+                    print(json.dumps(row), file=sys.stderr, flush=True)
+                    continue
                 ms = (time.time() - t0) / REPS * 1e3
                 # host-side page-table cost alone (pages pays it per batch)
                 t0 = time.time()
