@@ -607,14 +607,25 @@ class DeviceVectorIndex:
 
     def to_host(self) -> Dict[str, np.ndarray]:
         n = self.count
+        # CHUNKED materialization: a monolithic dequantize/astype of the full
+        # corpus allocates an (N, D) f32 ON DEVICE — 15.4 GB at 10M x 384,
+        # which OOM'd the round-5 10M product run's save() next to the
+        # resident codes. 512k-row chunks bound the device transient to
+        # ~0.8 GB while the host assembles the full array.
+        step = 1 << 19
+        vecs_out = np.empty((n, self.dim), np.float32)
         if not self.store_fp32:
             # reconstruct approximate vectors from int8 (documented precision
             # loss; fp32-free deployments should persist source embeddings
             # upstream if bit-exact reload matters)
-            vecs_out = np.asarray(qz.dequantize_int8(
-                self.i8[:n], self.i8_lo, self.i8_hi))
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                vecs_out[s:e] = np.asarray(qz.dequantize_int8(
+                    self.i8[s:e], self.i8_lo, self.i8_hi))
         else:
-            vecs_out = np.asarray(self.vecs[:n].astype(jnp.float32))
+            for s in range(0, n, step):
+                e = min(n, s + step)
+                vecs_out[s:e] = np.asarray(self.vecs[s:e].astype(jnp.float32))
         return {
             "vecs": vecs_out,
             "valid": np.asarray(self.valid[:n]),

@@ -67,6 +67,11 @@ def main(argv=None) -> int:
     ap.add_argument("--data-dir", default="data/bench_10m_product")
     ap.add_argument("--keep", action="store_true",
                     help="keep the persisted index after the run")
+    ap.add_argument("--bm25-budget", type=float, default=3.0,
+                    help="BM25 device HBM budget (GB). The 3.0 default lands "
+                         "on the pages-only tier at 10M (measured: 25 QPS); "
+                         "4.5 admits the S=128 sketch tier next to the "
+                         "fp32-free engine (4.1 GB) within 16 GB")
     ap.add_argument("--out", default="data/bench_10m_product.json")
     args = ap.parse_args(argv)
 
@@ -112,7 +117,9 @@ def main(argv=None) -> int:
     log(f"ingest: {t_ingest:.1f}s ({n / t_ingest:.0f} docs/s)")
 
     t0 = time.time()
-    bm25 = BM25Index()  # default sketch_dim 1024 + 3 GB budget -> auto-reduce
+    # sketch_dim 1024 is the configured ceiling; plan_hbm walks the degrade
+    # ladder (smaller S -> pages-only) to fit --bm25-budget at this N
+    bm25 = BM25Index(sketch_hbm_budget_gb=args.bm25_budget)
     bm25.bulk_build(list(range(n)), [text_of(i) for i in range(n)])
     bm25._finalize_csr()
     t_bm25 = time.time() - t0
@@ -231,6 +238,7 @@ def main(argv=None) -> int:
     report = {
         "metric": "product_path_10m",
         "docs": n, "dim": d, "batch": bq, "dense_mode": mode,
+        "bm25_budget_gb": args.bm25_budget,
         "hybrid_qps_sequential": round(seq_qps, 1),
         "hybrid_qps_pipelined": round(pipe_qps, 1),
         "dense_recall_at_10_vs_fp32": round(float(recall), 4),
