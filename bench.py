@@ -541,6 +541,10 @@ def main():
                 "host_ram_high_water_gb": t.get("host_ram_high_water_gb"),
                 "ingest_docs_per_s": tm.get("ingest_docs_per_s"),
                 "save_s": tm.get("save"), "restore_load_s": tm.get("restore_load"),
+                # phase-wise incremental writes: true means the run was cut
+                # short (tunnel death / wall-clock watchdog) and these are
+                # the phases that completed, not the full pipeline
+                "partial": t.get("partial", False),
             }
     except Exception as exc:
         log(f"10M lift skipped: {exc}")

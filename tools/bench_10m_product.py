@@ -87,6 +87,20 @@ def main(argv=None) -> int:
     data_dir = args.data_dir
     shutil.rmtree(data_dir, ignore_errors=True)
 
+    # Phase-wise incremental artifact: every completed phase flushes to
+    # args.out with partial=true, so a run killed mid-flight (tunnel death,
+    # wall-clock watchdog) still leaves its measured numbers on disk.
+    report = {"metric": "product_path_10m", "docs": n, "dim": d,
+              "bm25_budget_gb": args.bm25_budget, "partial": True,
+              "timings_s": {}, "device": _device_kind()}
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def flush() -> None:
+        tmp = out.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(report, indent=2))
+        tmp.replace(out)
+
     log(f"generating corpus {n} x {d}...")
     t0 = time.time()
     vecs = make_corpus_chunks(rng, n, d)
@@ -94,6 +108,8 @@ def main(argv=None) -> int:
     zipf = rng.zipf(1.3, size=(n, 24)) % vocab
     t_gen = time.time() - t0
     log(f"corpus: {t_gen:.1f}s ({vecs.nbytes / 2**30:.1f} GB host fp32)")
+    report["timings_s"]["corpus_gen"] = round(t_gen, 1)
+    flush()
 
     def text_of(i: int) -> str:
         return " ".join(f"w{t}" for t in zipf[i])
@@ -115,6 +131,9 @@ def main(argv=None) -> int:
                 f"rss {rss_gb():.1f} GB)")
     t_ingest = time.time() - t0
     log(f"ingest: {t_ingest:.1f}s ({n / t_ingest:.0f} docs/s)")
+    report["timings_s"]["ingest"] = round(t_ingest, 1)
+    report["timings_s"]["ingest_docs_per_s"] = round(n / t_ingest, 0)
+    flush()
 
     t0 = time.time()
     # sketch_dim 1024 is the configured ceiling; plan_hbm walks the degrade
@@ -124,6 +143,8 @@ def main(argv=None) -> int:
     bm25._finalize_csr()
     t_bm25 = time.time() - t0
     log(f"bm25 build: {t_bm25:.1f}s")
+    report["timings_s"]["bm25_build"] = round(t_bm25, 1)
+    flush()
 
     searcher = HybridSearcher(store.engine, bm25)
     # hybrid gate, not engine gate: at the pages-only 10M tier the BM25 legs
@@ -152,6 +173,11 @@ def main(argv=None) -> int:
     t_warm = time.time() - t0
     log(f"warmup: B=32 {t_warm_small:.1f}s, B={bq} {t_warm:.1f}s "
         f"(sketch dim now {bm25.sketch_dim})")
+    report.update(batch=bq, dense_mode=mode,
+                  bm25_sketch_dim_effective=bm25.sketch_dim)
+    report["timings_s"]["warmup_small"] = round(t_warm_small, 1)
+    report["timings_s"]["warmup_full"] = round(t_warm, 1)
+    flush()
 
     times = []
     for _ in range(args.batches):
@@ -162,6 +188,8 @@ def main(argv=None) -> int:
     seq_qps = bq / float(np.median(times))
     log(f"hybrid sequential: {float(np.median(times))*1000:.0f} ms/batch "
         f"-> {seq_qps:.0f} QPS")
+    report["hybrid_qps_sequential"] = round(seq_qps, 1)
+    flush()
 
     pipe_qps = 0.0
     for _ in range(3):
@@ -176,6 +204,8 @@ def main(argv=None) -> int:
             u()
         pipe_qps = max(pipe_qps, args.batches * bq / (time.time() - t0))
     log(f"hybrid pipelined: {pipe_qps:.0f} QPS")
+    report["hybrid_qps_pipelined"] = round(pipe_qps, 1)
+    flush()
 
     # hydrate top hits through the spill docstore (content fetch from disk)
     t0 = time.time()
@@ -198,6 +228,8 @@ def main(argv=None) -> int:
             & set(map(int, oracle_rows[i]))) / 10
         for i in range(args.queries)])
     log(f"dense recall@10 vs fp32 oracle: {recall:.4f}")
+    report["dense_recall_at_10_vs_fp32"] = round(float(recall), 4)
+    flush()
 
     # HBM accounting
     eng = store.engine
@@ -209,6 +241,9 @@ def main(argv=None) -> int:
     bm_dev = bm25.device_bytes_projected(eng.capacity)
     log(f"HBM: engine {hbm / 2**30:.2f} GB + bm25 device {bm_dev / 2**30:.2f} "
         f"GB (sketch S={bm25.sketch_dim}; 0 = pages-only tier)")
+    report["hbm_gb"] = {"engine": round(hbm / 2**30, 2),
+                        "bm25_device": round(bm_dev / 2**30, 2)}
+    flush()
 
     # ---- persist -> restore -> serve ----
     t0 = time.time()
@@ -217,6 +252,10 @@ def main(argv=None) -> int:
     disk = sum(f.stat().st_size for f in pathlib.Path(data_dir).rglob("*")
                if f.is_file())
     log(f"save: {t_save:.1f}s ({disk / 2**30:.2f} GB on disk)")
+    report["timings_s"]["save"] = round(t_save, 1)
+    report["disk_gb"] = round(disk / 2**30, 2)
+    report["host_ram_high_water_gb"] = round(rss_gb(), 1)
+    flush()
 
     del searcher, res  # drop every ref to the old engine's device arrays —
     del store          # two 10M corpora cannot coexist in HBM at restore
@@ -235,32 +274,11 @@ def main(argv=None) -> int:
     log(f"restore: load {t_load:.1f}s, first warm hybrid batch {t_first:.1f}s, "
         f"content hydrates from spill")
 
-    report = {
-        "metric": "product_path_10m",
-        "docs": n, "dim": d, "batch": bq, "dense_mode": mode,
-        "bm25_budget_gb": args.bm25_budget,
-        "hybrid_qps_sequential": round(seq_qps, 1),
-        "hybrid_qps_pipelined": round(pipe_qps, 1),
-        "dense_recall_at_10_vs_fp32": round(float(recall), 4),
-        "bm25_sketch_dim_effective": bm25.sketch_dim,
-        "hbm_gb": {"engine": round(hbm / 2**30, 2),
-                   "bm25_device": round(bm_dev / 2**30, 2)},
-        "host_ram_high_water_gb": round(rss_gb(), 1),
-        "disk_gb": round(disk / 2**30, 2),
-        "timings_s": {"corpus_gen": round(t_gen, 1),
-                      "ingest": round(t_ingest, 1),
-                      "ingest_docs_per_s": round(n / t_ingest, 0),
-                      "bm25_build": round(t_bm25, 1),
-                      "warmup_small": round(t_warm_small, 1),
-                      "warmup_full": round(t_warm, 1),
-                      "save": round(t_save, 1),
-                      "restore_load": round(t_load, 1),
-                      "restore_first_batch": round(t_first, 1)},
-        "device": _device_kind(),
-    }
-    out = pathlib.Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(report, indent=2))
+    report["timings_s"]["restore_load"] = round(t_load, 1)
+    report["timings_s"]["restore_first_batch"] = round(t_first, 1)
+    report["host_ram_high_water_gb"] = round(rss_gb(), 1)
+    report["partial"] = False
+    flush()
     print(json.dumps(report, indent=2))
     if not args.keep:
         shutil.rmtree(data_dir, ignore_errors=True)
